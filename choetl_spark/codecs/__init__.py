@@ -1,0 +1,78 @@
+"""Codec registry: top-level encode/decode with null handling + zstd pass.
+
+    payload, meta = encode_array(arr, codec="auto" | name, zstd="auto")
+    arr = decode_array(payload, meta)
+
+``meta`` is a JSON-safe dict; the registry handles the null bitmap and
+the optional zstd entropy pass so individual codecs stay null-free and
+composable.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from choetl_spark.codecs import zstd as _zstd
+from choetl_spark.codecs.base import apply_nulls, split_nulls
+from choetl_spark.codecs.core import (
+    decode_bitpack,
+    decode_dict,
+    decode_foref,
+    decode_plain,
+    decode_rle,
+    encode_bitpack,
+    encode_dict,
+    encode_foref,
+    encode_plain,
+    encode_rle,
+)
+from choetl_spark.codecs.fsst import decode_fsst, encode_fsst
+
+_ENCODERS = {
+    "plain": encode_plain,
+    "bitpack": encode_bitpack,
+    "foref": encode_foref,
+    "rle": encode_rle,
+    "dict": encode_dict,
+    "fsst": encode_fsst,
+}
+
+_DECODERS = {
+    "plain": decode_plain,
+    "bitpack": decode_bitpack,
+    "foref": decode_foref,
+    "rle": decode_rle,
+    "dict": decode_dict,
+    "fsst": decode_fsst,
+}
+
+
+def encode_array(
+    arr: pa.Array,
+    codec: str = "auto",
+    zstd: str = "off",
+    **opts,
+) -> tuple[bytes, dict]:
+    """Encode a pa.Array. codec="auto" delegates to the selector."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if codec == "auto":
+        from choetl_spark.selector import choose_codec
+
+        codec, opts = choose_codec(arr)
+    null_meta, filled = split_nulls(arr)
+    payload, meta = _ENCODERS[codec](filled, **opts)
+    if null_meta["n_nulls"]:
+        meta["nulls"] = null_meta
+    if zstd in ("auto", "on"):
+        payload, meta = _zstd.wrap(payload, meta)
+    return payload, meta
+
+
+def decode_array(payload: bytes, meta: dict) -> pa.Array:
+    if meta["codec"] == "zstd":
+        payload, meta = _zstd.unwrap(payload, meta)
+    arr = _DECODERS[meta["codec"]](payload, meta)
+    if "nulls" in meta:
+        arr = apply_nulls(arr, meta["nulls"])
+    return arr

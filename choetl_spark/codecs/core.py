@@ -1,0 +1,285 @@
+"""Core lightweight codecs: plain, bitpack, frame-of-reference, RLE, dict.
+
+All operate on null-free arrays (nulls are split off in
+``choetl_spark.codecs``'s top-level encode). Pure NumPy/Arrow — no Spark
+imports — so they are unit-testable and run identically inside
+``mapInArrow`` workers.
+
+These re-own what the reference delegates to Parquet.Net
+(reference src/ChoETL.Parquet/ChoParquetRecordWriter.cs:191-212 only
+selects CompressionMethod; the encodings themselves live in the storage
+library). Here the encodings are first-class and individually selectable
+per column chunk.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from choetl_spark.codecs.base import (
+    bit_width,
+    data_nbytes,
+    from_int_view,
+    int_view,
+    is_int_like,
+    pack_uints,
+    str_to_type,
+    type_to_str,
+    unpack_uints,
+)
+
+# ---------------------------------------------------------------------------
+# plain
+# ---------------------------------------------------------------------------
+
+
+def encode_plain(arr: pa.Array) -> tuple[bytes, dict]:
+    t = arr.type
+    meta: dict = {"codec": "plain", "dtype": type_to_str(t), "n": len(arr)}
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(
+        t
+    ) or pa.types.is_large_binary(t):
+        lengths = np.asarray(pa.compute.binary_length(arr).cast(pa.int64()))
+        blob = _var_data_bytes(arr)
+        w = bit_width(int(lengths.max())) if len(lengths) else 0
+        len_payload = pack_uints(lengths.astype(np.uint64), w)
+        meta["len_width"] = w
+        meta["len_bytes"] = len(len_payload)
+        return len_payload + blob, meta
+    if pa.types.is_boolean(t):
+        packed = np.packbits(np.asarray(arr), bitorder="little").tobytes()
+        return packed, meta
+    if is_int_like(t):
+        vals = int_view(arr)
+        return vals.astype("<i8").tobytes(), meta
+    if pa.types.is_float32(t):
+        return np.asarray(arr).astype("<f4").tobytes(), meta
+    if pa.types.is_float64(t):
+        return np.asarray(arr).astype("<f8").tobytes(), meta
+    raise TypeError(f"plain codec: unsupported type {t}")
+
+
+def _var_data_bytes(arr: pa.Array) -> bytes:
+    """Concatenated value bytes of a string/binary array, zero-copy-ish."""
+    # normalize slice offset, then read the data buffer between offsets
+    arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+    if len(arr) == 0:
+        return b""
+    flat = pa.concat_arrays([arr])  # ensures a plain layout
+    offsets_buf = flat.buffers()[1]
+    data_buf = flat.buffers()[2]
+    big = pa.types.is_large_string(flat.type) or pa.types.is_large_binary(flat.type)
+    odt = np.int64 if big else np.int32
+    offs = np.frombuffer(offsets_buf, dtype=odt, count=len(flat) + 1 + flat.offset)
+    start = int(offs[flat.offset])
+    end = int(offs[flat.offset + len(flat)])
+    if data_buf is None:
+        return b""
+    return data_buf.to_pybytes()[start:end]
+
+
+def decode_plain(payload: bytes, meta: dict) -> pa.Array:
+    t = str_to_type(meta["dtype"])
+    n = meta["n"]
+    if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(
+        t
+    ) or pa.types.is_large_binary(t):
+        w = meta["len_width"]
+        lb = meta["len_bytes"]
+        lengths = unpack_uints(payload[:lb], n, w).astype(np.int64)
+        blob = payload[lb:]
+        return _strings_from_blob(blob, lengths, t)
+    if pa.types.is_boolean(t):
+        bits = np.unpackbits(
+            np.frombuffer(payload, dtype=np.uint8), count=n, bitorder="little"
+        ).astype(bool)
+        return pa.array(bits)
+    if is_int_like(t):
+        vals = np.frombuffer(payload, dtype="<i8", count=n)
+        return from_int_view(vals, meta["dtype"])
+    if pa.types.is_float32(t):
+        return pa.array(np.frombuffer(payload, dtype="<f4", count=n), type=t)
+    if pa.types.is_float64(t):
+        return pa.array(np.frombuffer(payload, dtype="<f8", count=n), type=t)
+    raise TypeError(f"plain codec: unsupported type {t}")
+
+
+def _strings_from_blob(blob: bytes, lengths: np.ndarray, t: pa.DataType) -> pa.Array:
+    n = len(lengths)
+    big = pa.types.is_large_string(t) or pa.types.is_large_binary(t)
+    odt = pa.int64() if big else pa.int32()
+    npdt = np.int64 if big else np.int32
+    offsets = np.zeros(n + 1, dtype=npdt)
+    np.cumsum(lengths, out=offsets[1:])
+    offsets_arr = pa.array(offsets, type=odt)
+    data = pa.py_buffer(blob)
+    return pa.Array.from_buffers(
+        t, n, [None, offsets_arr.buffers()[1], data]
+    )
+
+
+# ---------------------------------------------------------------------------
+# bitpack (non-negative ints, width from max)
+# ---------------------------------------------------------------------------
+
+
+def encode_bitpack(arr: pa.Array) -> tuple[bytes, dict]:
+    vals = int_view(arr)
+    if len(vals) and vals.min() < 0:
+        raise ValueError("bitpack requires non-negative values (use foref)")
+    w = bit_width(int(vals.max())) if len(vals) else 0
+    payload = pack_uints(vals.astype(np.uint64), w)
+    meta = {
+        "codec": "bitpack",
+        "dtype": type_to_str(arr.type),
+        "n": len(arr),
+        "width": w,
+    }
+    return payload, meta
+
+
+def decode_bitpack(payload: bytes, meta: dict) -> pa.Array:
+    vals = unpack_uints(payload, meta["n"], meta["width"]).astype(np.int64)
+    return from_int_view(vals, meta["dtype"])
+
+
+# ---------------------------------------------------------------------------
+# frame-of-reference (subtract min, bitpack deltas)
+# ---------------------------------------------------------------------------
+
+
+def encode_foref(arr: pa.Array) -> tuple[bytes, dict]:
+    vals = int_view(arr)
+    ref = int(vals.min()) if len(vals) else 0
+    # deltas fit in uint64 as long as (max-min) < 2**64; int64 range is fine
+    deltas = (vals.astype(np.int64) - np.int64(ref)).astype(np.uint64)
+    w = bit_width(int(deltas.max())) if len(deltas) else 0
+    payload = pack_uints(deltas, w)
+    meta = {
+        "codec": "foref",
+        "dtype": type_to_str(arr.type),
+        "n": len(arr),
+        "ref": ref,
+        "width": w,
+    }
+    return payload, meta
+
+
+def decode_foref(payload: bytes, meta: dict) -> pa.Array:
+    deltas = unpack_uints(payload, meta["n"], meta["width"])
+    vals = deltas.astype(np.int64) + np.int64(meta["ref"])
+    return from_int_view(vals, meta["dtype"])
+
+
+# ---------------------------------------------------------------------------
+# RLE (runs over int-like values; var-width types go through dict first)
+# ---------------------------------------------------------------------------
+
+
+def encode_rle(arr: pa.Array) -> tuple[bytes, dict]:
+    t = arr.type
+    if not is_int_like(t) and not pa.types.is_floating(t):
+        raise TypeError("rle operates on fixed-width values; dict-encode first")
+    if pa.types.is_floating(t):
+        raw = np.asarray(arr)
+        view = raw.view(np.int32 if pa.types.is_float32(t) else np.int64).astype(
+            np.int64
+        )
+    else:
+        view = int_view(arr)
+    n = len(view)
+    if n == 0:
+        change = np.zeros(0, dtype=bool)
+    else:
+        change = np.empty(n, dtype=bool)
+        change[0] = True
+        np.not_equal(view[1:], view[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    run_vals = view[starts]
+    bounds = np.append(starts, n)
+    run_lens = np.diff(bounds).astype(np.uint64)
+    # run lengths: bitpack (lengths >= 1, store len-1)
+    lw = bit_width(int(run_lens.max() - 1)) if len(run_lens) else 0
+    len_payload = pack_uints(run_lens - 1, lw)
+    # run values: frame-of-reference pack
+    ref = int(run_vals.min()) if len(run_vals) else 0
+    deltas = (run_vals.astype(np.int64) - np.int64(ref)).astype(np.uint64)
+    vw = bit_width(int(deltas.max())) if len(deltas) else 0
+    val_payload = pack_uints(deltas, vw)
+    meta = {
+        "codec": "rle",
+        "dtype": type_to_str(t),
+        "n": n,
+        "n_runs": int(len(run_vals)),
+        "len_width": lw,
+        "val_width": vw,
+        "ref": ref,
+        "len_bytes": len(len_payload),
+        "float": bool(pa.types.is_floating(t)),
+    }
+    return len_payload + val_payload, meta
+
+
+def decode_rle(payload: bytes, meta: dict) -> pa.Array:
+    n_runs = meta["n_runs"]
+    lb = meta["len_bytes"]
+    run_lens = unpack_uints(payload[:lb], n_runs, meta["len_width"]).astype(
+        np.int64
+    ) + 1
+    deltas = unpack_uints(payload[lb:], n_runs, meta["val_width"])
+    run_vals = deltas.astype(np.int64) + np.int64(meta["ref"])
+    vals = np.repeat(run_vals, run_lens)
+    t = str_to_type(meta["dtype"])
+    if meta.get("float"):
+        if pa.types.is_float32(t):
+            return pa.array(vals.astype(np.int32).view(np.float32), type=t)
+        return pa.array(vals.view(np.float64), type=t)
+    return from_int_view(vals, meta["dtype"])
+
+
+# ---------------------------------------------------------------------------
+# dictionary (indices bitpacked + values via child codec)
+# ---------------------------------------------------------------------------
+
+
+def encode_dict(arr: pa.Array, values_codec: str = "plain") -> tuple[bytes, dict]:
+    from choetl_spark.codecs import encode_array  # registry, avoids cycle
+
+    darr = pa.compute.dictionary_encode(arr)
+    if isinstance(darr, pa.ChunkedArray):
+        darr = darr.combine_chunks()
+    indices = np.asarray(darr.indices.cast(pa.int64()))
+    values = darr.dictionary
+    w = bit_width(int(indices.max())) if len(indices) else 0
+    idx_payload = pack_uints(indices.astype(np.uint64), w)
+    val_payload, val_meta = encode_array(values, codec=values_codec)
+    meta = {
+        "codec": "dict",
+        "dtype": type_to_str(arr.type),
+        "n": len(arr),
+        "idx_width": w,
+        "idx_bytes": len(idx_payload),
+        "values": val_meta,
+    }
+    return idx_payload + val_payload, meta
+
+
+def decode_dict(payload: bytes, meta: dict) -> pa.Array:
+    from choetl_spark.codecs import decode_array
+
+    ib = meta["idx_bytes"]
+    indices = unpack_uints(payload[:ib], meta["n"], meta["idx_width"]).astype(
+        np.int64
+    )
+    values = decode_array(payload[ib:], meta["values"])
+    return values.take(pa.array(indices))
+
+
+# ---------------------------------------------------------------------------
+# size estimators used by the selector (cheap, no encoding)
+# ---------------------------------------------------------------------------
+
+
+def estimate_plain(arr: pa.Array) -> int:
+    return data_nbytes(arr)

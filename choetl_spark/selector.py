@@ -1,0 +1,93 @@
+"""Stats-driven codec auto-selector.
+
+Candidate codecs per dtype family, estimated encoded size per candidate
+from :class:`~choetl_spark.stats.ChunkStats`, cheapest wins (ties broken
+toward decode speed). A per-column override map — the analog of ChoETL's
+pluggable FieldTypeAssessor (reference
+src/ChoETL/Common/ChoFieldTypeAssessor.cs:17-36) — short-circuits the
+model.
+
+Estimates are deliberately coarse: the zstd entropy pass in the registry
+(measured, kept only if smaller) backstops any over-optimistic pick.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+
+from choetl_spark.codecs.base import bit_width, is_int_like
+from choetl_spark.stats import ChunkStats, compute_stats
+
+# decode-speed preference for tie-breaking (lower = faster decode)
+_DECODE_COST = {"plain": 0, "bitpack": 1, "foref": 1, "rle": 2, "dict": 3, "fsst": 4}
+
+
+def estimate_sizes(arr: pa.Array, st: ChunkStats) -> dict[str, float]:
+    """Estimated encoded bytes per applicable codec."""
+    t = arr.type
+    n = max(st.n, 1)
+    est: dict[str, float] = {"plain": float(st.data_bytes)}
+    ndv = max(st.ndv, 1)
+    n_runs = n / max(st.mean_run_len, 1.0)
+    if is_int_like(t):
+        if st.min_val is not None:
+            if st.min_val >= 0:
+                w = bit_width(st.max_val)
+                est["bitpack"] = n * w / 8 + 16
+            span_w = bit_width(st.max_val - st.min_val)
+            est["foref"] = n * span_w / 8 + 24
+            val_w = bit_width(max(st.max_val - st.min_val, 1))
+            est["rle"] = n_runs * (val_w + bit_width(int(n))) / 8 + 32
+        if ndv < n / 2:
+            idx_w = max(bit_width(ndv - 1), 1)
+            est["dict"] = n * idx_w / 8 + ndv * 8 + 32
+    elif pa.types.is_floating(t):
+        if st.mean_run_len > 2.0:
+            est["rle"] = n_runs * (8 + bit_width(int(n)) / 8) + 32
+        if ndv < n / 4:
+            idx_w = max(bit_width(ndv - 1), 1)
+            est["dict"] = n * idx_w / 8 + ndv * 8 + 32
+    else:  # string / binary
+        avg = max(st.avg_len, 1.0)
+        if ndv < n / 2:
+            idx_w = max(bit_width(ndv - 1), 1)
+            # distinct values stored once (fsst-able themselves, est plain)
+            est["dict"] = n * idx_w / 8 + ndv * (avg + 4) + 64
+        if st.ascii_frac > 0.88 and st.byte_entropy < 6.5 and avg >= 4:
+            # fsst: symbols cover ~entropy/8 of bytes; heuristic ratio
+            ratio = max(0.35, min(0.8, st.byte_entropy / 8.0))
+            est["fsst"] = st.data_bytes * ratio + 1200
+    return est
+
+
+def choose_codec(
+    arr: pa.Array,
+    st: ChunkStats | None = None,
+    override: str | None = None,
+) -> tuple[str, dict]:
+    """Return (codec_name, codec_opts) for an array chunk."""
+    if override:
+        return override, {}
+    if st is None:
+        st = compute_stats(arr)
+    est = estimate_sizes(arr, st)
+    best = min(est.items(), key=lambda kv: (kv[1], _DECODE_COST[kv[0]]))
+    name = best[0]
+    opts: dict = {}
+    if name == "dict":
+        t = arr.type
+        if (
+            pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_binary(t)
+            or pa.types.is_large_binary(t)
+        ):
+            # dictionary values: fsst them when text-like, else plain
+            opts["values_codec"] = (
+                "fsst"
+                if st.ascii_frac > 0.88 and st.avg_len >= 4 and st.ndv >= 16
+                else "plain"
+            )
+    return name, opts

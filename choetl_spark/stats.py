@@ -1,0 +1,108 @@
+"""Per-chunk column statistics for codec selection and chunk skipping.
+
+This is the re-aiming of ChoETL's sample-vote-commit type inference
+(reference src/ChoETL/ChoRecordReader.cs:141-287: buffer MaxScanRows,
+trial-parse each value, widen across rows, commit) at codec choice: for
+each column chunk we compute NDV, mean run length, byte entropy, ASCII
+fraction, and min/max, and the selector turns those into an estimated
+encoded size per candidate codec.
+
+min/max additionally ride along in the encoded-chunk table so readers can
+skip chunks (the analog of Parquet row-group stats the reference relies
+on implicitly via Parquet.Net).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import asdict, dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from choetl_spark.codecs.base import data_nbytes, int_view, is_int_like
+
+_SAMPLE_ROWS = 4096
+_SAMPLE_BYTES = 1 << 16
+
+
+@dataclass
+class ChunkStats:
+    n: int
+    n_nulls: int
+    data_bytes: int
+    ndv: int = 0
+    mean_run_len: float = 1.0
+    min_val: int | None = None
+    max_val: int | None = None
+    avg_len: float = 0.0
+    byte_entropy: float = 8.0
+    ascii_frac: float = 0.0
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+
+def compute_stats(arr: pa.Array) -> ChunkStats:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    st = ChunkStats(n=n, n_nulls=arr.null_count, data_bytes=data_nbytes(arr))
+    if n == 0:
+        return st
+    sample = arr.slice(0, min(n, _SAMPLE_ROWS))
+    sample = sample.drop_null() if sample.null_count else sample
+    ns = len(sample)
+    if ns == 0:
+        return st
+    t = arr.type
+    if is_int_like(t):
+        v = int_view(sample)
+        st.ndv = int(len(np.unique(v)))
+        st.mean_run_len = _mean_run_len_int(v)
+        st.min_val = int(v.min())
+        st.max_val = int(v.max())
+    elif pa.types.is_floating(t):
+        v = np.asarray(sample)
+        bits = v.view(np.int64 if v.dtype == np.float64 else np.int32)
+        st.ndv = int(len(np.unique(bits)))
+        st.mean_run_len = _mean_run_len_int(bits.astype(np.int64))
+    else:  # string / binary
+        lengths = np.asarray(pa.compute.binary_length(sample).cast(pa.int64()))
+        st.avg_len = float(lengths.mean()) if ns else 0.0
+        st.ndv = int(len(pa.compute.unique(sample)))
+        st.mean_run_len = _mean_run_len_str(sample)
+        blob = _sample_blob(sample)
+        if blob:
+            b = np.frombuffer(blob, dtype=np.uint8)
+            hist = np.bincount(b, minlength=256).astype(np.float64)
+            p = hist[hist > 0] / len(b)
+            st.byte_entropy = float(-(p * np.log2(p)).sum())
+            st.ascii_frac = float((b < 0x80).mean())
+    return st
+
+
+def _mean_run_len_int(v: np.ndarray) -> float:
+    if len(v) <= 1:
+        return float(len(v))
+    changes = int(np.count_nonzero(v[1:] != v[:-1])) + 1
+    return len(v) / changes
+
+
+def _mean_run_len_str(sample: pa.Array) -> float:
+    n = len(sample)
+    if n <= 1:
+        return float(n)
+    a = sample.slice(0, n - 1)
+    b = sample.slice(1, n - 1)
+    eq = pa.compute.equal(a, b)
+    n_eq = int(pa.compute.sum(eq.cast(pa.int8())).as_py() or 0)
+    changes = (n - 1 - n_eq) + 1
+    return n / changes
+
+
+def _sample_blob(sample: pa.Array) -> bytes:
+    from choetl_spark.codecs.core import _var_data_bytes
+
+    blob = _var_data_bytes(sample)
+    return blob[:_SAMPLE_BYTES]
