@@ -180,7 +180,25 @@ def decode_foref(payload: bytes, meta: dict) -> pa.Array:
 def encode_rle(arr: pa.Array) -> tuple[bytes, dict]:
     t = arr.type
     if not is_int_like(t) and not pa.types.is_floating(t):
-        raise TypeError("rle operates on fixed-width values; dict-encode first")
+        # var-width: dictionary-encode, RLE the indices, keep values table
+        from choetl_spark.codecs import encode_array
+
+        darr = pa.compute.dictionary_encode(arr)
+        if isinstance(darr, pa.ChunkedArray):
+            darr = darr.combine_chunks()
+        idx = darr.indices.cast(pa.int64())
+        idx_payload, idx_meta = encode_rle(idx)
+        val_payload, val_meta = encode_array(darr.dictionary, codec="plain")
+        meta = {
+            "codec": "rle",
+            "dtype": type_to_str(t),
+            "via_dict": True,
+            "n": len(arr),
+            "idx": idx_meta,
+            "idx_bytes": len(idx_payload),
+            "values": val_meta,
+        }
+        return idx_payload + val_payload, meta
     if pa.types.is_floating(t):
         raw = np.asarray(arr)
         view = raw.view(np.int32 if pa.types.is_float32(t) else np.int64).astype(
@@ -222,6 +240,13 @@ def encode_rle(arr: pa.Array) -> tuple[bytes, dict]:
 
 
 def decode_rle(payload: bytes, meta: dict) -> pa.Array:
+    if meta.get("via_dict"):
+        from choetl_spark.codecs import decode_array
+
+        ib = meta["idx_bytes"]
+        idx = decode_rle(payload[:ib], meta["idx"])
+        values = decode_array(payload[ib:], meta["values"])
+        return values.take(idx)
     n_runs = meta["n_runs"]
     lb = meta["len_bytes"]
     run_lens = unpack_uints(payload[:lb], n_runs, meta["len_width"]).astype(

