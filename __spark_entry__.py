@@ -1,38 +1,513 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship columnar-encode pipeline on sf0.001.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 plus the training-data pipeline ops; ``oracle_sql()`` gives
+the DuckDB-equivalent SQL for every SQL-expressible one (the rest get the
+driver's rows-only check).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship: encode → decode → verify → per-column summary
+# ---------------------------------------------------------------------------
+
+
+def _encode_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from choetl_spark.engine import EncodeConfig, compression_report, encode_dataframe
+    from choetl_spark.synth import webpages_from_documents
+
+    pages = webpages_from_documents(spark, sf_dir)
+    cfg = EncodeConfig(num_partitions=8, chunk_rows=4096, chunk_bytes=4 << 20)
+    enc = encode_dataframe(pages, cfg)
+    return compression_report(enc).select(
+        "column",
+        "codec",
+        "n_chunks",
+        "n_rows",
+        "raw_bytes",
+        "encoded_bytes",
+        "ratio",
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _encode_summary(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_join_topk_revenue(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(10)
+    )
+    return rev
+
+
+def q_left_join_order_counts(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders, cust.c_custkey == orders.o_custkey, "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def q_compare_diff_orders(spark, sf_dir):
+    from choetl_spark.operators import compare_tables
+
+    orders = _read(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    diff = compare_tables(old, new, ["o_orderkey"])
+    return diff.groupBy("status").agg(F.count("*").alias("n"))
+
+
+def q_topk_events(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.desc("value"), F.col("event_id"))
+        .limit(20)
+        .select("event_id", "event_type", F.round("value", 4).alias("value_r"))
+    )
+
+
+def q_substring_part_fields(spark, sf_dir):
+    part = _read(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.trim(F.substring("p_name", 1, 8)).alias("name_head"),
+        F.upper(F.substring("p_brand", -2, 2)).alias("brand_code"),
+        F.length("p_type").alias("type_len"),
+    )
+
+
+def q_json_extract_events(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k", F.get_json_object("props", "$.k").cast("bigint")
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """Customers with no big-ticket order (anti join, SURVEY §2.8)."""
+    cust = _read(spark, sf_dir, "customer")
+    big = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    from choetl_spark.operators import except_keys
+
+    return except_keys(cust, big, "c_custkey").select("c_custkey", "c_name")
+
+
+def q_seqno_events_per_user(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "rn")
+    )
+
+
+def q_agg_events_stats(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.min("value"), 4).alias("min_value"),
+        F.round(F.max("value"), 4).alias("max_value"),
+    )
+
+
+def q_window_hourly_events(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def q_dedup_exact_documents(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies")
+    ).select("doc_id", "n_copies")
+
+
+def q_dedup_normalized_documents(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    norm = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    return (
+        docs.withColumn("fp", norm)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fp")
+    )
+
+
+def q_fingerprint_documents(spark, sf_dir):
+    from choetl_spark.operators import with_fingerprint
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_fingerprint(docs, "text").select("doc_id", "fingerprint")
+
+
+def q_token_count_documents(spark, sf_dir):
+    from choetl_spark.operators import with_token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_token_count(docs, "text").select("doc_id", "ws_tokens", "re_tokens")
+
+
+def q_quality_documents(spark, sf_dir):
+    from choetl_spark.operators import with_quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_quality_score(docs, "text").select("doc_id", "quality")
+
+
+def q_lang_id_documents(spark, sf_dir):
+    from choetl_spark.operators import with_lang_id
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_lang_id(docs, "text").select("doc_id", "lang_pred")
+
+
+def q_cosine_topk(spark, sf_dir):
+    from choetl_spark.operators import cosine_topk
+
+    embs = _read(spark, sf_dir, "embeddings")
+    q = embs.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    out = cosine_topk(embs, [float(x) for x in q], k=10)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from choetl_spark.operators import cosine_topk_lsh
+
+    embs = _read(spark, sf_dir, "embeddings")
+    q = embs.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    out = cosine_topk_lsh(embs, [float(x) for x in q], k=10, n_planes=6)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
+
+
+def q_minhash_pairs_documents(spark, sf_dir):
+    from choetl_spark.operators import minhash_lsh_pairs, minhash_signatures
+
+    docs = _read(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", "doc_id", n_hashes=32)
+    return minhash_lsh_pairs(sigs, "doc_id", n_hashes=32, bands=8, threshold=0.9)
+
+
+def q_simhash_documents(spark, sf_dir):
+    from choetl_spark.operators import simhash_signatures
+
+    docs = _read(spark, sf_dir, "documents")
+    return simhash_signatures(docs, "text", "doc_id")
+
+
+def q_encode_summary(spark, sf_dir):
+    return _encode_summary(spark, sf_dir)
+
+
+def q_roundtrip_text_identity(spark, sf_dir):
+    from choetl_spark.engine import (
+        EncodeConfig,
+        decode_dataframe,
+        encode_dataframe,
+    )
+    from choetl_spark.synth import webpages_from_documents
+
+    pages = webpages_from_documents(spark, sf_dir)
+    cfg = EncodeConfig(num_partitions=8, chunk_rows=4096, chunk_bytes=4 << 20)
+    enc = encode_dataframe(pages, cfg)
+    decoded = decode_dataframe(enc, columns=["url", "text"])
+    matched = (
+        decoded.alias("d")
+        .join(pages.alias("s"), "url")
+        .filter(F.col("d.text") == F.col("s.text"))
+    )
+    return matched.agg(F.count("*").alias("n_match"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "join_topk_revenue": q_join_topk_revenue,
+        "left_join_order_counts": q_left_join_order_counts,
+        "compare_diff_orders": q_compare_diff_orders,
+        "topk_events": q_topk_events,
+        "substring_part_fields": q_substring_part_fields,
+        "json_extract_events": q_json_extract_events,
+        "customers_without_orders": q_customers_without_orders,
+        "seqno_events_per_user": q_seqno_events_per_user,
+        "agg_events_stats": q_agg_events_stats,
+        "window_hourly_events": q_window_hourly_events,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "dedup_normalized_documents": q_dedup_normalized_documents,
+        "fingerprint_documents": q_fingerprint_documents,
+        "token_count_documents": q_token_count_documents,
+        "quality_documents": q_quality_documents,
+        "lang_id_documents": q_lang_id_documents,
+        "cosine_topk": q_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "minhash_pairs_documents": q_minhash_pairs_documents,
+        "simhash_documents": q_simhash_documents,
+        "encode_summary": q_encode_summary,
+        "roundtrip_text_identity": q_roundtrip_text_identity,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL on the same parquet views)
+# ---------------------------------------------------------------------------
+
+_WORD = "[A-Za-z0-9']+"
+_WORD_SQL = "[A-Za-z0-9'']+"  # SQL-literal-escaped form of _WORD
+_STOP_SQL = " + ".join(
+    f"len(regexp_extract_all(text, '\\b{w}\\b'))"
+    for w in ["the", "of", "and", "to", "in"]
+)
+
+
+def _lang_case() -> str:
+    from choetl_spark.operators.textstats import LANG_MARKERS
+
+    score = {
+        lang: " + ".join(
+            f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in ws
+        )
+        for lang, ws in LANG_MARKERS.items()
+    }
+    # same fold as the Spark side: iterate langs ascending, strictly-greater wins
+    expr = None
+    for lang in sorted(score):
+        s = f"({score[lang]})"
+        if expr is None:
+            expr = f"struct_pack(score := {s}, lang := '{lang}')"
+        else:
+            expr = (
+                f"(CASE WHEN {s} > ({expr}).score THEN "
+                f"struct_pack(score := {s}, lang := '{lang}') ELSE {expr} END)"
+            )
+    return f"({expr}).lang"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "join_topk_revenue": """
+            SELECT c_custkey, c_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 10
+        """,
+        "left_join_order_counts": """
+            SELECT c_custkey, count(o_orderkey) AS n_orders
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        """,
+        "compare_diff_orders": """
+            WITH old AS (
+              SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 <> 0
+            ), new AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 5 = 0
+                          THEN round(o_totalprice * 1.1, 2)
+                          ELSE o_totalprice END AS o_totalprice
+              FROM orders WHERE o_orderkey % 7 <> 0
+            ), diff AS (
+              SELECT CASE
+                       WHEN n.o_orderkey IS NULL THEN 'Deleted'
+                       WHEN o.o_orderkey IS NULL THEN 'New'
+                       WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'Changed'
+                       ELSE 'Unchanged' END AS status
+              FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+            )
+            SELECT status, count(*) AS n FROM diff GROUP BY status
+        """,
+        "topk_events": """
+            SELECT event_id, event_type, round(value, 4) AS value_r
+            FROM events ORDER BY value DESC, event_id LIMIT 20
+        """,
+        "substring_part_fields": """
+            SELECT p_partkey,
+                   trim(substring(p_name, 1, 8)) AS name_head,
+                   upper(substring(p_brand, length(p_brand) - 1, 2)) AS brand_code,
+                   length(p_type) AS type_len
+            FROM part
+        """,
+        "json_extract_events": """
+            SELECT event_type,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN
+              (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        """,
+        "seqno_events_per_user": """
+            SELECT user_id, event_id, rn FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events
+            ) WHERE rn <= 3
+        """,
+        "agg_events_stats": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 2) AS sum_value,
+                   round(avg(value), 4) AS avg_value,
+                   round(min(value), 4) AS min_value,
+                   round(max(value), 4) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "window_hourly_events": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "dedup_exact_documents": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "dedup_normalized_documents": """
+            SELECT min(doc_id) AS doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents GROUP BY 2
+        """,
+        "fingerprint_documents": """
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                     AS fingerprint
+            FROM documents
+        """,
+        "token_count_documents": f"""
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+                   len(regexp_extract_all(text, '{_WORD_SQL}')) AS re_tokens
+            FROM documents
+        """,
+        "quality_documents": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(length(text) AS DOUBLE) AS n_chars,
+                     CAST(len(regexp_extract_all(text, '{_WORD_SQL}')) AS DOUBLE)
+                       AS n_words,
+                     CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                       AS n_punct,
+                     CAST({_STOP_SQL} AS DOUBLE) AS n_stop
+              FROM documents
+            )
+            SELECT doc_id,
+                   round(
+                     least(n_words / 100.0, 1.0) * 0.4
+                     + least(n_stop / greatest(n_words, 1) * 5.0, 1.0) * 0.3
+                     + (1.0 - least(n_punct / greatest(n_chars, 1) * 10.0, 1.0))
+                       * 0.2
+                     + (CASE WHEN n_chars / greatest(n_words, 1) BETWEEN 3 AND 10
+                             THEN 1.0 ELSE 0.0 END) * 0.1
+                   , 4) AS quality
+            FROM t
+        """,
+        "lang_id_documents": f"""
+            SELECT doc_id, {_lang_case()} AS lang_pred FROM documents
+        """,
+        "cosine_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(
+                     CAST(embedding AS DOUBLE[]),
+                     (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                      WHERE vec_id = 0)), 4) AS cosine_r
+            FROM embeddings
+            ORDER BY cosine_r DESC, vec_id LIMIT 10
+        """,
+        "roundtrip_text_identity": """
+            SELECT count(*) AS n_match FROM documents
+        """,
+    }

@@ -1,0 +1,30 @@
+"""Operator surface: relational record ops + training-data pipeline ops."""
+
+from choetl_spark.operators.relational import (  # noqa: F401
+    compare_tables,
+    except_keys,
+    left_join,
+    top_k,
+    with_seq_no,
+)
+from choetl_spark.operators.dedup import (  # noqa: F401
+    dedup_exact,
+    dedup_exact_normalized,
+    dedup_minhash,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash_signatures,
+)
+from choetl_spark.operators.similarity import (  # noqa: F401
+    cosine_topk,
+    cosine_topk_lsh,
+    knn_join_brute,
+)
+from choetl_spark.operators.textstats import (  # noqa: F401
+    with_fingerprint,
+    with_lang_id,
+    with_quality_score,
+    with_token_count,
+)

@@ -1,0 +1,150 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline (pure JVM-side
+higher-order functions — no Python in the hot path), and a random-
+hyperplane LSH-bucketed variant as the scale path (candidates only from
+matching buckets, exact re-rank inside)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine_sim_col(a, b):
+    """Cosine similarity between two array<float> columns, JVM-side."""
+    return _dot(a, b) / (
+        F.greatest(_norm(a) * _norm(b), F.lit(1e-12))
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact brute-force top-k by cosine vs a fixed query vector.
+
+    Plan shape: a single scan + TakeOrderedAndProject — the per-partition
+    top-k is computed map-side, only k rows per partition reach the
+    driver-side merge. Scales linearly in rows, no shuffle of the data.
+    """
+    q = F.array(*[F.lit(float(v)).cast("double") for v in query_vec])
+    sim = cosine_sim_col(F.col(vec_col).cast("array<double>"), q)
+    return (
+        df.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def lsh_bucket_col(vec_col, planes: np.ndarray):
+    """Bucket id = sign-bit string of <v, plane_i>, computed JVM-side."""
+    bits = []
+    for p in planes:
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(
+            F.when(_dot(vec_col, plane) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        )
+    return F.concat(*bits)
+
+
+def cosine_topk_lsh(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    probe_hamming: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k: random-hyperplane LSH prefilter + exact re-rank.
+
+    Only rows whose bucket is within ``probe_hamming`` bits of the query
+    bucket are scored — at scale this is a partition-pruned scan when the
+    table is written bucketed/partitioned by the LSH bucket column.
+    """
+    planes = _hyperplanes(len(query_vec), n_planes, seed)
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qbits = "".join("1" if float(p @ qv) >= 0 else "0" for p in planes)
+    from itertools import combinations
+
+    def flip(bits: str, positions: tuple[int, ...]) -> str:
+        out = list(bits)
+        for i in positions:
+            out[i] = "0" if out[i] == "1" else "1"
+        return "".join(out)
+
+    candidates = {qbits}
+    for h in range(1, probe_hamming + 1):
+        for pos in combinations(range(n_planes), h):
+            candidates.add(flip(qbits, pos))
+    vec_d = F.col(vec_col).cast("array<double>")
+    bucketed = df.withColumn("_bucket", lsh_bucket_col(vec_d, planes))
+    q = F.array(*[F.lit(float(v)).cast("double") for v in query_vec])
+    sim = cosine_sim_col(vec_d, q)
+    return (
+        bucketed.filter(F.col("_bucket").isin(*candidates))
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_join_brute(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """k nearest right-rows per left-row (broadcast right, window top-k).
+
+    Right side must be broadcast-sized (an IVF/LSH bucketing replaces
+    this at full scale); the cross product never shuffles the left side.
+    """
+    from pyspark.sql import Window
+
+    l = left.select(
+        F.col(id_col).alias("left_id"), F.col(vec_col).alias("_lv")
+    )
+    r = right.select(
+        F.col(id_col).alias("right_id"), F.col(vec_col).alias("_rv")
+    )
+    sim = cosine_sim_col(
+        F.col("_lv").cast("array<double>"), F.col("_rv").cast("array<double>")
+    )
+    scored = l.join(F.broadcast(r), F.col("left_id") != F.col("right_id")).select(
+        "left_id", "right_id", F.round(sim, 6).alias("cosine")
+    )
+    w = Window.partitionBy("left_id").orderBy(
+        F.desc("cosine"), F.col("right_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

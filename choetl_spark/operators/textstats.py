@@ -1,0 +1,83 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. All pure ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen) — deliberately SQL-expressible so every one has a
+DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# marker words per language for the n-gram/stopword heuristic; the point
+# is determinism and plan shape, not linguistic accuracy (the synthetic
+# corpus is English-ish regardless of label).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "in"],
+    "de": ["der", "die", "und", "nicht", "das"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "de", "que", "y", "los"],
+}
+
+_WORD_RE = r"[A-Za-z0-9']+"
+
+
+def _count_word(col, w: str):
+    # count occurrences of a word with boundaries; identical semantics in
+    # Spark regexp_count and DuckDB len(regexp_extract_all(...))
+    return F.regexp_count(col, F.lit(rf"\b{w}\b"))
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish word-piece count (regex tokens)."""
+    return df.withColumn(
+        "ws_tokens",
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")),
+    ).withColumn(
+        "re_tokens",
+        F.regexp_count(F.col(text_col), F.lit(_WORD_RE)),
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length/punct/stopword-ratio quality score in [0, 1]."""
+    n_chars = F.length(F.col(text_col))
+    n_words = F.regexp_count(F.col(text_col), F.lit(_WORD_RE))
+    n_punct = F.regexp_count(F.col(text_col), F.lit(r"[^\w\s]"))
+    n_stop = sum(
+        _count_word(F.col(text_col), w) for w in LANG_MARKERS["en"]
+    )
+    mean_word_len = n_chars / F.greatest(n_words, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_words, F.lit(1))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    score = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * 0.2
+        + F.when((mean_word_len >= 3) & (mean_word_len <= 10), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        * 0.1
+    )
+    return df.withColumn("quality", F.round(score, 4))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID; deterministic argmax (ties → lang asc)."""
+    scores = {
+        lang: sum(_count_word(F.lower(F.col(text_col)), w) for w in words)
+        for lang, words in LANG_MARKERS.items()
+    }
+    # argmax with deterministic tie-break on language code
+    best = None
+    for lang in sorted(scores):
+        cand = F.struct(
+            scores[lang].alias("score"), F.lit(lang).alias("lang")
+        )
+        best = cand if best is None else F.when(
+            (cand["score"] > best["score"]), cand
+        ).otherwise(best)
+    return df.withColumn("lang_pred", best["lang"])
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of case/whitespace-normalized text."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn("fingerprint", F.md5(norm))

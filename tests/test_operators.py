@@ -1,0 +1,236 @@
+"""Operator tests over the driver testdata (documents/embeddings/tpch)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from choetl_spark.operators import (
+    compare_tables,
+    cosine_topk,
+    cosine_topk_lsh,
+    dedup_exact,
+    dedup_exact_normalized,
+    dedup_minhash,
+    except_keys,
+    left_join,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash_signatures,
+    top_k,
+    with_fingerprint,
+    with_lang_id,
+    with_quality_score,
+    with_seq_no,
+    with_token_count,
+)
+from choetl_spark.operators.multimodal import (
+    extract_features,
+    fake_features,
+    sample_frames,
+    with_media_meta,
+)
+from choetl_spark.plans import assert_broadcast_join, assert_no_cartesian
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+# --- relational ------------------------------------------------------------
+
+
+def test_compare_tables(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, v string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "x"), (4, "d")], "id int, v string"
+    )
+    res = {r["id"]: r["status"] for r in compare_tables(old, new, ["id"]).collect()}
+    assert res == {1: "Deleted", 2: "Unchanged", 3: "Changed", 4: "New"}
+
+
+def test_left_join_broadcasts(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    j = left_join(orders, cust, "o_custkey")
+    assert_broadcast_join(j)
+    assert j.count() == orders.count()
+
+
+def test_top_k_and_seq(spark, docs):
+    t = top_k(docs, "n_chars", 5)
+    rows = t.collect()
+    assert len(rows) == 5
+    assert rows[0]["n_chars"] >= rows[-1]["n_chars"]
+    s = with_seq_no(docs.limit(10), ["doc_id"])
+    assert [r["seq_no"] for r in s.orderBy("doc_id").collect()] == list(
+        range(1, 11)
+    )
+
+
+def test_except_keys(spark):
+    a = spark.createDataFrame([(1,), (2,), (3,)], "id int")
+    b = spark.createDataFrame([(2,)], "id int")
+    assert {r["id"] for r in except_keys(a, b, "id").collect()} == {1, 3}
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    dups = docs.limit(20).withColumn("doc_id", F.col("doc_id") + 100000)
+    return docs.unionByName(dups).cache()
+
+
+def test_dedup_exact(docs_with_dups, docs):
+    out = dedup_exact(docs_with_dups, ["text"], "doc_id")
+    assert out.count() == docs.count()
+    # kept ids are the original (lowest) ones
+    assert out.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_dedup_exact_normalized(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = dedup_exact_normalized(df, "text", "doc_id")
+    assert {r["doc_id"] for r in out.collect()} == {1, 3}
+
+
+def test_minhash_finds_exact_dups(spark, docs_with_dups, docs):
+    sigs = minhash_signatures(docs_with_dups, "text", "doc_id", n_hashes=32)
+    pairs = minhash_lsh_pairs(sigs, "doc_id", n_hashes=32, bands=8, threshold=0.9)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    expect = {(i, i + 100000) for i in range(20)}
+    assert expect <= found  # exact dups always collide in every band
+
+
+def test_dedup_minhash_removes_dups(spark, docs_with_dups, docs):
+    out = dedup_minhash(
+        docs_with_dups, "text", "doc_id", n_hashes=32, bands=8, threshold=0.9
+    )
+    assert out.count() <= docs.count()
+    assert out.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_simhash_near_pairs(spark, docs_with_dups):
+    sigs = simhash_signatures(docs_with_dups, "text", "doc_id")
+    pairs = simhash_near_pairs(sigs, "doc_id", max_hamming=0)
+    found = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    expect = {(i, i + 100000) for i in range(20)}
+    assert expect <= found
+
+
+def test_ngram_jaccard_on_pairs(spark, docs_with_dups):
+    pairs = spark.createDataFrame(
+        [(i, i + 100000) for i in range(5)], "id_a long, id_b long"
+    )
+    out = ngram_jaccard_pairs(docs_with_dups, pairs, "text", "doc_id")
+    for r in out.collect():
+        assert r["jaccard"] == 1.0  # exact dups
+
+
+# --- similarity --------------------------------------------------------------
+
+
+def test_cosine_topk_matches_numpy(spark, embs):
+    rows = embs.orderBy("vec_id").collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q = mat[0]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q) + 1e-12)
+    order = np.argsort(-sims)[:10]
+    expect = [int(rows[i]["vec_id"]) for i in order]
+    got = [r["vec_id"] for r in cosine_topk(embs, list(map(float, q)), 10).collect()]
+    assert got == expect
+
+
+def test_cosine_topk_lsh_recall(spark, embs):
+    rows = embs.orderBy("vec_id").limit(1).collect()
+    q = list(map(float, rows[0]["embedding"]))
+    exact = {r["vec_id"] for r in cosine_topk(embs, q, 10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in cosine_topk_lsh(
+            embs, q, 10, n_planes=6, probe_hamming=2
+        ).collect()
+    }
+    # ANN: decent recall on the easy self-query case
+    assert len(exact & approx) >= 5
+    assert rows[0]["vec_id"] in approx
+
+
+# --- textstats ----------------------------------------------------------------
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([(1, "the cat sat, and sat!")], "id int, text string")
+    r = with_token_count(df, "text").collect()[0]
+    assert r["ws_tokens"] == 5
+    assert r["re_tokens"] == 5
+
+
+def test_quality_and_lang(docs):
+    out = with_quality_score(with_lang_id(docs), "text")
+    rows = out.select("quality", "lang_pred").collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
+    assert all(r["lang_pred"] in {"en", "de", "fr", "es"} for r in rows)
+
+
+def test_fingerprint_stable(spark):
+    df = spark.createDataFrame(
+        [(1, "A  b\tC"), (2, "a b c")], "id int, text string"
+    )
+    fps = [r["fingerprint"] for r in with_fingerprint(df, "text").collect()]
+    assert fps[0] == fps[1]
+
+
+# --- multimodal -----------------------------------------------------------------
+
+
+def test_multimodal_plumbing(spark, docs):
+    df = docs.limit(20).withColumn("payload", F.encode("text", "utf-8"))
+    feats = extract_features(df, "payload", "doc_id", dim=8)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(len(r["features"]) == 8 for r in rows)
+    # deterministic: same payload → same features
+    one = df.limit(1).collect()[0]
+    f1 = fake_features(one["payload"], 8)
+    f2 = fake_features(one["payload"], 8)
+    assert np.allclose(f1, f2)
+
+    frames = sample_frames(df, "payload", "doc_id", every_n=5)
+    assert frames.count() > 0
+    assert frames.columns == ["doc_id", "frame_idx", "frame"]
+
+    meta = with_media_meta(df, "payload")
+    m = meta.select("media_meta").limit(1).collect()[0]["media_meta"]
+    assert m["media_type"] == "text/html"
+
+
+def test_decode_image_is_stubbed():
+    from choetl_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff")
+
+
+def test_no_cartesian_in_lsh(spark, embs):
+    q = [0.1] * len(embs.limit(1).collect()[0]["embedding"])
+    df = cosine_topk_lsh(embs, q, 5)
+    assert_no_cartesian(df)

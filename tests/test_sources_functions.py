@@ -1,0 +1,140 @@
+"""Source readers + scalar function surface (ChoETL families, SURVEY §2.1/2.9)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from choetl_spark import functions as cf
+from choetl_spark import sources as src
+from choetl_spark.sources import FixedField
+
+
+@pytest.fixture(scope="module")
+def datadir(tmp_path_factory):
+    return tmp_path_factory.mktemp("srcdata")
+
+
+def test_read_csv_quote_aware(spark, datadir):
+    p = str(datadir / "t.csv")
+    with open(p, "w") as f:
+        f.write('id,name,notes\n1,"Smith, John","said ""hi"""\n2,Jane,plain\n')
+    df = src.read_csv(spark, p, escape='"')
+    rows = df.orderBy("id").collect()
+    assert rows[0]["name"] == "Smith, John"
+    assert rows[0]["notes"] == 'said "hi"'
+    assert df.schema["id"].dataType.typeName() == "integer"  # inferSchema
+
+
+def test_read_tsv(spark, datadir):
+    p = str(datadir / "t.tsv")
+    with open(p, "w") as f:
+        f.write("a\tb\n1\tx\n")
+    assert src.read_tsv(spark, p).collect()[0]["b"] == "x"
+
+
+def test_read_json(spark, datadir):
+    p = str(datadir / "t.json")
+    with open(p, "w") as f:
+        f.write('{"a": 1, "nested": {"b": "x"}}\n{"a": 2, "nested": {"b": "y"}}\n')
+    df = src.read_json(spark, p)
+    assert df.select("nested.b").orderBy("a").collect()[1][0] == "y"
+
+
+def test_read_fixed_length(spark, datadir):
+    p = str(datadir / "f.txt")
+    with open(p, "w") as f:
+        f.write("001Alice   0042\n002Bob     0017\n")
+    df = src.read_fixed_length(
+        spark,
+        p,
+        [
+            FixedField("id", 1, 3, "int"),
+            FixedField("name", 4, 8),
+            FixedField("score", 12, 4, "int"),
+        ],
+    )
+    rows = df.orderBy("id").collect()
+    assert rows[0]["id"] == 1 and rows[0]["name"] == "Alice"
+    assert rows[1]["score"] == 17
+
+
+def test_read_manifold(spark, datadir):
+    p = str(datadir / "m.txt")
+    with open(p, "w") as f:
+        f.write("CUS001Alice\nORD77 0042\nCUS002Bob  \n")
+    out = src.read_manifold(
+        spark,
+        p,
+        1,
+        3,
+        {
+            "CUS": [FixedField("id", 4, 3, "int"), FixedField("name", 7, 5)],
+            "ORD": [FixedField("ref", 4, 3), FixedField("qty", 8, 4, "int")],
+        },
+    )
+    assert out["CUS"].count() == 2
+    assert out["ORD"].collect()[0]["qty"] == 42
+
+
+def test_stage_as_view(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    src.stage_as_view(df, "staged_region")
+    n = spark.sql("SELECT count(*) AS n FROM staged_region").collect()[0]["n"]
+    assert n == df.count()
+
+
+# --- scalar functions -------------------------------------------------------
+
+
+def test_parse_bool(spark):
+    df = spark.createDataFrame(
+        [("Y",), ("0",), ("true",), ("zzz",)], "v string"
+    ).select(cf.parse_bool(F.col("v")).alias("b"))
+    assert [r["b"] for r in df.collect()] == [True, False, True, None]
+
+
+def test_parse_currency(spark):
+    df = spark.createDataFrame([("$1,234.50",), ("-€12.00",)], "v string").select(
+        cf.parse_currency(F.col("v"), 2).alias("d")
+    )
+    vals = [float(r["d"]) for r in df.collect()]
+    assert vals == [1234.50, -12.00]
+
+
+def test_parse_datetime(spark):
+    df = spark.createDataFrame(
+        [("2024-01-02 03:04:05",), ("garbage",)], "v string"
+    ).select(cf.parse_datetime(F.col("v"), "yyyy-MM-dd HH:mm:ss").alias("t"))
+    rows = df.collect()
+    assert rows[0]["t"] is not None and rows[1]["t"] is None
+
+
+def test_iif_mask_left_right(spark):
+    df = spark.createDataFrame([(5, "1234567890")], "n int, s string").select(
+        cf.iif(F.col("n") > 3, F.lit("big"), F.lit("small")).alias("sz"),
+        cf.mask(F.col("s")).alias("m"),
+        cf.left(F.col("s"), 3).alias("l"),
+        cf.right(F.col("s"), 2).alias("r"),
+    )
+    r = df.collect()[0]
+    assert r["sz"] == "big" and r["m"] == "******7890"
+    assert r["l"] == "123" and r["r"] == "90"
+
+
+def test_to_camel_case(spark):
+    df = spark.createDataFrame([("hello world foo",)], "s string").select(
+        cf.to_camel_case(F.col("s")).alias("c")
+    )
+    assert df.collect()[0]["c"] == "helloWorldFoo"
+
+
+def test_is_number_json_field(spark):
+    df = spark.createDataFrame(
+        [("-1.5", '{"a": {"b": 7}}')], "n string, j string"
+    ).select(
+        cf.is_number(F.col("n")).alias("isn"),
+        cf.json_field(F.col("j"), "$.a.b").alias("jb"),
+    )
+    r = df.collect()[0]
+    assert r["isn"] is True and r["jb"] == "7"
