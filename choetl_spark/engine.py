@@ -82,6 +82,7 @@ class EncodeConfig:
     codec_overrides: dict[str, str] = field(default_factory=dict)
     zstd: str = "auto"  # auto|off — final entropy pass, kept only if smaller
     flush_bytes: int = 64 << 20  # encode-buffer flush cap inside a task
+    optimize_for: str = "balanced"  # ratio | balanced | speed (selector bias)
 
 
 # ---------------------------------------------------------------------------
@@ -145,7 +146,9 @@ def _encode_block(
             sl = col.slice(start, ln)
             st = compute_stats(sl)
             override = cfg.codec_overrides.get(name)
-            codec, opts = choose_codec(sl, st=st, override=override)
+            codec, opts = choose_codec(
+                sl, st=st, override=override, optimize_for=cfg.optimize_for
+            )
             payload, meta = encode_array(sl, codec=codec, zstd=cfg.zstd, **opts)
             top = meta["child"] if meta["codec"] == "zstd" else meta
             pre = meta.get("pre_zstd_bytes", len(payload))
@@ -357,6 +360,28 @@ def _spark_type_ddl(t: pa.DataType) -> str:
     if s.startswith("timestamp"):
         return "timestamp"
     return mapping[s]
+
+
+def prune_partitions_by_stats(
+    enc_df: DataFrame, column: str, lo, hi
+) -> DataFrame:
+    """Drop whole partitions whose ``column`` chunks all fall outside
+    [lo, hi] — the encoded-table analog of Parquet row-group stat skipping
+    (the reference relies on Parquet.Net for this; our chunk stats carry
+    min/max explicitly). Row alignment is preserved because pruning is at
+    partition granularity.
+    """
+    target = enc_df.filter(F.col("column") == column).withColumn(
+        "_s", F.from_json("stats", "min_val long, max_val long")
+    )
+    keep = (
+        target.filter(
+            (F.col("_s.max_val") >= F.lit(lo)) & (F.col("_s.min_val") <= F.lit(hi))
+        )
+        .select("part_id")
+        .distinct()
+    )
+    return enc_df.join(F.broadcast(keep), "part_id", "semi")
 
 
 # ---------------------------------------------------------------------------

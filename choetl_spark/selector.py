@@ -62,10 +62,19 @@ def estimate_sizes(arr: pa.Array, st: ChunkStats) -> dict[str, float]:
     return est
 
 
+# optimize_for profiles: fsst symbol-table size is the main speed/ratio
+# lever (encode+decode cost are linear in table size). Measured on the
+# synthetic web text (11 MB blob, one core):
+#   fsst127+zstd ratio 0.241 @  6 MB/s | fsst48+zstd 0.248 @ 13 MB/s
+#   fsst16+zstd  ratio 0.253 @ 25 MB/s | plain+zstd  0.260 @ 231 MB/s
+_PROFILE_FSST_SYMBOLS = {"ratio": 127, "balanced": 48, "speed": 16}
+
+
 def choose_codec(
     arr: pa.Array,
     st: ChunkStats | None = None,
     override: str | None = None,
+    optimize_for: str = "balanced",
 ) -> tuple[str, dict]:
     """Return (codec_name, codec_opts) for an array chunk."""
     if override:
@@ -76,6 +85,9 @@ def choose_codec(
     best = min(est.items(), key=lambda kv: (kv[1], _DECODE_COST[kv[0]]))
     name = best[0]
     opts: dict = {}
+    n_syms = _PROFILE_FSST_SYMBOLS.get(optimize_for, 48)
+    if name == "fsst":
+        opts["max_symbols"] = n_syms
     if name == "dict":
         t = arr.type
         if (

@@ -55,22 +55,31 @@ def compute_stats(arr: pa.Array) -> ChunkStats:
     ns = len(sample)
     if ns == 0:
         return st
+
+    def extrapolate_ndv(sample_ndv: int) -> int:
+        # a saturated sample (nearly all-distinct) means NDV grows with n;
+        # a plateaued sample means NDV is absolute. Linear extrapolation
+        # between the two regimes.
+        if sample_ndv >= 0.9 * ns:
+            return int(sample_ndv / max(ns, 1) * max(n - st.n_nulls, ns))
+        return sample_ndv
+
     t = arr.type
     if is_int_like(t):
         v = int_view(sample)
-        st.ndv = int(len(np.unique(v)))
+        st.ndv = extrapolate_ndv(int(len(np.unique(v))))
         st.mean_run_len = _mean_run_len_int(v)
         st.min_val = int(v.min())
         st.max_val = int(v.max())
     elif pa.types.is_floating(t):
         v = np.asarray(sample)
         bits = v.view(np.int64 if v.dtype == np.float64 else np.int32)
-        st.ndv = int(len(np.unique(bits)))
+        st.ndv = extrapolate_ndv(int(len(np.unique(bits))))
         st.mean_run_len = _mean_run_len_int(bits.astype(np.int64))
     else:  # string / binary
         lengths = np.asarray(pa.compute.binary_length(sample).cast(pa.int64()))
         st.avg_len = float(lengths.mean()) if ns else 0.0
-        st.ndv = int(len(pa.compute.unique(sample)))
+        st.ndv = extrapolate_ndv(int(len(pa.compute.unique(sample))))
         st.mean_run_len = _mean_run_len_str(sample)
         blob = _sample_blob(sample)
         if blob:

@@ -77,12 +77,59 @@ def _host_idx(ids: np.ndarray) -> np.ndarray:
     return np.clip(out, 0, _N_HOSTS - 1)
 
 
-def synth_batch(ids: np.ndarray) -> pa.RecordBatch:
+_VOCAB_BYTES = [w.encode() for w in _VOCAB]
+_VOCAB_LENS = np.array([len(w) for w in _VOCAB_BYTES], dtype=np.int64)
+
+
+def _texts_array(ids: np.ndarray, n_words: np.ndarray) -> pa.Array:
+    """Assemble all texts of a batch as one scatter-built byte blob —
+    zero per-row Python (same scatter trick as the FSST decoder)."""
     n = len(ids)
+    total = int(n_words.sum())
+    row_of = np.repeat(np.arange(n, dtype=np.int64), n_words)
+    row_start_word = np.cumsum(n_words) - n_words
+    pos_in_row = np.arange(total, dtype=np.int64) - np.repeat(row_start_word, n_words)
+    widx = (
+        _mix(ids[row_of].astype(np.uint64) * np.uint64(1315423911)
+             + pos_in_row.astype(np.uint64), 5)
+        % np.uint64(len(_VOCAB))
+    ).astype(np.int64)
+
+    word_lens = _VOCAB_LENS[widx] + 1  # + trailing space
+    row_last = np.cumsum(n_words) - 1
+    word_lens[row_last] -= 1  # last word of each row: no trailing space
+    out_off = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(word_lens, out=out_off[1:])
+    blob = np.empty(out_off[-1], dtype=np.uint8)
+
+    order = np.argsort(widx, kind="stable")
+    counts = np.bincount(widx, minlength=len(_VOCAB))
+    starts = np.cumsum(counts) - counts
+    for i, wb in enumerate(_VOCAB_BYTES):
+        pos = order[starts[i] : starts[i] + counts[i]]
+        if len(pos) == 0:
+            continue
+        base = out_off[pos]
+        for k, bv in enumerate(wb):
+            blob[base + k] = bv
+    # spaces after every non-row-last word
+    space_mask = np.ones(total, dtype=bool)
+    space_mask[row_last] = False
+    sp = np.flatnonzero(space_mask)
+    blob[out_off[sp] + _VOCAB_LENS[widx[sp]]] = 0x20
+
+    row_lens = out_off[np.cumsum(n_words)] - out_off[row_start_word]
+    from choetl_spark.codecs.core import _strings_from_blob
+
+    return _strings_from_blob(blob.tobytes(), row_lens, pa.string())
+
+
+def synth_batch(ids: np.ndarray) -> pa.RecordBatch:
+    import pyarrow.compute as pc
     host = _host_idx(ids)
     lang_idx = np.searchsorted(_LANG_CDF, _unit(ids, 2), side="right")
     lang_idx = np.clip(lang_idx, 0, len(_LANGS) - 1)
-    langs = _LANGS[lang_idx]
+    langs = pa.array(_LANGS[lang_idx].tolist(), type=pa.string())
 
     # word counts: lognormal-ish body, heavy tail of big docs (~1% huge)
     u = _unit(ids, 3)
@@ -90,48 +137,30 @@ def synth_batch(ids: np.ndarray) -> pa.RecordBatch:
     huge = _unit(ids, 4) < 0.01
     n_words[huge] *= 40
 
-    # vectorized word picks: one flat index array, then per-row join
-    total = int(n_words.sum())
-    row_of = np.repeat(np.arange(n, dtype=np.int64), n_words)
-    pos_in_row = np.arange(total, dtype=np.int64) - np.repeat(
-        np.cumsum(n_words) - n_words, n_words
+    texts = _texts_array(ids, n_words)
+
+    host_str = pc.utf8_lpad(
+        pc.cast(pa.array(host), pa.string()), 3, padding="0"
     )
-    widx = _mix(ids[row_of] * np.uint64(1315423911) + pos_in_row.astype(np.uint64), 5)
-    words = _VOCAB[(widx % np.uint64(len(_VOCAB))).astype(np.int64)]
-
-    # build texts via numpy char joins: concatenate words with spaces
-    flat = np.char.add(words, " ")
-    joined = "".join(flat.tolist())  # single C-level join of the whole batch
-    byte_lens = np.char.str_len(flat).astype(np.int64)
-    ends = np.cumsum(byte_lens)
-    row_ends = ends[np.cumsum(n_words) - 1]
-    row_starts = np.concatenate(([0], row_ends[:-1]))
-    texts = [joined[s : e - 1] for s, e in zip(row_starts.tolist(), row_ends.tolist())]
-
-    urls = [
-        f"https://www.host{h:03d}.example.com/{l}/page/{i}?crawl=cc"
-        for h, l, i in zip(host.tolist(), langs.tolist(), ids.tolist())
-    ]
-    titles = [t[:32] for t in texts]
-    htmls = [
-        (
-            f'<html><head><meta charset="utf-8"><title>{ti}</title></head>'
-            f'<body lang="{l}"><p>{t}</p></body></html>'
-        ).encode("utf-8")
-        for ti, l, t in zip(titles, langs.tolist(), texts)
-    ]
-
-    ts = _BASE_TS_US + ids * 37_000_000 + (_mix(ids, 6) % np.uint64(1_000_000)).astype(
-        np.int64
+    id_str = pc.cast(pa.array(ids), pa.string())
+    urls = pc.binary_join_element_wise(
+        "https://www.host", host_str, ".example.com/", langs, "/page/",
+        id_str, "?crawl=cc", "",
     )
+    titles = pc.utf8_slice_codeunits(texts, 0, 32)
+    htmls = pc.cast(
+        pc.binary_join_element_wise(
+            '<html><head><meta charset="utf-8"><title>', titles,
+            '</title></head><body lang="', langs, '"><p>', texts,
+            "</p></body></html>", "",
+        ),
+        pa.binary(),
+    )
+    ts = _BASE_TS_US + ids * 37_000_000 + (
+        _mix(ids, 6) % np.uint64(1_000_000)
+    ).astype(np.int64)
     return pa.RecordBatch.from_arrays(
-        [
-            pa.array(urls, type=pa.string()),
-            pa.array(ts.astype("datetime64[us]")),
-            pa.array(htmls, type=pa.binary()),
-            pa.array(texts, type=pa.string()),
-            pa.array(langs.tolist(), type=pa.string()),
-        ],
+        [urls, pa.array(ts.astype("datetime64[us]")), htmls, texts, langs],
         names=["url", "warc_ts", "html", "text", "lang"],
     )
 

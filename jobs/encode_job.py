@@ -1,0 +1,64 @@
+"""spark-submit entry point for the columnar encode job.
+
+    spark-submit --py-files choetl_spark.zip jobs/encode_job.py \
+        --input  /path/to/webpages.parquet  (or an Iceberg table name) \
+        --output /path/to/encoded           (chunks + _ledger inside) \
+        --partitions 4096 --profile balanced [--columns url,text,...]
+
+Re-running the same command after a failure resumes from the ledger
+(completed partitions are skipped — see choetl_spark.ledger). Cluster
+sizing guidance: partitions ~ 2-4x total executor cores; chunk-bytes
+well under executor memory / cores.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True, help="parquet path or table name")
+    p.add_argument("--output", required=True, help="output dir (chunks+ledger)")
+    p.add_argument("--partitions", type=int, default=256)
+    p.add_argument("--chunk-rows", type=int, default=65536)
+    p.add_argument("--chunk-bytes", type=int, default=8 << 20)
+    p.add_argument("--key-col", default="url")
+    p.add_argument("--columns", default=None, help="comma list; default all")
+    p.add_argument("--profile", default="balanced",
+                   choices=["ratio", "balanced", "speed"])
+    p.add_argument("--no-host-partitioning", action="store_true")
+    p.add_argument("--run-id", default=None)
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from choetl_spark.engine import EncodeConfig, compression_report
+    from choetl_spark.ledger import encode_with_resume, read_encoded
+
+    spark = SparkSession.builder.appName("choetl-encode").getOrCreate()
+    if "/" in args.input or args.input.endswith(".parquet"):
+        df = spark.read.parquet(args.input)
+    else:
+        df = spark.table(args.input)
+
+    cfg = EncodeConfig(
+        columns=args.columns.split(",") if args.columns else None,
+        num_partitions=args.partitions,
+        chunk_rows=args.chunk_rows,
+        chunk_bytes=args.chunk_bytes,
+        key_col=args.key_col,
+        partition_by_host=not args.no_host_partitioning,
+        optimize_for=args.profile,
+    )
+    summary = encode_with_resume(spark, df, args.output, cfg, run_id=args.run_id)
+    report = compression_report(read_encoded(spark, args.output)).collect()
+    summary["columns"] = [r.asDict() for r in report]
+    print(json.dumps(summary, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
