@@ -79,19 +79,28 @@ def encode_with_resume(
     """
     cfg = cfg or EncodeConfig()
     run_id = run_id or uuid.uuid4().hex[:12]
-    planned = plan_partitions(
-        df,
-        cfg.num_partitions,
-        key_col=cfg.key_col,
-        by_host=cfg.partition_by_host,
-        hot_factor=cfg.hot_factor,
-        salt_buckets=cfg.salt_buckets,
-    )
+    if "part_id" in df.columns:
+        # caller pre-planned (e.g. streaming epochs namespace part ids)
+        planned = df
+    else:
+        planned = plan_partitions(
+            df,
+            cfg.num_partitions,
+            key_col=cfg.key_col,
+            by_host=cfg.partition_by_host,
+            hot_factor=cfg.hot_factor,
+            salt_buckets=cfg.salt_buckets,
+        )
     ledger = read_ledger(spark, out_dir)
     already = 0
     if ledger is not None:
         done = ledger.filter(F.col("status") == "done").select("part_id").distinct()
-        already = done.count()
+        already = (
+            planned.select("part_id")
+            .distinct()
+            .join(F.broadcast(done), "part_id", "semi")
+            .count()
+        )
         pending = planned.join(F.broadcast(done), "part_id", "left_anti")
     else:
         pending = planned
@@ -135,12 +144,9 @@ def encode_with_resume(
             F.lit("done").alias("status"),
         )
     )
+    before = ledger.count() if ledger is not None else 0
     ledger_rows.write.mode("append").parquet(_ledger_dir(out_dir))
-    newly = (
-        read_ledger(spark, out_dir)
-        .filter(F.col("run_id") == run_id)
-        .count()
-    )
+    newly = read_ledger(spark, out_dir).count() - before
     return {
         "run_id": run_id,
         "partitions_already_done": already,

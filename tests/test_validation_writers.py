@@ -1,0 +1,125 @@
+"""Validation/error modes (§2.3) + writer round-trips (§2.2) + the
+streaming-analog incremental encode (foreachBatch → ledger resume)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from choetl_spark import sources as src
+from choetl_spark.functions.validation import (
+    Rule,
+    try_cast_with_fallback,
+    validate_ignore,
+    validate_or_fail,
+    validate_split,
+)
+
+
+@pytest.fixture()
+def people(spark):
+    return spark.createDataFrame(
+        [(1, "alice", "30"), (2, "", "x"), (3, "carol", "-5"), (4, "dan", "44")],
+        "id int, name string, age_s string",
+    )
+
+
+def _rules():
+    return [
+        Rule("name_nonempty", F.length(F.trim("name")) > 0),
+        Rule("age_numeric", F.col("age_s").try_cast("int").isNotNull()),
+        Rule("age_positive", F.col("age_s").try_cast("int") > 0),
+    ]
+
+
+def test_try_cast_with_fallback(spark, people):
+    out = people.select(
+        try_cast_with_fallback(F.col("age_s"), "int", fallback=0).alias("age")
+    )
+    assert [r["age"] for r in out.collect()] == [30, 0, -5, 44]
+
+
+def test_validate_ignore(people):
+    assert {r["id"] for r in validate_ignore(people, _rules()).collect()} == {1, 4}
+
+
+def test_validate_split(people):
+    good, bad = validate_split(people, _rules())
+    assert {r["id"] for r in good.collect()} == {1, 4}
+    reasons = {r["id"]: set(r["_violations"]) for r in bad.collect()}
+    assert reasons[2] == {"name_nonempty", "age_numeric", "age_positive"}
+    assert reasons[3] == {"age_positive"}
+
+
+def test_validate_or_fail(spark, people):
+    ok = people.filter(F.col("id").isin(1, 4))
+    assert len(validate_or_fail(ok, _rules()).collect()) == 2
+    with pytest.raises(Exception, match="validation failed"):
+        validate_or_fail(people, _rules()).collect()
+
+
+# --- writers -----------------------------------------------------------------
+
+
+def test_csv_write_read_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, 'comma, "quoted"'), (2, "plain")], "id int, s string"
+    )
+    p = str(tmp_path / "out_csv")
+    src.write_csv(df, p, escape='"')
+    back = src.read_csv(spark, p, escape='"')
+    assert {(r["id"], r["s"]) for r in back.collect()} == {
+        (1, 'comma, "quoted"'),
+        (2, "plain"),
+    }
+
+
+def test_json_write_read_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, [1, 2]), (2, [])], "id int, xs array<int>")
+    p = str(tmp_path / "out_json")
+    src.write_json(df, p)
+    back = src.read_json(spark, p)
+    assert back.count() == 2
+
+
+def test_avro_gated(spark, tmp_path):
+    try:
+        src.read_avro(spark, str(tmp_path / "nope.avro"))
+    except Exception as e:  # noqa: BLE001
+        assert "avro" in str(e).lower() or "FAILED_TO_LOAD" in str(e)
+        pytest.skip("spark-avro jars not deployed in this container")
+
+
+# --- streaming analog: incremental encode via foreachBatch ------------------
+
+
+def test_incremental_encode_foreachbatch(spark, tmp_path):
+    """The Spark analog of ChoETL's Append mode done right: micro-batch
+    epochs get disjoint partition namespaces; a RETRIED epoch is a
+    no-op (ledger resume = foreachBatch idempotence); decoding the full
+    encoded table recovers the union of all batches bit-identically."""
+    from choetl_spark.engine import EncodeConfig, decode_dataframe, verify_roundtrip
+    from choetl_spark.ledger import read_encoded, read_ledger
+    from choetl_spark.streaming import incremental_encode
+    from choetl_spark.synth import webpages
+
+    out = str(tmp_path / "inc")
+    cfg = EncodeConfig(num_partitions=4, chunk_rows=256)
+    all_pages = webpages(spark, 600, partitions=2).cache()
+    b1 = all_pages.filter(F.col("url").contains("/page/1"))  # deterministic split
+    b2 = all_pages.subtract(b1)
+
+    r1 = incremental_encode(spark, b1, out, cfg, epoch=0)
+    assert r1["partitions_encoded_this_run"] >= 1
+    # epoch retry (same data, same epoch) is a no-op
+    r1b = incremental_encode(spark, b1, out, cfg, epoch=0)
+    assert r1b["partitions_encoded_this_run"] == 0
+    # next epoch encodes its own namespace
+    r2 = incremental_encode(spark, b2, out, cfg, epoch=1)
+    assert r2["partitions_encoded_this_run"] >= 1
+    assert r2["partitions_already_done"] == 0  # disjoint namespace
+
+    ledger = read_ledger(spark, out)
+    assert ledger.groupBy("part_id").count().filter("count > 1").count() == 0
+    decoded = decode_dataframe(read_encoded(spark, out))
+    assert verify_roundtrip(all_pages, decoded) == 0
