@@ -27,6 +27,7 @@ from choetl_spark.codecs.core import (
     encode_rle,
 )
 from choetl_spark.codecs.fsst import decode_fsst, encode_fsst
+from choetl_spark.codecs.worddict import decode_worddict, encode_worddict
 
 _ENCODERS = {
     "plain": encode_plain,
@@ -35,6 +36,7 @@ _ENCODERS = {
     "rle": encode_rle,
     "dict": encode_dict,
     "fsst": encode_fsst,
+    "worddict": encode_worddict,
 }
 
 _DECODERS = {
@@ -44,6 +46,7 @@ _DECODERS = {
     "rle": decode_rle,
     "dict": decode_dict,
     "fsst": decode_fsst,
+    "worddict": decode_worddict,
 }
 
 

@@ -132,25 +132,73 @@ def bit_width(max_val: int) -> int:
 
 
 def pack_uints(vals: np.ndarray, width: int) -> bytes:
-    """Pack non-negative ints into ``width`` bits each (LE bit order)."""
+    """Pack non-negative ints into ``width`` bits each (LE bit order).
+
+    Block-vectorized: 8 values span exactly ``width`` output bytes, so the
+    whole pack is <= (width + 8) element-wise uint64 ops over n/8-length
+    arrays — never an (n x width) intermediate.
+    """
     if width == 0 or len(vals) == 0:
         return b""
+    n = len(vals)
     v = vals.astype(np.uint64, copy=False)
-    shifts = np.arange(width, dtype=np.uint64)
-    bits = ((v[:, None] >> shifts) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+    if width == 64:
+        return v.astype("<u8").tobytes()
+    if width in (8, 16, 32):
+        return v.astype(f"<u{width // 8}").tobytes()
+    nb = (n + 7) // 8
+    if nb * 8 != n:
+        v = np.concatenate([v, np.zeros(nb * 8 - n, dtype=np.uint64)])
+    V = v.reshape(nb, 8)
+    out = np.zeros((nb, width), dtype=np.uint8)
+    for b in range(width):  # output byte index within a block
+        lo_bit = 8 * b
+        k0 = lo_bit // width
+        k1 = min((lo_bit + 7) // width, 7)
+        acc = np.zeros(nb, dtype=np.uint64)
+        for k in range(k0, k1 + 1):
+            s = lo_bit - k * width
+            if s >= 0:
+                acc |= V[:, k] >> np.uint64(s)
+            else:
+                acc |= V[:, k] << np.uint64(-s)
+        out[:, b] = acc.astype(np.uint8)  # & 0xFF via narrowing cast
+    n_bytes = (n * width + 7) // 8
+    return out.reshape(-1)[:n_bytes].tobytes()
 
 
 def unpack_uints(buf: bytes, n: int, width: int) -> np.ndarray:
     """Inverse of :func:`pack_uints`; returns uint64 array of length n."""
     if width == 0 or n == 0:
         return np.zeros(n, dtype=np.uint64)
-    flat = np.unpackbits(
-        np.frombuffer(buf, dtype=np.uint8), count=n * width, bitorder="little"
-    )
-    bits = flat.reshape(n, width).astype(np.uint64)
-    shifts = np.arange(width, dtype=np.uint64)
-    return (bits << shifts).sum(axis=1, dtype=np.uint64)
+    if width == 64:
+        return np.frombuffer(buf, dtype="<u8", count=n).astype(np.uint64)
+    if width in (8, 16, 32):
+        return np.frombuffer(buf, dtype=f"<u{width // 8}", count=n).astype(
+            np.uint64
+        )
+    nb = (n + 7) // 8
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    if len(raw) < nb * width:
+        raw = np.concatenate(
+            [raw, np.zeros(nb * width - len(raw), dtype=np.uint8)]
+        )
+    B = raw[: nb * width].reshape(nb, width).astype(np.uint64)
+    mask = np.uint64((1 << width) - 1)
+    out = np.empty((nb, 8), dtype=np.uint64)
+    for k in range(8):  # value index within a block
+        lo_bit = k * width
+        b0 = lo_bit // 8
+        b1 = (lo_bit + width - 1) // 8
+        acc = np.zeros(nb, dtype=np.uint64)
+        for b in range(b0, b1 + 1):
+            s = 8 * b - lo_bit
+            if s >= 0:
+                acc |= B[:, b] << np.uint64(s)
+            else:
+                acc |= B[:, b] >> np.uint64(-s)
+        out[:, k] = acc & mask
+    return out.reshape(-1)[:n]
 
 
 # ---------------------------------------------------------------------------

@@ -21,7 +21,15 @@ from choetl_spark.codecs.base import bit_width, is_int_like
 from choetl_spark.stats import ChunkStats, compute_stats
 
 # decode-speed preference for tie-breaking (lower = faster decode)
-_DECODE_COST = {"plain": 0, "bitpack": 1, "foref": 1, "rle": 2, "dict": 3, "fsst": 4}
+_DECODE_COST = {
+    "plain": 0,
+    "bitpack": 1,
+    "foref": 1,
+    "rle": 2,
+    "dict": 3,
+    "worddict": 3,
+    "fsst": 4,
+}
 
 
 def estimate_sizes(arr: pa.Array, st: ChunkStats) -> dict[str, float]:
@@ -59,6 +67,12 @@ def estimate_sizes(arr: pa.Array, st: ChunkStats) -> dict[str, float]:
             # fsst: symbols cover ~entropy/8 of bytes; heuristic ratio
             ratio = max(0.35, min(0.8, st.byte_entropy / 8.0))
             est["fsst"] = st.data_bytes * ratio + 1200
+        if st.tok_ndv > 1 and st.space_frac > 0.05:
+            # worddict: n_tokens * idx_bits + vocab (child-fsst'd) + row lens
+            n_toks = st.data_bytes * st.space_frac + n
+            idx_bits = max(math.log2(st.tok_ndv), 1.0)
+            vocab_bytes = st.tok_ndv * max(st.avg_tok_len, 1.0) * 0.7
+            est["worddict"] = n_toks * idx_bits / 8 + vocab_bytes + n * 2 + 96
     return est
 
 

@@ -38,6 +38,9 @@ class ChunkStats:
     avg_len: float = 0.0
     byte_entropy: float = 8.0
     ascii_frac: float = 0.0
+    space_frac: float = 0.0
+    tok_ndv: int = 0
+    avg_tok_len: float = 0.0
 
     def to_dict(self) -> dict:
         return asdict(self)
@@ -88,6 +91,25 @@ def compute_stats(arr: pa.Array) -> ChunkStats:
             p = hist[hist > 0] / len(b)
             st.byte_entropy = float(-(p * np.log2(p)).sum())
             st.ascii_frac = float((b < 0x80).mean())
+            st.space_frac = float(hist[0x20] / len(b))
+            if st.space_frac > 0.02 and st.ascii_frac > 0.99:
+                # token census on the sample (worddict candidate): unique
+                # tokens via the same uint64-key trick as the fsst sampler
+                toks = blob.split(b" ")
+                uniq = len(set(toks))
+                est_total_toks = st.data_bytes * st.space_frac + max(
+                    n - st.n_nulls, 1
+                )
+                sample_frac = len(toks) / max(est_total_toks, 1)
+                if uniq >= 0.5 * len(toks) and sample_frac < 1.0:
+                    # saturated sample: vocab likely grows with data
+                    st.tok_ndv = min(
+                        int(uniq / max(sample_frac, 1e-9)),
+                        int(est_total_toks),
+                    )
+                else:
+                    st.tok_ndv = uniq
+                st.avg_tok_len = len(blob) / max(len(toks), 1) - 1
     return st
 
 

@@ -227,10 +227,18 @@ def test_selector_runs_picks_rle():
     assert codec == "rle"
 
 
-def test_selector_text_picks_fsst():
+def test_selector_wordy_text_picks_worddict():
     words = "the of and to in is was he for it with as his on be at by".split()
     rng = np.random.default_rng(42)
     vals = [" ".join(rng.choice(words, 30)) for _ in range(300)]
+    arr = pa.array(vals)
+    codec, _ = choose_codec(arr)
+    assert codec == "worddict"
+
+
+def test_selector_spaceless_text_picks_fsst():
+    # url-like: dense ascii, no separators -> worddict inapplicable
+    vals = [f"https://www.host{i % 7:03d}.example.com/en/page/{i}" for i in range(3000)]
     arr = pa.array(vals)
     codec, _ = choose_codec(arr)
     assert codec == "fsst"
@@ -264,3 +272,59 @@ def test_auto_roundtrip_everything():
         payload, meta = encode_array(arr, codec="auto", zstd="auto")
         out = decode_array(payload, meta)
         assert out.equals(arr), name
+
+
+# ---------------------------------------------------------------------------
+# worddict
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "vals,typ",
+    [
+        ([], pa.string()),
+        (["", " ", "  ", "a  b", "a b c", "no-space", " lead", "trail "], pa.string()),
+        ([None, "a b", None, ""], pa.string()),
+        ([b"ab cd", b"\xff\xfe x", None, b""], pa.binary()),
+        (["one two", None], pa.large_string()),
+        ([b"a b", b""], pa.large_binary()),
+    ],
+)
+def test_worddict_roundtrip_edges(vals, typ):
+    roundtrip(pa.array(vals, type=typ), "worddict")
+
+
+def test_worddict_roundtrip_zstd_and_ratio():
+    words = "the of and to in is was he for it with as".split()
+    rng = np.random.default_rng(7)
+    vals = [" ".join(rng.choice(words, 50)) for _ in range(2000)]
+    arr = pa.array(vals)
+    payload, meta = encode_array(arr, codec="worddict", zstd="auto")
+    assert decode_array(payload, meta).equals(arr)
+    # word-level dictionary must beat whole-value plain by a wide margin
+    assert len(payload) < 0.35 * arr.nbytes
+
+
+def test_worddict_values_codec_plain():
+    arr = pa.array(["x y z"] * 10)
+    payload, meta = encode_array(arr, codec="worddict", values_codec="plain")
+    top = meta["child"] if meta["codec"] == "zstd" else meta
+    assert top["values"]["codec"] == "plain"
+    assert decode_array(payload, meta).equals(arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    hst.lists(
+        hst.one_of(
+            hst.none(),
+            hst.text(
+                alphabet=hst.characters(min_codepoint=32, max_codepoint=126),
+                max_size=40,
+            ),
+        ),
+        max_size=60,
+    )
+)
+def test_worddict_roundtrip_property(vals):
+    roundtrip(pa.array(vals, type=pa.string()), "worddict")
