@@ -196,6 +196,117 @@ def q_window_hourly_events(spark, sf_dir):
     )
 
 
+def q_fixedlength_parse(spark, sf_dir):
+    """Fixed-length record round-trip (SURVEY §2.1 ChoFixedLengthReader):
+    render part rows as fixed-width lines, parse back by position —
+    substring projections only, whole-stage codegen, no UDFs."""
+    part = _read(spark, sf_dir, "part")
+    line = F.concat(
+        F.rpad("p_name", 20, " "),
+        F.rpad("p_brand", 12, " "),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0"),
+    )
+    lines = part.select(line.alias("value"))
+    return lines.select(
+        F.trim(F.substring("value", 1, 20)).alias("name"),
+        F.trim(F.substring("value", 21, 12)).alias("brand"),
+        F.substring("value", 33, 10).cast("bigint").alias("partkey"),
+    )
+
+
+def q_manifold_dispatch(spark, sf_dir):
+    """Manifold file (SURVEY §2.1 ChoManifoldReader): one stream, two
+    record layouts, dispatched by a record-type code substring."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    o_lines = orders.select(
+        F.concat(
+            F.lit("ORD"),
+            F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+            F.lpad(F.col("o_custkey").cast("string"), 12, "0"),
+        ).alias("value")
+    )
+    l_lines = li.select(
+        F.concat(
+            F.lit("LIN"),
+            F.lpad(F.col("l_orderkey").cast("string"), 12, "0"),
+            F.lpad(F.col("l_linenumber").cast("string"), 12, "0"),
+        ).alias("value")
+    )
+    stream = o_lines.unionAll(l_lines)
+    code = F.substring("value", 1, 3)
+    key = F.substring("value", 4, 12).cast("bigint")
+    return (
+        stream.select(code.alias("rec_type"), key.alias("key"))
+        .groupBy("rec_type")
+        .agg(F.count("*").alias("n"), F.sum("key").alias("sum_key"))
+    )
+
+
+def q_zip_positional(spark, sf_dir):
+    """ZipOrDefault (SURVEY §2.3): positional zip of two streams via
+    row_number-keyed full-outer join; short side padded with nulls."""
+    from pyspark.sql import Window
+
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 50)
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 120)
+    a = cust.withColumn(
+        "rn", F.row_number().over(Window.orderBy("c_custkey"))
+    ).select("rn", "c_custkey")
+    b = orders.withColumn(
+        "rn", F.row_number().over(Window.orderBy("o_orderkey"))
+    ).select("rn", "o_orderkey")
+    return a.join(b, "rn", "full_outer").select("rn", "c_custkey", "o_orderkey")
+
+
+def q_staged_sql_revenue(spark, sf_dir):
+    """Entry point C (SURVEY §3.3, StageOnSQLite analog): stage as views,
+    query with plain SQL — Catalyst is the expression compiler."""
+    from choetl_spark.sources import stage_as_view
+
+    stage_as_view(_read(spark, sf_dir, "supplier"), "v_supplier")
+    stage_as_view(_read(spark, sf_dir, "nation"), "v_nation")
+    stage_as_view(_read(spark, sf_dir, "region"), "v_region")
+    return spark.sql(
+        """
+        SELECT r_name, count(*) AS n_suppliers,
+               round(sum(s_acctbal), 2) AS total_acctbal
+        FROM v_supplier
+        JOIN v_nation ON s_nationkey = n_nationkey
+        JOIN v_region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )
+
+
+def q_null_default_boolean_modes(spark, sf_dir):
+    """Per-field DefaultValue + boolean-format parsing (SURVEY §2.3/2.9):
+    missing JSON field -> default token; value sign -> Y/N flag."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(
+            F.get_json_object("props", "$.missing").cast("bigint"), F.lit(-1)
+        ).alias("k_or_default"),
+        F.when(F.col("value") > 0, "Y").otherwise("N").alias("flag"),
+    )
+
+
+def q_multikey_sort_lineitems(spark, sf_dir):
+    """Multi-key expression sort (SURVEY §2.7 dynamic OrderBy +
+    external sort): Spark's shuffle sort replaces the reference's
+    replacement-selection spill sorter."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(
+            F.desc("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")
+        )
+        .limit(100)
+        .select("l_orderkey", "l_linenumber",
+                F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_d"))
+    )
+
+
 def q_dedup_exact_documents(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return docs.groupBy("text").agg(
@@ -312,6 +423,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seqno_events_per_user": q_seqno_events_per_user,
         "agg_events_stats": q_agg_events_stats,
         "window_hourly_events": q_window_hourly_events,
+        "fixedlength_parse": q_fixedlength_parse,
+        "manifold_dispatch": q_manifold_dispatch,
+        "zip_positional": q_zip_positional,
+        "staged_sql_revenue": q_staged_sql_revenue,
+        "null_default_boolean_modes": q_null_default_boolean_modes,
+        "multikey_sort_lineitems": q_multikey_sort_lineitems,
         "dedup_exact_documents": q_dedup_exact_documents,
         "dedup_normalized_documents": q_dedup_normalized_documents,
         "fingerprint_documents": q_fingerprint_documents,
@@ -451,6 +568,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1
+        """,
+        "fixedlength_parse": """
+            WITH lines AS (
+              SELECT rpad(p_name, 20, ' ') || rpad(p_brand, 12, ' ')
+                     || lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS value
+              FROM part
+            )
+            SELECT trim(substring(value, 1, 20)) AS name,
+                   trim(substring(value, 21, 12)) AS brand,
+                   CAST(substring(value, 33, 10) AS BIGINT) AS partkey
+            FROM lines
+        """,
+        "manifold_dispatch": """
+            WITH stream AS (
+              SELECT 'ORD' || lpad(CAST(o_orderkey AS VARCHAR), 12, '0')
+                     || lpad(CAST(o_custkey AS VARCHAR), 12, '0') AS value
+              FROM orders
+              UNION ALL
+              SELECT 'LIN' || lpad(CAST(l_orderkey AS VARCHAR), 12, '0')
+                     || lpad(CAST(l_linenumber AS VARCHAR), 12, '0') AS value
+              FROM lineitem
+            )
+            SELECT substring(value, 1, 3) AS rec_type,
+                   count(*) AS n,
+                   sum(CAST(substring(value, 4, 12) AS BIGINT)) AS sum_key
+            FROM stream GROUP BY 1
+        """,
+        "zip_positional": """
+            WITH a AS (
+              SELECT row_number() OVER (ORDER BY c_custkey) AS rn, c_custkey
+              FROM customer WHERE c_custkey <= 50
+            ), b AS (
+              SELECT row_number() OVER (ORDER BY o_orderkey) AS rn, o_orderkey
+              FROM orders WHERE o_orderkey <= 120
+            )
+            SELECT coalesce(a.rn, b.rn) AS rn, c_custkey, o_orderkey
+            FROM a FULL OUTER JOIN b ON a.rn = b.rn
+        """,
+        "staged_sql_revenue": """
+            SELECT r_name, count(*) AS n_suppliers,
+                   round(sum(s_acctbal), 2) AS total_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "null_default_boolean_modes": """
+            SELECT event_id,
+                   coalesce(CAST(json_extract_string(props, '$.missing')
+                                 AS BIGINT), -1) AS k_or_default,
+                   CASE WHEN value > 0 THEN 'Y' ELSE 'N' END AS flag
+            FROM events
+        """,
+        "multikey_sort_lineitems": """
+            SELECT l_orderkey, l_linenumber,
+                   strftime(l_shipdate, '%Y-%m-%d') AS ship_d
+            FROM lineitem
+            ORDER BY l_shipdate DESC, l_orderkey, l_linenumber
+            LIMIT 100
         """,
         "dedup_exact_documents": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_copies

@@ -66,7 +66,9 @@ def bench_encode(spark, sf_dir: str) -> None:
     from choetl_spark.engine import EncodeConfig, encode_dataframe
 
     pages = _pages(spark, sf_dir)
-    cfg = EncodeConfig(num_partitions=64, chunk_rows=8192, chunk_bytes=8 << 20)
+    cfg = EncodeConfig(
+        num_partitions=64, chunk_rows=8192, chunk_bytes=8 << 20, shuffle="none"
+    )
     enc = encode_dataframe(pages, cfg)
     enc.select("encoded_bytes").agg({"encoded_bytes": "sum"}).collect()
 
@@ -79,7 +81,9 @@ def bench_roundtrip(spark, sf_dir: str) -> None:
     )
 
     pages = _pages(spark, sf_dir)
-    cfg = EncodeConfig(num_partitions=32, chunk_rows=8192, chunk_bytes=8 << 20)
+    cfg = EncodeConfig(
+        num_partitions=32, chunk_rows=8192, chunk_bytes=8 << 20, shuffle="none"
+    )
     enc = encode_dataframe(pages, cfg)
     decoded = decode_dataframe(enc, columns=["url", "text"])
     decoded.count()
@@ -143,9 +147,13 @@ def run_default() -> None:
     spark.stop()
 
 
-SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "120000"))
+SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "480000"))
 SCALING_CORES = os.environ.get("SPARK_GRAFT_SCALING_CORES", "4,16")
-SCALING_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
+SCALING_REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+SCALING_PASSES = int(os.environ.get("SPARK_GRAFT_SCALING_PASSES", "2"))
+# identical task granularity at BOTH parallelism levels (a fair scaling
+# comparison must not give the big side finer tasks)
+SCALING_PARTS = int(os.environ.get("SPARK_GRAFT_SCALING_PARTS", "128"))
 
 
 def _measure_encode(cores: str, sf_dir: str) -> dict:
@@ -169,12 +177,13 @@ def _measure_encode(cores: str, sf_dir: str) -> dict:
 
     spark = make_spark(cores)
     spark.sparkContext.setLogLevel("ERROR")
-    pages = webpages(spark, SCALING_ROWS, partitions=int(cores) * 4).persist()
+    pages = webpages(spark, SCALING_ROWS, partitions=SCALING_PARTS).persist()
     n_rows = pages.count()
-    # warm ALL Python workers + JIT (one task per core) so fork cost is
-    # outside the timed window
-    spark.range(0, int(cores) * 8, numPartitions=int(cores) * 8).mapInArrow(
-        lambda it: it, "id long"
+    # warm ALL Python workers with the REAL kernel (one task per core) so
+    # worker fork + numpy/pyarrow/codec imports are outside the timed window
+    warm = webpages(spark, int(cores) * 2048, partitions=int(cores) * 2)
+    encode_dataframe(
+        warm, EncodeConfig(num_partitions=int(cores) * 2, chunk_rows=2048)
     ).count()
     raw_bytes = pages.select(
         (
@@ -185,32 +194,48 @@ def _measure_encode(cores: str, sf_dir: str) -> dict:
             + F.length("lang")
         ).alias("b")
     ).agg(F.sum("b")).collect()[0][0]
-    cfg = EncodeConfig(num_partitions=128, chunk_rows=8192, chunk_bytes=8 << 20)
-    # partition planning (the hot-host census) runs OUTSIDE the timed
-    # window: it is a 2-column projection scan whose cost amortizes to
-    # noise at real scale but is a fixed multi-second constant at sandbox
-    # scale, which would measure job-launch overhead instead of the
-    # engine's scaling.
+    # Two modes, both timed:
+    #   scan-local (shuffle="none") — the headline: how Parquet/Iceberg
+    #     writers encode at scale; zero shuffle.
+    #   salted (shuffle="salted") — the skew path (hot-host salting); the
+    #     partition-planning census runs OUTSIDE the timed window (it is a
+    #     2-column projection whose cost amortizes to noise at real scale
+    #     but is a fixed multi-second constant at sandbox scale).
     from choetl_spark.partitioning import plan_partitions
 
+    cfg_local = EncodeConfig(
+        num_partitions=128, chunk_rows=8192, chunk_bytes=8 << 20,
+        shuffle="none",
+    )
+    cfg_salted = EncodeConfig(
+        num_partitions=128, chunk_rows=8192, chunk_bytes=8 << 20,
+        shuffle="salted",
+    )
     planned = plan_partitions(
-        pages, cfg.num_partitions, key_col=cfg.key_col,
-        by_host=cfg.partition_by_host, hot_factor=cfg.hot_factor,
-        salt_buckets=cfg.salt_buckets,
+        pages, cfg_salted.num_partitions, key_col=cfg_salted.key_col,
+        by_host=cfg_salted.partition_by_host, hot_factor=cfg_salted.hot_factor,
+        salt_buckets=cfg_salted.salt_buckets,
     ).persist()
     planned.count()
-    wall = None
-    for _ in range(SCALING_REPS):
-        t0 = time.perf_counter()
-        enc = encode_dataframe(planned, cfg)
-        agg = enc.agg(
-            F.sum("encoded_bytes").alias("enc"),
-            F.sum("pre_zstd_bytes").alias("pre"),
-            F.sum("raw_bytes").alias("raw"),
-        ).collect()[0]
-        w = time.perf_counter() - t0
-        wall = w if wall is None or w < wall else wall
+
+    def timed(df, cfg):
+        wall, agg = None, None
+        for _ in range(SCALING_REPS):
+            t0 = time.perf_counter()
+            enc = encode_dataframe(df, cfg)
+            agg = enc.agg(
+                F.sum("encoded_bytes").alias("enc"),
+                F.sum("pre_zstd_bytes").alias("pre"),
+                F.sum("raw_bytes").alias("raw"),
+            ).collect()[0]
+            w = time.perf_counter() - t0
+            wall = w if wall is None or w < wall else wall
+        return wall, agg
+
+    wall_local, agg = timed(pages, cfg_local)
+    wall_salted, _ = timed(planned, cfg_salted)
     pages.unpersist()
+    planned.unpersist()
     spark.stop()
     return {
         "cores": int(cores),
@@ -218,9 +243,11 @@ def _measure_encode(cores: str, sf_dir: str) -> dict:
         "raw_bytes": int(raw_bytes),
         "encoded_bytes": int(agg["enc"]),
         "pre_zstd_bytes": int(agg["pre"]),
-        "wall_sec": round(wall, 3),
-        "rows_per_sec": round(n_rows / wall, 1),
-        "gb_per_sec": round(raw_bytes / wall / 1e9, 4),
+        "wall_sec": round(wall_local, 3),
+        "wall_sec_salted": round(wall_salted, 3),
+        "rows_per_sec": round(n_rows / wall_local, 1),
+        "gb_per_sec": round(raw_bytes / wall_local / 1e9, 4),
+        "gb_per_sec_salted": round(raw_bytes / wall_salted / 1e9, 4),
     }
 
 
@@ -261,12 +288,32 @@ def _measure_pinned(cores: str) -> dict:
     return json.loads(last)
 
 
+def _best_of_passes(results: list[dict]) -> dict:
+    """Merge repeated measurements of one level: min wall per mode wins
+    (the sandbox is a shared VM with bursty neighbors; interleaved passes
+    + min give both levels the same chance of a quiet window)."""
+    best = dict(results[0])
+    for r in results[1:]:
+        if r["wall_sec"] < best["wall_sec"]:
+            for k in ("wall_sec", "rows_per_sec", "gb_per_sec"):
+                best[k] = r[k]
+        if r["wall_sec_salted"] < best["wall_sec_salted"]:
+            best["wall_sec_salted"] = r["wall_sec_salted"]
+            best["gb_per_sec_salted"] = r["gb_per_sec_salted"]
+    return best
+
+
 def run_scaling() -> None:
     os.makedirs("BENCH", exist_ok=True)
     lo, hi = SCALING_CORES.split(",")
     assert int(hi) == 4 * int(lo), "scaling pair must be N,4N"
-    r8 = _measure_pinned(lo)
-    r32 = _measure_pinned(hi)
+    # interleave N and 4N passes so neighbor noise hits both levels alike
+    lo_runs, hi_runs = [], []
+    for _ in range(SCALING_PASSES):
+        lo_runs.append(_measure_pinned(lo))
+        hi_runs.append(_measure_pinned(hi))
+    r8 = _best_of_passes(lo_runs)
+    r32 = _best_of_passes(hi_runs)
     baseline = _parquet_zstd_footprint(SF_DIR)
     speedup = r32["rows_per_sec"] / r8["rows_per_sec"]
     eff = speedup / (32 / 8)
@@ -280,21 +327,34 @@ Python workers warmed BEFORE the timed window, so the measurement is the
 encode job itself. Identical input + code at both parallelism levels;
 only the core count differs (`local[{r8["cores"]}]` vs `local[{r32["cores"]}]`,
 each run taskset-PINNED to exactly that many hardware cores so the
-process tree cannot overflow onto spare cores; best of {SCALING_REPS}
-reps each) — the sandbox
+process tree cannot overflow onto spare cores; {SCALING_PASSES} interleaved
+passes x best-of-{SCALING_REPS} reps, min per level, because the sandbox
+is a shared VM with bursty neighbor noise; task granularity identical at
+both levels: {SCALING_PARTS} partitions) — the sandbox
 evidence for the north rule's N->4N executor scaling criterion (see
 BASELINE.md).
+
+Headline mode is **scan-local** (`shuffle="none"`): encode runs on the
+scan's own partitions with zero shuffle, exactly how Parquet/Iceberg
+writers encode at cluster scale. The **salted** row shows the skew path
+(`shuffle="salted"`, hot-host salted repartition) — it pays one full
+shuffle of the input and exists for skew-dominated inputs and
+data-derived resume keys.
 
 | metric | local[{r8["cores"]}] (N) | local[{r32["cores"]}] (4N) |
 |---|---|---|
 | rows | {r8["rows"]} | {r32["rows"]} |
 | raw bytes | {r8["raw_bytes"]:,} | {r32["raw_bytes"]:,} |
-| wall sec | {r8["wall_sec"]} | {r32["wall_sec"]} |
+| wall sec (scan-local) | {r8["wall_sec"]} | {r32["wall_sec"]} |
+| wall sec (salted shuffle) | {r8["wall_sec_salted"]} | {r32["wall_sec_salted"]} |
 | rows/sec | {r8["rows_per_sec"]:,} | {r32["rows_per_sec"]:,} |
-| GB/s (raw in) | {r8["gb_per_sec"]} | {r32["gb_per_sec"]} |
+| GB/s (scan-local) | {r8["gb_per_sec"]} | {r32["gb_per_sec"]} |
+| GB/s (salted shuffle) | {r8["gb_per_sec_salted"]} | {r32["gb_per_sec_salted"]} |
 
-- speedup N->4N cores: **{speedup:.2f}x** (ideal 4.0x)
+- speedup N->4N cores (scan-local): **{speedup:.2f}x** (ideal 4.0x)
 - scaling efficiency (T_4N/T_N)/4: **{eff:.3f}** (target >= 0.8)
+- salted-mode speedup N->4N: **{r8["wall_sec_salted"] / r32["wall_sec_salted"]:.2f}x**,
+  efficiency **{r8["wall_sec_salted"] / r32["wall_sec_salted"] / 4:.3f}**
 
 ## Compression footprint
 

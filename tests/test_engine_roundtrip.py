@@ -131,3 +131,29 @@ def test_nulls_roundtrip(spark):
     enc = encode_dataframe(src, cfg)
     out = decode_dataframe(enc)
     assert verify_roundtrip(src, out) == 0
+
+
+def test_scan_local_mode_roundtrip(spark, pages):
+    """shuffle="none": zero-shuffle scan-local encode must round-trip."""
+    cfg = EncodeConfig(
+        num_partitions=8, chunk_rows=512, chunk_bytes=1 << 20, shuffle="none"
+    )
+    enc = encode_dataframe(pages, cfg)
+    # part ids are the scan's own partition ids — several, and stable
+    assert enc.select("part_id").distinct().count() > 1
+    decoded = decode_dataframe(enc)
+    assert verify_roundtrip(pages, decoded) == 0
+
+
+def test_scan_local_interleaved_part_ids(spark):
+    """A caller-supplied part_id that interleaves within a task still
+    round-trips (the kernel keeps per-part row bases)."""
+    src = webpages(spark, 400, partitions=2)
+    # part_id alternates row-by-row -> maximally interleaved
+    with_part = src.withColumn(
+        "part_id", (F.xxhash64("url") % 2).cast("long")
+    )
+    cfg = EncodeConfig(num_partitions=2, shuffle="none", chunk_rows=64)
+    enc = encode_dataframe(with_part, cfg)
+    decoded = decode_dataframe(enc)
+    assert verify_roundtrip(src, decoded) == 0
