@@ -82,6 +82,14 @@ def encode_with_resume(
     if "part_id" in df.columns:
         # caller pre-planned (e.g. streaming epochs namespace part ids)
         planned = df
+    elif cfg.shuffle == "none":
+        # scan-local ids must be assigned HERE (not inside
+        # encode_dataframe): a hash-derived part_id would span input
+        # partitions, and without a shuffle each task would restart that
+        # part's row numbering. Resume with scan-local ids requires the
+        # input partitioning to be reproducible across runs (true for
+        # file/table scans of the same snapshot).
+        planned = df.withColumn("part_id", F.spark_partition_id().cast("long"))
     else:
         planned = plan_partitions(
             df,

@@ -30,6 +30,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--profile", default="balanced",
                    choices=["ratio", "balanced", "speed"])
     p.add_argument("--no-host-partitioning", action="store_true")
+    p.add_argument(
+        "--shuffle", default="salted", choices=["salted", "none"],
+        help="salted: hot-host salted repartition (skewed inputs, "
+        "data-derived resume keys); none: scan-local encode, zero shuffle "
+        "(default choice at large scale when the input is already "
+        "file-partitioned)",
+    )
     p.add_argument("--run-id", default=None)
     args = p.parse_args(argv)
 
@@ -51,6 +58,7 @@ def main(argv: list[str] | None = None) -> int:
         chunk_bytes=args.chunk_bytes,
         key_col=args.key_col,
         partition_by_host=not args.no_host_partitioning,
+        shuffle=args.shuffle,
         optimize_for=args.profile,
     )
     summary = encode_with_resume(spark, df, args.output, cfg, run_id=args.run_id)

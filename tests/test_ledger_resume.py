@@ -73,3 +73,22 @@ def test_rerun_is_noop(spark, pages, tmp_path):
     assert r["partitions_encoded_this_run"] == 0
     ledger = read_ledger(spark, out)
     assert ledger.filter(F.col("run_id") == "b").count() == 0
+
+
+def test_resume_scan_local_mode(spark, tmp_path):
+    """shuffle="none" resume: second run over the same input encodes
+    nothing new; decode of committed chunks round-trips."""
+    from choetl_spark.engine import EncodeConfig, decode_dataframe, verify_roundtrip
+    from choetl_spark.ledger import encode_with_resume, read_encoded
+    from choetl_spark.synth import webpages
+
+    out = str(tmp_path / "enc_scan_local")
+    pages = webpages(spark, 600, partitions=4)
+    cfg = EncodeConfig(num_partitions=4, chunk_rows=128, shuffle="none")
+    s1 = encode_with_resume(spark, pages, out, cfg, run_id="r1")
+    assert s1["partitions_encoded_this_run"] == 4
+    s2 = encode_with_resume(spark, pages, out, cfg, run_id="r2")
+    assert s2["partitions_already_done"] == 4
+    assert s2["partitions_encoded_this_run"] == 0
+    decoded = decode_dataframe(read_encoded(spark, out))
+    assert verify_roundtrip(pages, decoded) == 0
