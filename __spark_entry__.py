@@ -379,6 +379,15 @@ def q_minhash_pairs_documents(spark, sf_dir):
     return minhash_lsh_pairs(sigs, "doc_id", n_hashes=32, bands=8, threshold=0.9)
 
 
+def q_embedding_neardup_pairs(spark, sf_dir):
+    from choetl_spark.operators import embedding_neardup_pairs
+
+    embs = _read(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(embs, threshold=0.4).select(
+        "id_a", "id_b", F.round("cosine", 4).alias("cosine_r")
+    )
+
+
 def q_simhash_documents(spark, sf_dir):
     from choetl_spark.operators import simhash_signatures
 
@@ -438,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "minhash_pairs_documents": q_minhash_pairs_documents,
+        "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "simhash_documents": q_simhash_documents,
         "encode_summary": q_encode_summary,
         "roundtrip_text_identity": q_roundtrip_text_identity,
@@ -673,6 +683,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id_documents": f"""
             SELECT doc_id, {_lang_case()} AS lang_pred FROM documents
+        """,
+        "embedding_neardup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(
+                     CAST(a.embedding AS DOUBLE[]),
+                     CAST(b.embedding AS DOUBLE[])), 4) AS cosine_r
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(
+                    CAST(a.embedding AS DOUBLE[]),
+                    CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
         """,
         "cosine_topk": """
             SELECT vec_id,

@@ -8,9 +8,11 @@ from choetl_spark.operators.relational import (  # noqa: F401
     with_seq_no,
 )
 from choetl_spark.operators.dedup import (  # noqa: F401
+    dedup_embedding_cosine,
     dedup_exact,
     dedup_exact_normalized,
     dedup_minhash,
+    embedding_neardup_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,

@@ -342,3 +342,72 @@ def ngram_jaccard_pairs(
         "id_b",
         F.round(inter / F.greatest(union, F.lit(1)), 6).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    use_lsh: bool = False,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """(id_a, id_b, cosine) pairs with cosine >= threshold, id_a < id_b.
+
+    Default is the exact broadcast pair join (right side broadcast, left
+    never shuffles) — correct and fine when one side fits in memory. With
+    ``use_lsh`` the self-join runs per LSH bucket (random-hyperplane
+    sign bits), bounding the quadratic term per bucket — the 100 TB
+    shape; it can miss pairs whose vectors straddle a hyperplane.
+    """
+    from choetl_spark.operators.similarity import cosine_sim_col, lsh_bucket_col, _hyperplanes
+
+    vec_d = F.col(vec_col).cast("array<double>")
+    base = df.select(F.col(id_col), vec_d.alias("_v"))
+    if use_lsh:
+        planes = _hyperplanes(
+            len(df.select(vec_col).first()[0]), n_planes, seed
+        )
+        base = base.withColumn("_bucket", lsh_bucket_col(F.col("_v"), planes))
+        a = base.alias("a")
+        b = base.alias("b")
+        cond = (F.col("a._bucket") == F.col("b._bucket")) & (
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        )
+        joined = a.join(b, cond)
+    else:
+        a = base.alias("a")
+        b = base.alias("b")
+        joined = a.join(
+            F.broadcast(b), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        )
+    sim = cosine_sim_col(F.col("a._v"), F.col("b._v"))
+    return (
+        joined.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(sim, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def dedup_embedding_cosine(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    **pair_kw,
+) -> DataFrame:
+    """Drop rows near-duplicate (by cosine) of a lower-id row."""
+    pairs = embedding_neardup_pairs(
+        df, threshold, vec_col=vec_col, id_col=id_col, **pair_kw
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

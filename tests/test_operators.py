@@ -234,3 +234,33 @@ def test_no_cartesian_in_lsh(spark, embs):
     q = [0.1] * len(embs.limit(1).collect()[0]["embedding"])
     df = cosine_topk_lsh(embs, q, 5)
     assert_no_cartesian(df)
+
+
+def test_embedding_neardup_and_dedup(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(20):
+        v = base + rng.standard_normal(16) * (0.01 if i < 5 else 10.0)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from choetl_spark.operators import (
+        dedup_embedding_cosine,
+        embedding_neardup_pairs,
+    )
+
+    pairs = embedding_neardup_pairs(df, threshold=0.95).collect()
+    near_ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert near_ids == {0, 1, 2, 3, 4}  # the 5 jittered copies of base
+    kept = dedup_embedding_cosine(df, threshold=0.95)
+    ids = {r["vec_id"] for r in kept.collect()}
+    assert 0 in ids and len(ids) == 16  # one survivor of the clone group
+    # LSH-bucketed variant finds the same tight cluster
+    pairs_lsh = embedding_neardup_pairs(
+        df, threshold=0.95, use_lsh=True, n_planes=4
+    ).collect()
+    assert {r["id_a"] for r in pairs_lsh} | {r["id_b"] for r in pairs_lsh} == {
+        0, 1, 2, 3, 4,
+    }
