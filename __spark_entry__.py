@@ -395,6 +395,26 @@ def q_simhash_documents(spark, sf_dir):
     return simhash_signatures(docs, "text", "doc_id")
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing (stub decode, real batching): deterministic
+    features + media meta over binary payloads. Non-SQL-expressible
+    (sha256-seeded) -> rows-only driver check."""
+    from choetl_spark.operators.multimodal import extract_features, with_media_meta
+    from choetl_spark.synth import webpages_from_documents
+
+    pages = webpages_from_documents(spark, sf_dir)
+    with_id = pages.select(
+        F.xxhash64("url").alias("media_id"), "html"
+    )
+    feats = extract_features(with_id, "html", "media_id", dim=8)
+    meta = with_media_meta(with_id, "html").select(
+        "media_id", F.col("media_meta.n_bytes").alias("n_bytes")
+    )
+    return feats.join(meta, "media_id").select(
+        "media_id", F.size("features").alias("dim"), "n_bytes"
+    )
+
+
 def q_encode_summary(spark, sf_dir):
     return _encode_summary(spark, sf_dir)
 
@@ -449,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_documents": q_minhash_pairs_documents,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "simhash_documents": q_simhash_documents,
+        "multimodal_features": q_multimodal_features,
         "encode_summary": q_encode_summary,
         "roundtrip_text_identity": q_roundtrip_text_identity,
     }

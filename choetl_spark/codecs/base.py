@@ -141,7 +141,12 @@ def pack_uints(vals: np.ndarray, width: int) -> bytes:
     if width == 0 or len(vals) == 0:
         return b""
     n = len(vals)
-    v = vals.astype(np.uint64, copy=False)
+    if vals.dtype == np.int64:
+        # same-width bit reinterpretation; packed values are non-negative
+        # by contract, so the view is value-preserving and copy-free
+        v = np.ascontiguousarray(vals).view(np.uint64)
+    else:
+        v = vals.astype(np.uint64, copy=False)
     if width == 64:
         return v.astype("<u8").tobytes()
     if width in (8, 16, 32):

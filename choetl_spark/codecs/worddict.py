@@ -57,12 +57,12 @@ def encode_worddict(
         d = d.combine_chunks()
     idx = np.asarray(d.indices.cast(pa.int64()))
     w = max(bit_width(int(idx.max())), 1) if len(idx) else 0
-    idx_payload = pack_uints(idx.astype(np.uint64), w)
+    idx_payload = pack_uints(idx, w)
     # vocab: the distinct tokens, child-encoded (fsst shines here)
     val_payload, val_meta = encode_array(d.dictionary, codec=values_codec)
     # tokens-per-row: bitpacked (rows with k tokens have k-1 separators)
     tw = max(bit_width(int(ntoks_per_row.max())), 1) if len(ntoks_per_row) else 0
-    row_payload = pack_uints(ntoks_per_row.astype(np.uint64), tw)
+    row_payload = pack_uints(ntoks_per_row, tw)
     meta = {
         "codec": "worddict",
         "dtype": type_to_str(t),

@@ -113,3 +113,46 @@ def sample_frames(
     return df.select(id_col, payload_col).mapInPandas(
         kernel, f"{id_col} long, frame_idx int, frame binary"
     )
+
+
+def resize_image(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    width: int = 64,
+    height: int = 64,
+) -> DataFrame:
+    """Resize plumbing: (id, resized binary, width, height).
+
+    Real pixel resampling is stubbed like ``decode_image`` (no codec libs
+    here): the kernel emits a deterministic byte-downsample of the
+    payload with the target geometry attached, so batch shapes, schema,
+    and downstream joins are real."""
+
+    target = width * height
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for p in pdf[payload_col]:
+                if p is None:
+                    out.append(None)
+                    continue
+                if len(p) <= target:
+                    out.append(bytes(p))
+                else:
+                    step = len(p) / target
+                    pos = (np.arange(target) * step).astype(np.int64)
+                    out.append(np.frombuffer(p, dtype=np.uint8)[pos].tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "resized": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, f"{id_col} long, resized binary, width int, height int"
+    )

@@ -35,5 +35,9 @@ def assert_pushed_filters(df: DataFrame, fragment: str) -> None:
 
 
 def assert_wholestage_codegen(df: DataFrame) -> None:
-    plan = explain_str(df, mode="simple")
-    assert "WholeStageCodegen" in plan, "no codegen span in:\n" + plan
+    # "codegen" mode reports subtrees even while an AQE plan is not yet
+    # final (the "simple" plan hides the *(N) markers until then)
+    plan = explain_str(df, mode="codegen")
+    assert "WholeStageCodegen subtrees" in plan and "Found 0" not in plan, (
+        "no codegen span in:\n" + plan[:2000]
+    )

@@ -1,0 +1,84 @@
+"""Physical-plan guards: the plan we designed is the plan Spark runs.
+
+Regressions here mean a silent 100TB-scale problem (an extra shuffle, a
+lost broadcast, a filter that stopped pushing) even while results stay
+correct — exactly what .explain-driven review catches (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from choetl_spark.engine import EncodeConfig, decode_dataframe, encode_dataframe
+from choetl_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    assert_wholestage_codegen,
+    explain_str,
+)
+from choetl_spark.synth import webpages
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return webpages(spark, 400, partitions=4)
+
+
+def test_scan_local_encode_has_no_shuffle(pages):
+    enc = encode_dataframe(pages, EncodeConfig(shuffle="none"))
+    plan = explain_str(enc, "simple")
+    assert "Exchange" not in plan, plan
+
+
+def test_salted_encode_has_exactly_one_data_shuffle(spark, pages):
+    from choetl_spark.partitioning import plan_partitions
+
+    planned = plan_partitions(pages, 8, key_col="url")
+    enc = encode_dataframe(planned, EncodeConfig(num_partitions=8))
+    plan = explain_str(enc, "simple")
+    # the big-side data moves once: repartition(part_id); the hot-host
+    # census join must be a broadcast, not an extra big-side exchange
+    n_big_exchanges = plan.count("Exchange hashpartitioning(part_id")
+    assert n_big_exchanges == 1, plan
+    assert_broadcast_join(enc)
+
+
+def test_decode_prunes_columns_before_shuffle(spark, pages):
+    enc = encode_dataframe(
+        pages, EncodeConfig(num_partitions=4, shuffle="none")
+    ).cache()
+    enc.count()
+    dec = decode_dataframe(enc, columns=["lang"])
+    plan = explain_str(dec, "simple")
+    # the column filter must sit BELOW the exchange (plans print top-down,
+    # so below = later line): payload bytes of unrequested columns never
+    # shuffle
+    assert "Exchange" in plan and "= lang" in plan, plan
+    assert plan.index("Exchange") < plan.index("= lang"), plan
+    enc.unpersist()
+
+
+def test_chunk_prune_uses_broadcast_semi_join(spark, pages):
+    from choetl_spark.engine import prune_partitions_by_stats
+
+    enc = encode_dataframe(pages, EncodeConfig(num_partitions=4, shuffle="none"))
+    pruned = prune_partitions_by_stats(enc, "warc_ts", 0, 10**18)
+    assert_broadcast_join(pruned)
+    assert_no_cartesian(pruned)
+
+
+def test_tpch_join_broadcasts_small_dim(spark):
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    assert_broadcast_join(j)
+    j.collect()  # AQE reports codegen only once THIS plan ran to final
+    assert_wholestage_codegen(j)
+
+
+def test_parquet_filter_pushdown(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = li.filter(F.col("l_orderkey") == 7).select("l_orderkey", "l_quantity")
+    assert_pushed_filters(q, "l_orderkey")
