@@ -234,6 +234,20 @@ def _measure_encode(cores: str, sf_dir: str) -> dict:
 
     wall_local, agg = timed(pages, cfg_local)
     wall_salted, _ = timed(planned, cfg_salted)
+    # reference writer at the same parallelism: Spark's own JVM parquet
+    # writer with zstd — the throughput/footprint trade anchor
+    import shutil as _sh
+
+    pq_wall = None
+    for _ in range(SCALING_REPS):
+        _sh.rmtree("/dev/shm/choetl_pq_ref", ignore_errors=True)
+        t0 = time.perf_counter()
+        pages.write.option("compression", "zstd").parquet(
+            "/dev/shm/choetl_pq_ref"
+        )
+        w = time.perf_counter() - t0
+        pq_wall = w if pq_wall is None or w < pq_wall else pq_wall
+    _sh.rmtree("/dev/shm/choetl_pq_ref", ignore_errors=True)
     pages.unpersist()
     planned.unpersist()
     spark.stop()
@@ -245,9 +259,11 @@ def _measure_encode(cores: str, sf_dir: str) -> dict:
         "pre_zstd_bytes": int(agg["pre"]),
         "wall_sec": round(wall_local, 3),
         "wall_sec_salted": round(wall_salted, 3),
+        "wall_sec_parquet_zstd": round(pq_wall, 3),
         "rows_per_sec": round(n_rows / wall_local, 1),
         "gb_per_sec": round(raw_bytes / wall_local / 1e9, 4),
         "gb_per_sec_salted": round(raw_bytes / wall_salted / 1e9, 4),
+        "gb_per_sec_parquet_zstd": round(raw_bytes / pq_wall / 1e9, 4),
     }
 
 
@@ -300,6 +316,9 @@ def _best_of_passes(results: list[dict]) -> dict:
         if r["wall_sec_salted"] < best["wall_sec_salted"]:
             best["wall_sec_salted"] = r["wall_sec_salted"]
             best["gb_per_sec_salted"] = r["gb_per_sec_salted"]
+        if r["wall_sec_parquet_zstd"] < best["wall_sec_parquet_zstd"]:
+            best["wall_sec_parquet_zstd"] = r["wall_sec_parquet_zstd"]
+            best["gb_per_sec_parquet_zstd"] = r["gb_per_sec_parquet_zstd"]
     return best
 
 
@@ -350,6 +369,7 @@ data-derived resume keys.
 | rows/sec | {r8["rows_per_sec"]:,} | {r32["rows_per_sec"]:,} |
 | GB/s (scan-local) | {r8["gb_per_sec"]} | {r32["gb_per_sec"]} |
 | GB/s (salted shuffle) | {r8["gb_per_sec_salted"]} | {r32["gb_per_sec_salted"]} |
+| GB/s (Spark JVM parquet+zstd writer, same cores) | {r8["gb_per_sec_parquet_zstd"]} | {r32["gb_per_sec_parquet_zstd"]} |
 
 - speedup N->4N cores (scan-local): **{speedup:.2f}x** (ideal 4.0x)
 - scaling efficiency (T_4N/T_N)/4: **{eff:.3f}** (target >= 0.8)
@@ -367,6 +387,15 @@ data-derived resume keys.
 
 - ratio vs raw: **{r8["encoded_bytes"] / r8["raw_bytes"]:.4f}**
 - ratio vs reference parquet+zstd: **{ratio_vs_parquet:.4f}** (target <= 1.0)
+
+The throughput/footprint trade vs the JVM-native writer: Spark's own
+parquet+zstd writer is {r32["wall_sec"] / r32["wall_sec_parquet_zstd"]:.1f}x
+faster wall-clock at 4N cores, but our stats-driven codec stack lands a
+{1 / ratio_vs_parquet:.2f}x smaller footprint on the same bytes — at
+10^12-document scale the persistent storage and every downstream scan pay
+the footprint, once, forever; the encode cost amortizes across them. The
+actual reference (ChoETL, single-threaded C# row pivot + Parquet.Net) is
+orders of magnitude below either number at this data size.
 """
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)

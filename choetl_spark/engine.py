@@ -147,6 +147,7 @@ def _encode_block(
     row_base: dict[str, int],
     seq_base: dict[str, int],
     cfg: EncodeConfig,
+    logical: dict[str, str] | None = None,
 ) -> pa.RecordBatch:
     """Encode one buffered block of a logical partition into chunk rows."""
     out: dict[str, list] = {name: [] for name in _ENCODED_PA_SCHEMA.names}
@@ -162,6 +163,8 @@ def _encode_block(
                 sl, st=st, override=override, optimize_for=cfg.optimize_for
             )
             payload, meta = encode_array(sl, codec=codec, zstd=cfg.zstd, **opts)
+            if logical and name in logical:
+                meta["logical"] = logical[name]
             top = meta["child"] if meta["codec"] == "zstd" else meta
             pre = meta.get("pre_zstd_bytes", len(payload))
             out["part_id"].append(part_id)
@@ -185,7 +188,28 @@ def _encode_block(
     return pa.RecordBatch.from_arrays(arrays, schema=_ENCODED_PA_SCHEMA)
 
 
-def _make_encode_kernel(cfg: EncodeConfig):
+_SIMPLE_SPARK_TYPES = {
+    "boolean", "tinyint", "smallint", "int", "integer", "bigint", "long",
+    "float", "double", "string", "binary", "date", "timestamp",
+    "timestamp_ntz",
+}
+
+
+def _nested_columns(df: DataFrame) -> dict[str, str]:
+    """Columns whose Spark type the codec layer does not store natively
+    -> their DDL. These ride as JSON strings (the reference's own
+    fallback: any complex value JSON-serializes on write,
+    ChoParquetRecordWriter.cs:128-137) and decode restores the type with
+    from_json. NaN/Infinity inside nested floats are not JSON-portable —
+    the one documented fidelity limit of this path."""
+    out = {}
+    for f in df.schema.fields:
+        if f.dataType.typeName() not in _SIMPLE_SPARK_TYPES:
+            out[f.name] = f.dataType.simpleString()
+    return out
+
+
+def _make_encode_kernel(cfg: EncodeConfig, logical: dict[str, str] | None = None):
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
 
@@ -205,7 +229,9 @@ def _make_encode_kernel(cfg: EncodeConfig):
             buf = []
             buf_bytes = 0
             row_base, seq_base = bases[cur_part]
-            yield _encode_block(cur_part, table, row_base, seq_base, cfg)
+            yield _encode_block(
+                cur_part, table, row_base, seq_base, cfg, logical
+            )
 
         for batch in batches:
             pid = np.asarray(batch.column(batch.schema.get_field_index("part_id")))
@@ -241,6 +267,22 @@ def encode_dataframe(df: DataFrame, cfg: EncodeConfig | None = None) -> DataFram
     """Encode ``df`` into the encoded-chunk DataFrame (lazy plan)."""
     cfg = cfg or EncodeConfig()
     cols = cfg.columns or [c for c in df.columns if c != "part_id"]
+    # nested columns (array/map/struct/decimal) ride as JSON strings —
+    # the reference's own complex-value fallback; decode restores them
+    logical = {
+        k: v for k, v in _nested_columns(df).items() if k in cols
+    }
+    if logical:
+        df = df.withColumns(
+            {
+                c: (
+                    F.to_json(F.col(c))
+                    if ddl.startswith(("array<", "map<", "struct<"))
+                    else F.col(c).cast("string")  # decimal etc.
+                )
+                for c, ddl in logical.items()
+            }
+        )
     if "part_id" not in df.columns:
         if cfg.shuffle == "none":
             df = df.withColumn(
@@ -266,7 +308,9 @@ def encode_dataframe(df: DataFrame, cfg: EncodeConfig | None = None) -> DataFram
         shuffled = picked.repartition(
             cfg.num_partitions, "part_id"
         ).sortWithinPartitions("part_id")
-    return shuffled.mapInArrow(_make_encode_kernel(cfg), ENCODED_SCHEMA_DDL)
+    return shuffled.mapInArrow(
+        _make_encode_kernel(cfg, logical), ENCODED_SCHEMA_DDL
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -274,18 +318,24 @@ def encode_dataframe(df: DataFrame, cfg: EncodeConfig | None = None) -> DataFram
 # ---------------------------------------------------------------------------
 
 
-def encoded_column_types(enc_df: DataFrame) -> dict[str, pa.DataType]:
-    """Recover source column types from chunk metas (driver-side, tiny)."""
+def _column_metas(enc_df: DataFrame) -> dict[str, dict]:
+    """One representative chunk meta per column (driver-side, tiny)."""
     rows = (
         enc_df.groupBy("column").agg(F.first("meta").alias("meta")).collect()
     )
-    out = {}
-    for r in rows:
-        meta = json.loads(r["meta"])
-        if meta["codec"] == "zstd":
-            meta = meta["child"]
-        out[r["column"]] = str_to_type(meta["dtype"])
-    return out
+    return {r["column"]: json.loads(r["meta"]) for r in rows}
+
+
+def _meta_storage_type(meta: dict) -> pa.DataType:
+    child = meta["child"] if meta["codec"] == "zstd" else meta
+    return str_to_type(child["dtype"])
+
+
+def encoded_column_types(enc_df: DataFrame) -> dict[str, pa.DataType]:
+    """Recover source column STORAGE types from chunk metas."""
+    return {
+        c: _meta_storage_type(m) for c, m in _column_metas(enc_df).items()
+    }
 
 
 def _make_decode_kernel(col_order: list[str], out_schema: pa.Schema, batch_rows: int):
@@ -349,7 +399,8 @@ def decode_dataframe(
     payload bytes never move (the analog of the reference reader's
     ignored-field pruning, ChoParquetRecordReader.cs:110-111).
     """
-    types = encoded_column_types(enc_df)
+    metas = _column_metas(enc_df)
+    types = {c: _meta_storage_type(m) for c, m in metas.items()}
     cols = columns or sorted(types)
     missing = [c for c in cols if c not in types]
     if missing:
@@ -367,9 +418,20 @@ def decode_dataframe(
     shuffled = pruned.repartition(int(p), "part_id").sortWithinPartitions(
         "part_id", "column", "row_start"
     ).select("part_id", "column", "payload", "meta")
-    return shuffled.mapInArrow(
+    decoded = shuffled.mapInArrow(
         _make_decode_kernel(cols, out_schema, batch_rows), ddl
     )
+    # restore nested logical types from their JSON-string storage form
+    restores = {}
+    for c in cols:
+        ddl_l = metas[c].get("logical")
+        if not ddl_l:
+            continue
+        if ddl_l.startswith(("array<", "map<", "struct<")):
+            restores[c] = F.from_json(F.col(c), ddl_l)
+        else:
+            restores[c] = F.col(c).cast(ddl_l)
+    return decoded.withColumns(restores) if restores else decoded
 
 
 def _spark_type_ddl(t: pa.DataType) -> str:

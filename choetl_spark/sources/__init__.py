@@ -122,3 +122,110 @@ def stage_as_view(df: DataFrame, name: str) -> None:
     register for arbitrary SQL; the durable variant is the Iceberg/parquet
     catalog table written by the engine."""
     df.createOrReplaceTempView(name)
+
+
+def read_xml_flat(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    fields: list[str],
+) -> DataFrame:
+    """ChoXmlReader analog for flat (non-nested) row elements
+    (reference src/ChoETL/File/Xml/ChoXmlReader.cs:22,651-655): whole-file
+    read, split on <row_tag> boundaries, per-field element extraction —
+    all declarative (explode + regexp_extract), no UDFs, no spark-xml
+    dependency. Nested/attribute XML would use spark-xml on a real
+    cluster; this covers the flat-record shape the reference tests use.
+    """
+    whole = spark.read.text(path, wholetext=True)
+    records = whole.select(
+        F.explode(F.split(F.col("value"), f"<{row_tag}[ >]")).alias("rec")
+    ).filter(F.col("rec").contains(f"</{row_tag}>"))
+    cols = [
+        F.regexp_extract(
+            F.col("rec"), f"<{f}>([^<]*)</{f}>", 1
+        ).alias(f)
+        for f in fields
+    ]
+    return records.select(*cols)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **opts,
+) -> DataFrame:
+    """DB scan analog (reference src/ChoETL.Parquet/ChoParquetWriter.cs:590-631
+    Write(IDataReader)): Spark's JDBC source with explicit partitioned
+    reads — the distributed replacement for row-at-a-time IDataReader
+    pulls. No driver jars ship in this sandbox; gated for real clusters."""
+    r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    if partition_column is not None:
+        r = (
+            r.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions)
+            .option("lowerBound", lower_bound)
+            .option("upperBound", upper_bound)
+        )
+    return r.load()
+
+
+def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> None:
+    """ChoAvroWriter analog (reference src/ChoETL.Avro/ChoAvroWriter.cs:17,
+    251-255, pluggable Codec): spark-avro with the codec option. Requires
+    the spark-avro module on the cluster (absent in this sandbox)."""
+    df.write.mode("overwrite").format("avro").option(
+        "avro.codec", codec
+    ).save(path)
+
+
+def write_fixed_length(
+    df: DataFrame, path: str, fields: list[FixedField]
+) -> None:
+    """Fixed-length writer: pad/truncate each column to its configured
+    size (the NormalizeFieldValue pad/truncate discipline, reference
+    src/ChoETL.Parquet/ChoParquetRecordWriter.cs:1222-1410) and emit one
+    text column."""
+    line = F.concat(
+        *[
+            F.rpad(
+                F.coalesce(F.col(f.name).cast("string"), F.lit("")),
+                f.size,
+                " ",
+            ).substr(1, f.size)
+            for f in fields
+        ]
+    )
+    df.select(line.alias("value")).write.mode("overwrite").text(path)
+
+
+def write_manifold(
+    dfs: dict[str, tuple[DataFrame, list[FixedField]]], path: str
+) -> None:
+    """ChoManifoldWriter analog (reference
+    src/ChoETL/File/Manifold/ChoManifoldWriter.cs:14): heterogeneous
+    record types to one output — each type rendered fixed-length with its
+    type code prefix, then unioned."""
+    rendered = None
+    for type_code, (df, fields) in dfs.items():
+        line = F.concat(
+            F.lit(type_code),
+            *[
+                F.rpad(
+                    F.coalesce(F.col(f.name).cast("string"), F.lit("")),
+                    f.size,
+                    " ",
+                ).substr(1, f.size)
+                for f in fields
+            ],
+        )
+        part = df.select(line.alias("value"))
+        rendered = part if rendered is None else rendered.unionAll(part)
+    rendered.write.mode("overwrite").text(path)

@@ -328,3 +328,15 @@ def test_worddict_values_codec_plain():
 )
 def test_worddict_roundtrip_property(vals):
     roundtrip(pa.array(vals, type=pa.string()), "worddict")
+
+
+def test_selector_speed_profile_skips_tokenizer_codecs():
+    words = "the of and to in is was he for it with as".split()
+    rng = np.random.default_rng(5)
+    vals = [" ".join(rng.choice(words, 40)) for _ in range(400)]
+    arr = pa.array(vals)
+    assert choose_codec(arr, optimize_for="balanced")[0] == "worddict"
+    assert choose_codec(arr, optimize_for="speed")[0] == "plain"
+    # low-NDV strings still dictionary-encode under speed
+    lo = pa.array(["en", "de"] * 500)
+    assert choose_codec(lo, optimize_for="speed")[0] == "dict"

@@ -138,3 +138,70 @@ def test_is_number_json_field(spark):
     )
     r = df.collect()[0]
     assert r["isn"] is True and r["jb"] == "7"
+
+
+def test_read_xml_flat(spark, tmp_path):
+    xml = """<catalog>
+  <book><id>1</id><title>First</title><price>9.99</price></book>
+  <book><id>2</id><title>Second</title><price>19.5</price></book>
+  <book><id>3</id><title>Third</title><price>0.5</price></book>
+</catalog>"""
+    p = tmp_path / "books.xml"
+    p.write_text(xml)
+    from choetl_spark.sources import read_xml_flat
+
+    df = read_xml_flat(spark, str(p), "book", ["id", "title", "price"])
+    rows = sorted(df.collect(), key=lambda r: r["id"])
+    assert [r["title"] for r in rows] == ["First", "Second", "Third"]
+    assert rows[1]["price"] == "19.5"
+
+
+def test_write_fixed_length_roundtrip(spark, tmp_path):
+    from choetl_spark.sources import (
+        FixedField,
+        read_fixed_length,
+        write_fixed_length,
+    )
+
+    src = spark.createDataFrame(
+        [("alpha", 1), ("beta-long-name", 22), (None, 3)],
+        "name string, n int",
+    )
+    fields = [
+        FixedField("name", 1, 10),
+        FixedField("n", 11, 4, "int"),
+    ]
+    out = str(tmp_path / "fixed")
+    write_fixed_length(src, out, fields)
+    back = read_fixed_length(spark, out, fields)
+    got = {(r["name"], r["n"]) for r in back.collect()}
+    # name truncated to its 10-char slot; null rendered as empty
+    assert got == {("alpha", 1), ("beta-long-", 22), ("", 3)}
+
+
+def test_write_manifold_roundtrip(spark, tmp_path):
+    from choetl_spark.sources import (
+        FixedField,
+        read_manifold,
+        write_manifold,
+    )
+
+    orders = spark.createDataFrame([(1, 100), (2, 200)], "k int, v int")
+    notes = spark.createDataFrame([("x", 7)], "tag string, m int")
+    out = str(tmp_path / "manifold")
+    write_manifold(
+        {
+            "O": (orders, [FixedField("k", 2, 6, "int"), FixedField("v", 8, 6, "int")]),
+            "N": (notes, [FixedField("tag", 2, 6), FixedField("m", 8, 6, "int")]),
+        },
+        out,
+    )
+    parts = read_manifold(
+        spark, out, 1, 1,
+        {
+            "O": [FixedField("k", 2, 6, "int"), FixedField("v", 8, 6, "int")],
+            "N": [FixedField("tag", 2, 6), FixedField("m", 8, 6, "int")],
+        },
+    )
+    assert {(r["k"], r["v"]) for r in parts["O"].collect()} == {(1, 100), (2, 200)}
+    assert parts["N"].collect()[0]["tag"] == "x"
