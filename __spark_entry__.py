@@ -28,7 +28,10 @@ def _encode_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from choetl_spark.synth import webpages_from_documents
 
     pages = webpages_from_documents(spark, sf_dir)
-    cfg = EncodeConfig(num_partitions=8, chunk_rows=4096, chunk_bytes=4 << 20)
+    cfg = EncodeConfig(
+        num_partitions=8, chunk_rows=4096, chunk_bytes=4 << 20,
+        deterministic=True,  # chunk-stable across driver reruns
+    )
     enc = encode_dataframe(pages, cfg)
     return compression_report(enc).select(
         "column",
@@ -428,7 +431,10 @@ def q_roundtrip_text_identity(spark, sf_dir):
     from choetl_spark.synth import webpages_from_documents
 
     pages = webpages_from_documents(spark, sf_dir)
-    cfg = EncodeConfig(num_partitions=8, chunk_rows=4096, chunk_bytes=4 << 20)
+    cfg = EncodeConfig(
+        num_partitions=8, chunk_rows=4096, chunk_bytes=4 << 20,
+        deterministic=True,  # chunk-stable across driver reruns
+    )
     enc = encode_dataframe(pages, cfg)
     decoded = decode_dataframe(enc, columns=["url", "text"])
     matched = (

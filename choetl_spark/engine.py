@@ -88,6 +88,14 @@ class EncodeConfig:
     #     input partitioning to be reproducible (true for file scans of
     #     the same table snapshot).
     shuffle: str = "salted"
+    # deterministic=True restores the within-partition sort by key_col in
+    # salted mode, making chunk contents (and therefore codec choices and
+    # per-chunk metrics) bit-stable across reruns — shuffle reads fetch
+    # map outputs in arbitrary order otherwise. Costs a string sort; row
+    # CONTENT round-trips identically either way, so this matters only
+    # when chunk-level artifacts must be reproducible (golden tests,
+    # cross-run fingerprint comparisons).
+    deterministic: bool = False
     partition_by_host: bool = True
     hot_factor: float = 2.0
     salt_buckets: int = 16
@@ -301,13 +309,16 @@ def encode_dataframe(df: DataFrame, cfg: EncodeConfig | None = None) -> DataFram
     if cfg.shuffle == "none":
         shuffled = picked  # scan-local: rows stay where the scan put them
     else:
-        # sort by part_id ONLY: the kernel needs each logical partition
-        # contiguous within a task; sorting by the row key too would cost
-        # a full string sort for no measured footprint gain (0.1780 ratio
-        # either way on the web-page table at sf-bench scale).
+        # sort by part_id ONLY (default): the kernel needs each logical
+        # partition contiguous within a task; sorting by the row key too
+        # costs a full string sort for no measured footprint gain (0.1780
+        # ratio either way on the web-page table at sf-bench scale).
+        sort_cols = (
+            ["part_id", cfg.key_col] if cfg.deterministic else ["part_id"]
+        )
         shuffled = picked.repartition(
             cfg.num_partitions, "part_id"
-        ).sortWithinPartitions("part_id")
+        ).sortWithinPartitions(*sort_cols)
     return shuffled.mapInArrow(
         _make_encode_kernel(cfg, logical), ENCODED_SCHEMA_DDL
     )
