@@ -374,6 +374,27 @@ def q_ann_lsh_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (coarse k-means quantizer + probed exact re-rank);
+    non-SQL-expressible training -> rows-only driver check."""
+    from choetl_spark.operators import cosine_topk_ivf, ivf_train_centroids
+
+    embs = _read(spark, sf_dir, "embeddings")
+    q = embs.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    cents = ivf_train_centroids(embs, n_clusters=8, sample_rows=2000)
+    out = cosine_topk_ivf(embs, [float(x) for x in q], cents, k=10, n_probe=4)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
+
+
+def q_winnowing_fingerprints(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints; rows-only driver check."""
+    from choetl_spark.operators import winnowing_fingerprints
+
+    docs = _read(spark, sf_dir, "documents")
+    out = winnowing_fingerprints(docs, "text", "doc_id")
+    return out.select("doc_id", F.size("fingerprints").alias("n_fp"))
+
+
 def q_minhash_pairs_documents(spark, sf_dir):
     from choetl_spark.operators import minhash_lsh_pairs, minhash_signatures
 
@@ -472,6 +493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_documents": q_lang_id_documents,
         "cosine_topk": q_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "winnowing_fingerprints": q_winnowing_fingerprints,
         "minhash_pairs_documents": q_minhash_pairs_documents,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "simhash_documents": q_simhash_documents,

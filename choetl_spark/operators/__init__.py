@@ -21,10 +21,14 @@ from choetl_spark.operators.dedup import (  # noqa: F401
 )
 from choetl_spark.operators.similarity import (  # noqa: F401
     cosine_topk,
+    cosine_topk_ivf,
     cosine_topk_lsh,
+    ivf_train_centroids,
     knn_join_brute,
+    with_ivf_cluster,
 )
 from choetl_spark.operators.textstats import (  # noqa: F401
+    winnowing_fingerprints,
     with_fingerprint,
     with_lang_id,
     with_quality_score,

@@ -57,22 +57,24 @@ def _minhash_params(n_hashes: int, seed: int = 42):
     return a, b
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Distinct k-byte shingle hashes of a text, vectorized."""
+def _rolling_hashes(text: str, k: int) -> np.ndarray:
+    """In-order k-byte rolling hashes of a text, vectorized:
+    hash[i] = sum_j a[i+j] * P^(k-1-j) mod 2^64."""
     raw = text.encode("utf-8", "ignore")
     if len(raw) < k:
         raw = raw + b" " * (k - len(raw))
     a = np.frombuffer(raw, dtype=np.uint8)
-    n = len(a) - k + 1
-    # polynomial rolling hash over a sliding window, fully vectorized:
-    # hash[i] = sum_j a[i+j] * P^(k-1-j) mod 2^64
     P = 1099511628211
     powers = np.array(
         [pow(P, k - 1 - j, 1 << 64) for j in range(k)], dtype=np.uint64
     )
     windows = np.lib.stride_tricks.sliding_window_view(a, k).astype(np.uint64)
-    hashes = (windows * powers).sum(axis=1, dtype=np.uint64)
-    return np.unique(hashes)
+    return (windows * powers).sum(axis=1, dtype=np.uint64)
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct k-byte shingle hashes of a text, vectorized."""
+    return np.unique(_rolling_hashes(text, k))
 
 
 def minhash_signatures(

@@ -8,6 +8,7 @@ matching buckets, exact re-rank inside)."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -147,4 +148,89 @@ def knn_join_brute(
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + probed exact re-rank
+# ---------------------------------------------------------------------------
+
+
+def ivf_train_centroids(
+    df: DataFrame,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 10000,
+    n_iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train the coarse quantizer on a bounded driver-side sample.
+
+    At 10^12 rows the sample stays bounded (limit), the k-means is a few
+    numpy matmuls on the driver, and the result broadcasts — the classic
+    IVF recipe. Deterministic: fixed seed, fixed iteration count."""
+    sample = np.array(
+        [r[0] for r in df.select(vec_col).limit(sample_rows).collect()],
+        dtype=np.float64,
+    )
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    sample = sample / np.maximum(norms, 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=n_clusters, replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(sample @ cent.T, axis=1)  # cosine on unit vecs
+        for c in range(n_clusters):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cent
+
+
+def with_ivf_cluster(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cluster",
+) -> DataFrame:
+    """Assign each row to its nearest centroid — one vectorized Arrow
+    batch matmul per task, no per-row Python. At scale, write the table
+    partitioned/bucketed by this column so probes prune partitions."""
+    from pyspark.sql.functions import pandas_udf
+
+    cent = centroids  # closure-captured; broadcast by Spark with the task
+
+    @pandas_udf("int")
+    def assign(vs: pd.Series) -> pd.Series:
+        mat = np.array(vs.tolist(), dtype=np.float64)
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+        )
+        return pd.Series(np.argmax(mat @ cent.T, axis=1).astype(np.int32))
+
+    return df.withColumn(out_col, assign(F.col(vec_col)))
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k via IVF: score only rows in the ``n_probe`` clusters
+    nearest the query, exact cosine re-rank inside."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qn = qv / max(np.linalg.norm(qv), 1e-12)
+    probes = np.argsort(-(centroids @ qn))[:n_probe].tolist()
+    clustered = with_ivf_cluster(df, centroids, vec_col)
+    q = F.array(*[F.lit(float(v)).cast("double") for v in query_vec])
+    sim = cosine_sim_col(F.col(vec_col).cast("array<double>"), q)
+    return (
+        clustered.filter(F.col("ivf_cluster").isin(probes))
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
     )

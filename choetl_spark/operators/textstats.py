@@ -81,3 +81,45 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of case/whitespace-normalized text."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn("fingerprint", F.md5(norm))
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003, public algorithm): k-gram rolling hashes, min per
+    sliding window, distinct mins as the fingerprint set. Vectorized
+    (one numpy pass per doc batch, no per-row Python beyond the
+    Arrow-batch loop); non-SQL-expressible — rows-only oracle."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from choetl_spark.operators.dedup import _rolling_hashes
+
+        for pdf in it:
+            ids, fps = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                hs = _rolling_hashes(str(text), k)
+                # sliding-window minimum over the (order-preserving) hash
+                # sequence; np.minimum.reduceat-based strided view
+                if len(hs) >= window:
+                    sw = np.lib.stride_tricks.sliding_window_view(hs, window)
+                    mins = sw.min(axis=1)
+                else:
+                    mins = hs
+                ids.append(did)
+                fps.append(
+                    np.unique(mins).astype(np.int64).tolist()
+                )
+            yield pd.DataFrame({id_col: ids, "fingerprints": fps})
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, f"{id_col} long, fingerprints array<long>"
+    )

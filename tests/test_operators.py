@@ -264,3 +264,60 @@ def test_embedding_neardup_and_dedup(spark):
     assert {r["id_a"] for r in pairs_lsh} | {r["id_b"] for r in pairs_lsh} == {
         0, 1, 2, 3, 4,
     }
+
+
+def test_ivf_ann_recall(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((4, 12)) * 5
+    rows = []
+    for i in range(200):
+        c = i % 4
+        rows.append((i, [float(x) for x in centers[c] + rng.standard_normal(12) * 0.3]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from choetl_spark.operators import (
+        cosine_topk,
+        cosine_topk_ivf,
+        ivf_train_centroids,
+        with_ivf_cluster,
+    )
+
+    cents = ivf_train_centroids(df, n_clusters=4, sample_rows=200, seed=7)
+    assert cents.shape == (4, 12)
+    # cluster assignment is total and in range
+    cl = with_ivf_cluster(df, cents)
+    assert cl.filter("ivf_cluster < 0 OR ivf_cluster > 3").count() == 0
+    q = rows[0][1]
+    exact = [r["vec_id"] for r in cosine_topk(df, q, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in cosine_topk_ivf(df, q, cents, k=10, n_probe=2).collect()
+    ]
+    # probing half the clusters on well-separated data: high recall
+    assert len(set(exact) & set(approx)) >= 8
+
+
+def test_winnowing_fingerprints(spark):
+    from choetl_spark.operators import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "a completely different sentence altogether here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: set(r["fingerprints"]) for r in
+           winnowing_fingerprints(df, "text", "doc_id").collect()}
+    assert out[1] == out[2]  # identical docs -> identical fingerprint sets
+    assert out[1] != out[3]
+    # overlap-based containment: shared substring -> shared fingerprints
+    df2 = spark.createDataFrame(
+        [(4, "prefix junk THEN the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    out4 = {r["doc_id"]: set(r["fingerprints"]) for r in
+            winnowing_fingerprints(df2, "text", "doc_id").collect()}
+    assert len(out[1] & out4[4]) > 0
