@@ -403,12 +403,21 @@ def decode_dataframe(
     columns: list[str] | None = None,
     num_partitions: int | None = None,
     batch_rows: int = 8192,
+    assume_colocated: bool = False,
 ) -> DataFrame:
     """Decode an encoded-chunk DataFrame back to source rows.
 
     Column pruning happens BEFORE the shuffle — unrequested columns'
     payload bytes never move (the analog of the reference reader's
     ignored-field pruning, ChoParquetRecordReader.cs:110-111).
+
+    Shuffle elision: a SINGLE-column decode never shuffles (each chunk
+    decodes independently; row alignment across columns is moot), and
+    ``assume_colocated=True`` skips the shuffle for multi-column reads
+    when the chunk table is already laid out with each part_id's chunks
+    in one input partition (true straight out of encode_dataframe, or
+    for storage written ``partitionBy("part_id")``) — at 100 TB that is
+    the difference between a read and a read-plus-reshuffle.
     """
     metas = _column_metas(enc_df)
     types = {c: _meta_storage_type(m) for c, m in metas.items()}
@@ -423,12 +432,17 @@ def decode_dataframe(
     pruned = enc_df.filter(F.col("column").isin(cols)).select(
         "part_id", "column", "payload", "meta", "row_start"
     )
-    p = num_partitions or enc_df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "32"
-    )
-    shuffled = pruned.repartition(int(p), "part_id").sortWithinPartitions(
-        "part_id", "column", "row_start"
-    ).select("part_id", "column", "payload", "meta")
+    if len(cols) == 1 or assume_colocated:
+        shuffled = pruned.sortWithinPartitions(
+            "part_id", "column", "row_start"
+        ).select("part_id", "column", "payload", "meta")
+    else:
+        p = num_partitions or enc_df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"
+        )
+        shuffled = pruned.repartition(int(p), "part_id").sortWithinPartitions(
+            "part_id", "column", "row_start"
+        ).select("part_id", "column", "payload", "meta")
     decoded = shuffled.mapInArrow(
         _make_decode_kernel(cols, out_schema, batch_rows), ddl
     )

@@ -157,3 +157,20 @@ def test_scan_local_interleaved_part_ids(spark):
     enc = encode_dataframe(with_part, cfg)
     decoded = decode_dataframe(enc)
     assert verify_roundtrip(src, decoded) == 0
+
+
+def test_single_column_decode_no_shuffle_roundtrip(spark, pages, encoded):
+    """Single-column decode elides the shuffle and still returns every
+    value (alignment is moot with one column)."""
+    langs = decode_dataframe(encoded, columns=["lang"])
+    src = pages.groupBy("lang").count().orderBy("lang").collect()
+    got = langs.groupBy("lang").count().orderBy("lang").collect()
+    assert [tuple(r) for r in src] == [tuple(r) for r in got]
+
+
+def test_colocated_decode_roundtrip(spark, pages, encoded):
+    """assume_colocated on a freshly-encoded (cached) chunk table: chunks
+    of each part sit in one partition, so the shuffle-free multi-column
+    decode must still be bit-identical."""
+    decoded = decode_dataframe(encoded, assume_colocated=True)
+    assert verify_roundtrip(pages, decoded) == 0

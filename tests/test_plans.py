@@ -50,13 +50,21 @@ def test_decode_prunes_columns_before_shuffle(spark, pages):
         pages, EncodeConfig(num_partitions=4, shuffle="none")
     ).cache()
     enc.count()
-    dec = decode_dataframe(enc, columns=["lang"])
+    # multi-column read: the column filter must sit BELOW the exchange
+    # (plans print top-down, so below = later line): payload bytes of
+    # unrequested columns never shuffle
+    dec = decode_dataframe(enc, columns=["lang", "url"])
     plan = explain_str(dec, "simple")
-    # the column filter must sit BELOW the exchange (plans print top-down,
-    # so below = later line): payload bytes of unrequested columns never
-    # shuffle
-    assert "Exchange" in plan and "= lang" in plan, plan
-    assert plan.index("Exchange") < plan.index("= lang"), plan
+    assert "Exchange" in plan and " IN (lang,url)" in plan, plan
+    assert plan.index("Exchange") < plan.index(" IN (lang,url)"), plan
+    # single-column read: no shuffle at all (chunks decode independently)
+    one = decode_dataframe(enc, columns=["lang"])
+    plan1 = explain_str(one, "simple")
+    assert "Exchange" not in plan1, plan1
+    # colocated multi-column read (straight out of encode): no shuffle
+    both = decode_dataframe(enc, columns=["lang", "url"], assume_colocated=True)
+    plan2 = explain_str(both, "simple")
+    assert "Exchange" not in plan2, plan2
     enc.unpersist()
 
 
