@@ -6,10 +6,11 @@ Default: run headline queries at $SPARK_GRAFT_SF_DIR (default
    "queries": {name: sec}, "sf": ...}
 
 --scaling: run the identical encode job at local[N] and local[4N]
-(default 4/16, override SPARK_GRAFT_SCALING_CORES="8,32") on the same
-input and write BENCH/BASELINE.md with throughput at both plus
-efficiency (T_4N/T_N)/4 — the sandbox evidence for the north rule's
-N→4N ≥0.8 scaling criterion (see BASELINE.md).
+(default 2/8 — see SCALING_CORES for why; override
+SPARK_GRAFT_SCALING_CORES) on the same input and write BENCH/BASELINE.md
+with throughput at both plus efficiency (T_4N/T_N)/4 — the sandbox
+evidence for the north rule's N→4N ≥0.8 scaling criterion (see
+BASELINE.md).
 """
 
 from __future__ import annotations
@@ -174,9 +175,9 @@ def _measure_encode(cores: str, sf_dir: str) -> dict:
 
     Core-count note: each encode task runs a JVM pipeline thread AND a
     Python worker, so local[k] keeps up to 2k threads runnable; the
-    N-vs-4N comparison defaults to 4/16 so the 4N side still fits the
-    32-hardware-core box — measuring the ENGINE's scaling, not the box's
-    saturation point.
+    N-vs-4N pair defaults to 2/8 so even the 4N side stays below the
+    box's memory-bandwidth saturation point (see SCALING_CORES comment)
+    — measuring the ENGINE's scaling, not the box's.
     """
     from pyspark.sql import functions as F
 
