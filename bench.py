@@ -127,6 +127,16 @@ BENCHES = {
 def run_default() -> None:
     spark = make_spark(CPUS)
     spark.sparkContext.setLogLevel("ERROR")
+    # warm Python workers with the real kernel so the first query times
+    # the query, not worker forks + numpy/pyarrow imports
+    from choetl_spark.engine import EncodeConfig, encode_dataframe
+    from choetl_spark.synth import webpages
+
+    encode_dataframe(
+        webpages(spark, int(CPUS) * 1024, partitions=int(CPUS) * 2),
+        EncodeConfig(num_partitions=int(CPUS) * 2, chunk_rows=1024,
+                     shuffle="none"),
+    ).count()
     times: dict[str, float] = {}
     for name, fn in BENCHES.items():
         t0 = time.perf_counter()
