@@ -36,6 +36,25 @@ from choetl_spark.codecs.base import (
 _SEP = " "
 
 
+def _split_tokens(arr: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """(flat token array, tokens-per-row) == flattened
+    ``split_pattern(arr, " ")``.
+
+    Measured note: a numpy-on-raw-buffers splitter (boolean-compress the
+    separator bytes out of the values buffer, scatter the merged
+    boundary stream — no sort needed since each row's separators lie
+    between its offsets) was prototyped and is byte-identical, but lands
+    at ~1.0s/165MB vs 0.78s for Arrow's C++ kernel: the boolean gather
+    and flatnonzero alone cost more than memchr-based splitting. Arrow's
+    kernel stays.
+    """
+    toks = pc.split_pattern(arr, _SEP)  # works for string AND binary
+    return (
+        pc.list_flatten(toks),
+        np.asarray(pc.list_value_length(toks).cast(pa.int64())),
+    )
+
+
 def encode_worddict(
     arr: pa.Array, values_codec: str = "fsst", **_opts
 ) -> tuple[bytes, dict]:
@@ -49,9 +68,7 @@ def encode_worddict(
         or pa.types.is_large_binary(t)
     ):
         raise TypeError("worddict operates on string/binary arrays")
-    toks = pc.split_pattern(arr, _SEP)  # works for string AND binary
-    flat = pc.list_flatten(toks)
-    ntoks_per_row = np.asarray(pc.list_value_length(toks).cast(pa.int64()))
+    flat, ntoks_per_row = _split_tokens(arr)
     d = pc.dictionary_encode(flat)
     if isinstance(d, pa.ChunkedArray):
         d = d.combine_chunks()
