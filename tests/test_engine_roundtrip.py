@@ -174,3 +174,34 @@ def test_colocated_decode_roundtrip(spark, pages, encoded):
     decode must still be bit-identical."""
     decoded = decode_dataframe(encoded, assume_colocated=True)
     assert verify_roundtrip(pages, decoded) == 0
+
+
+def test_speed_profile_roundtrip_and_footprint(spark, pages, encoded):
+    """optimize_for="speed" (dict-or-plain + zstd, no token-dictionary /
+    FSST string paths) must still decode bit-identical; its footprint
+    sits between the balanced profile's and ~0.45x raw — the
+    parquet-style lower-compression-level end of the trade curve
+    (BENCH/BASELINE.md measures it against the real parquet+zstd
+    writer)."""
+    cfg = EncodeConfig(
+        num_partitions=8, chunk_rows=512, chunk_bytes=1 << 20,
+        optimize_for="speed",
+    )
+    enc = encode_dataframe(pages, cfg).cache()
+    decoded = decode_dataframe(enc)
+    assert verify_roundtrip(pages, decoded) == 0
+    rep = compression_report(enc).collect()
+    speed_enc = sum(r["encoded_bytes"] for r in rep)
+    total_raw = sum(r["raw_bytes"] for r in rep)
+    balanced_enc = sum(
+        r["encoded_bytes"] for r in compression_report(encoded).collect()
+    )
+    assert balanced_enc <= speed_enc < total_raw * 0.45, (
+        balanced_enc, speed_enc, total_raw
+    )
+    # the string-heavy columns must NOT have picked the slow paths
+    text_codecs = {r["codec"] for r in rep if r["column"] in ("text", "html")}
+    assert not any(
+        c.startswith(("worddict", "fsst")) for c in text_codecs
+    ), text_codecs
+    enc.unpersist()
