@@ -1,0 +1,79 @@
+"""The ship-it surface: the real ``spark-submit --py-files`` artifact.
+
+The north rule requires the job to run via spark-submit with the
+package shipped as a zip (the analog of deploying to a multi-executor
+cluster, where only the driver script and --py-files reach the
+executors). This builds ``choetl_spark.zip`` with the repo tool, then
+runs ``jobs/encode_job.py`` twice through an actual spark-submit
+subprocess: the first run encodes, the second must resume from the
+ledger and encode zero partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.skipif(
+    shutil.which("spark-submit") is None, reason="spark-submit not on PATH"
+)
+def test_spark_submit_pyfiles_encode_and_resume(spark, tmp_path):
+    src = str(tmp_path / "pages.parquet")
+    out = str(tmp_path / "encoded")
+    from choetl_spark.synth import webpages
+
+    webpages(spark, 600, partitions=2).write.parquet(src)
+
+    subprocess.run(
+        ["sh", os.path.join(REPO, "tools", "make_pyfiles_zip.sh")],
+        check=True, capture_output=True,
+    )
+    zip_path = os.path.join(REPO, "choetl_spark.zip")
+    assert os.path.exists(zip_path)
+
+    # env WITHOUT the repo on PYTHONPATH: executors must get the package
+    # from --py-files alone, as they would on a real cluster
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("PYTHONPATH", "SPARK_HOME")
+    }
+    cmd = [
+        "spark-submit", "--master", "local[2]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--py-files", zip_path,
+        os.path.join(REPO, "jobs", "encode_job.py"),
+        "--input", src, "--output", out,
+        "--partitions", "4", "--chunk-rows", "256",
+        "--chunk-bytes", str(1 << 20),
+    ]
+
+    def run() -> dict:
+        r = subprocess.run(
+            cmd, cwd=str(tmp_path), env=env, capture_output=True, text=True,
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-3000:]
+        report = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        assert report, r.stdout[-2000:]
+        return json.loads(report[-1])
+
+    first = run()
+    assert first["partitions_encoded_this_run"] == 4
+    assert {c["column"] for c in first["columns"]} == {
+        "url", "warc_ts", "html", "text", "lang"
+    }
+    assert all(c["encoded_bytes"] < c["raw_bytes"] for c in first["columns"]
+               if c["raw_bytes"] > 1000)
+
+    second = run()
+    assert second["partitions_already_done"] == 4
+    assert second["partitions_encoded_this_run"] == 0
