@@ -424,6 +424,11 @@ curve.
   efficiency **{r8["wall_sec_salted"] / r32["wall_sec_salted"] / 4:.3f}**
 - speed-profile speedup N->4N: **{r8["wall_sec_speed"] / r32["wall_sec_speed"]:.2f}x**,
   efficiency **{r8["wall_sec_speed"] / r32["wall_sec_speed"] / 4:.3f}**
+  (the speed profile does the least compute per byte, so it is the most
+  memory-bandwidth-bound mode — the shared-bus sandbox analog
+  under-predicts its cluster scaling hardest; see the no-op-transfer
+  control above. On separate executor hosts each node brings its own
+  bus.)
 
 ## Compression footprint
 
