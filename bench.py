@@ -74,6 +74,18 @@ def bench_encode(spark, sf_dir: str) -> None:
     enc.select("encoded_bytes").agg({"encoded_bytes": "sum"}).collect()
 
 
+def bench_encode_speed(spark, sf_dir: str) -> None:
+    from choetl_spark.engine import EncodeConfig, encode_dataframe
+
+    pages = _pages(spark, sf_dir)
+    cfg = EncodeConfig(
+        num_partitions=64, chunk_rows=8192, chunk_bytes=8 << 20,
+        shuffle="none", optimize_for="speed",
+    )
+    enc = encode_dataframe(pages, cfg)
+    enc.select("encoded_bytes").agg({"encoded_bytes": "sum"}).collect()
+
+
 def bench_roundtrip(spark, sf_dir: str) -> None:
     from choetl_spark.engine import (
         EncodeConfig,
@@ -116,6 +128,7 @@ def bench_cosine(spark, sf_dir: str) -> None:
 
 BENCHES = {
     "encode_webpages": bench_encode,
+    "encode_speed_profile": bench_encode_speed,
     "roundtrip_decode": bench_roundtrip,
     "pricing_summary": bench_pricing,
     "join_topk_revenue": bench_join_topk,
