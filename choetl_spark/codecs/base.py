@@ -182,28 +182,46 @@ def unpack_uints(buf: bytes, n: int, width: int) -> np.ndarray:
         return np.frombuffer(buf, dtype=f"<u{width // 8}", count=n).astype(
             np.uint64
         )
-    nb = (n + 7) // 8
+    # word-gather unpack: value i spans at most two little-endian uint64
+    # words of the packed stream (width < 64). Two gathers + three shifts
+    # per value, all n-length uint64 ops — no (n x width) byte
+    # intermediate (the previous block-vectorized form expanded the
+    # buffer 8x through uint64 and was the decode-path hot spot).
+    n_words = (n * width + 63) // 64 + 1  # +1: q+1 gather never OOB
     raw = np.frombuffer(buf, dtype=np.uint8)
-    if len(raw) < nb * width:
+    if len(raw) < n_words * 8:
         raw = np.concatenate(
-            [raw, np.zeros(nb * width - len(raw), dtype=np.uint8)]
+            [raw, np.zeros(n_words * 8 - len(raw), dtype=np.uint8)]
         )
-    B = raw[: nb * width].reshape(nb, width).astype(np.uint64)
+    W = raw[: n_words * 8].view("<u8")
     mask = np.uint64((1 << width) - 1)
-    out = np.empty((nb, 8), dtype=np.uint64)
-    for k in range(8):  # value index within a block
-        lo_bit = k * width
-        b0 = lo_bit // 8
-        b1 = (lo_bit + width - 1) // 8
-        acc = np.zeros(nb, dtype=np.uint64)
-        for b in range(b0, b1 + 1):
-            s = 8 * b - lo_bit
-            if s >= 0:
-                acc |= B[:, b] << np.uint64(s)
-            else:
-                acc |= B[:, b] >> np.uint64(-s)
-        out[:, k] = acc & mask
-    return out.reshape(-1)[:n]
+    out = np.empty(n, dtype=np.uint64)
+    # cache-resident blocks: every temporary below is <= 8 MB, so the
+    # ~10 elementwise passes run against L2/L3 instead of DRAM
+    blk = 1 << 20
+    base = np.arange(min(blk, n), dtype=np.int64)
+    for s in range(0, n, blk):
+        e = min(s + blk, n)
+        bit = base[: e - s] + s
+        bit *= width
+        q = bit >> 6
+        r = bit  # reuse: r = bit & 63, in place
+        r &= 63
+        ru = r.view(np.uint64)
+        lo = W[q]
+        lo >>= ru
+        q += 1
+        hi = W[q]
+        # value spans at most two words; shift-by-64 (r==0 lane) is UB,
+        # so split it: (x << 1) << (63 - r) == x << (64 - r), and at
+        # r==0 the double shift correctly overflows to 0
+        hi <<= np.uint64(1)
+        ru ^= 63  # 63 - r for r in [0, 63]
+        hi <<= ru
+        lo |= hi
+        lo &= mask
+        out[s:e] = lo
+    return out
 
 
 # ---------------------------------------------------------------------------
