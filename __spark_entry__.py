@@ -147,7 +147,7 @@ def q_json_extract_events(spark, sf_dir):
             "k", F.get_json_object("props", "$.k").cast("bigint")
         )
         .groupBy("event_type")
-        .agg(F.sum("k").alias("sum_k"), F.count("*").alias("n"))
+        .agg(F.sum("k").cast("long").alias("sum_k"), F.count("*").alias("n"))
     )
 
 
@@ -242,7 +242,7 @@ def q_manifold_dispatch(spark, sf_dir):
     return (
         stream.select(code.alias("rec_type"), key.alias("key"))
         .groupBy("rec_type")
-        .agg(F.count("*").alias("n"), F.sum("key").alias("sum_key"))
+        .agg(F.count("*").alias("n"), F.sum("key").cast("long").alias("sum_key"))
     )
 
 
@@ -599,7 +599,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_extract_events": """
             SELECT event_type,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
                    count(*) AS n
             FROM events GROUP BY event_type
         """,
@@ -652,7 +653,8 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT substring(value, 1, 3) AS rec_type,
                    count(*) AS n,
-                   sum(CAST(substring(value, 4, 12) AS BIGINT)) AS sum_key
+                   CAST(sum(CAST(substring(value, 4, 12) AS BIGINT))
+                        AS BIGINT) AS sum_key
             FROM stream GROUP BY 1
         """,
         "zip_positional": """

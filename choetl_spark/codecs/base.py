@@ -274,7 +274,11 @@ def from_int_view(vals: np.ndarray, dtype_str: str) -> pa.Array:
 
 
 def data_nbytes(arr: pa.Array) -> int:
-    """Logical data size of an array (values + offsets, excl. validity)."""
+    """Logical data size of an array (values + one offset per value,
+    excl. validity). Deliberately chunk-invariant: summing chunk sizes of
+    any split of a column gives the same total, so per-column raw_bytes
+    is a pure function of the data (and DuckDB-recomputable in the
+    driver's oracle check: sum(octet_length) + 4*n)."""
     t = arr.type
     n = len(arr)
     if pa.types.is_string(t) or pa.types.is_binary(t):
@@ -283,12 +287,12 @@ def data_nbytes(arr: pa.Array) -> int:
         total = pa.compute.sum(
             pa.compute.binary_length(payload).cast(pa.int64())
         ).as_py()
-        return int(total or 0) + off * (n + 1)
+        return int(total or 0) + off * n
     if pa.types.is_large_string(t) or pa.types.is_large_binary(t):
         total = pa.compute.sum(
             pa.compute.binary_length(arr).cast(pa.int64())
         ).as_py()
-        return int(total or 0) + 8 * (n + 1)
+        return int(total or 0) + 8 * n
     if pa.types.is_boolean(t):
         return (n + 7) // 8
     return n * t.bit_width // 8

@@ -61,22 +61,24 @@ def encode_plain(arr: pa.Array) -> tuple[bytes, dict]:
 
 
 def _var_data_bytes(arr: pa.Array) -> bytes:
-    """Concatenated value bytes of a string/binary array, zero-copy-ish."""
-    # normalize slice offset, then read the data buffer between offsets
+    """Concatenated value bytes of a string/binary array.
+
+    Reads the parent data buffer between the slice's offsets directly —
+    one copy of exactly the slice's bytes (pa.Buffer.slice is zero-copy),
+    never a copy of the whole parent buffer per chunk."""
     arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
     if len(arr) == 0:
         return b""
-    flat = pa.concat_arrays([arr])  # ensures a plain layout
-    offsets_buf = flat.buffers()[1]
-    data_buf = flat.buffers()[2]
-    big = pa.types.is_large_string(flat.type) or pa.types.is_large_binary(flat.type)
-    odt = np.int64 if big else np.int32
-    offs = np.frombuffer(offsets_buf, dtype=odt, count=len(flat) + 1 + flat.offset)
-    start = int(offs[flat.offset])
-    end = int(offs[flat.offset + len(flat)])
+    offsets_buf = arr.buffers()[1]
+    data_buf = arr.buffers()[2]
     if data_buf is None:
         return b""
-    return data_buf.to_pybytes()[start:end]
+    big = pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+    odt = np.int64 if big else np.int32
+    offs = np.frombuffer(offsets_buf, dtype=odt, count=len(arr) + 1 + arr.offset)
+    start = int(offs[arr.offset])
+    end = int(offs[arr.offset + len(arr)])
+    return data_buf.slice(start, end - start).to_pybytes()
 
 
 def decode_plain(payload: bytes, meta: dict) -> pa.Array:

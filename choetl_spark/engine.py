@@ -159,41 +159,67 @@ def _encode_block(
 ) -> pa.RecordBatch:
     """Encode one buffered block of a logical partition into chunk rows."""
     out: dict[str, list] = {name: [] for name in _ENCODED_PA_SCHEMA.names}
+    stats_level = "cheap" if cfg.optimize_for == "speed" else "full"
     for name in table.column_names:
         if name == "part_id":
             continue
-        col = table.column(name).combine_chunks()
-        for start, ln in _chunk_ranges(col, cfg.chunk_rows, cfg.chunk_bytes):
-            sl = col.slice(start, ln)
-            st = compute_stats(sl)
-            override = cfg.codec_overrides.get(name)
-            codec, opts = choose_codec(
-                sl, st=st, override=override, optimize_for=cfg.optimize_for
-            )
-            payload, meta = encode_array(sl, codec=codec, zstd=cfg.zstd, **opts)
-            if logical and name in logical:
-                meta["logical"] = logical[name]
-            top = meta["child"] if meta["codec"] == "zstd" else meta
-            pre = meta.get("pre_zstd_bytes", len(payload))
-            out["part_id"].append(part_id)
-            out["column"].append(name)
-            out["chunk_seq"].append(seq_base[name])
-            out["row_start"].append(row_base[name])
-            out["n_rows"].append(ln)
-            out["codec"].append(top["codec"] + ("+zstd" if meta["codec"] == "zstd" else ""))
-            out["n_nulls"].append(st.n_nulls)
-            out["raw_bytes"].append(st.data_bytes)
-            out["encoded_bytes"].append(len(payload))
-            out["pre_zstd_bytes"].append(pre)
-            out["payload"].append(payload)
-            out["meta"].append(json.dumps(meta, separators=(",", ":")))
-            out["stats"].append(json.dumps(st.to_dict(), separators=(",", ":")))
-            row_base[name] += ln
-            seq_base[name] += 1
+        col = table.column(name)
+        # combine only small columns: for a blob-heavy column the
+        # combine is a full extra copy of the buffered block, and its
+        # Arrow-batch pieces already exceed the chunk byte cap, so
+        # encoding per piece loses nothing
+        if col.num_chunks > 1 and col.nbytes <= cfg.chunk_bytes:
+            pieces = [col.combine_chunks()]
+        else:
+            pieces = col.chunks
+        for piece in pieces:
+            _encode_piece(part_id, piece, name, out, row_base, seq_base,
+                          cfg, stats_level, logical)
     arrays = [
         pa.array(out[f.name], type=f.type) for f in _ENCODED_PA_SCHEMA
     ]
     return pa.RecordBatch.from_arrays(arrays, schema=_ENCODED_PA_SCHEMA)
+
+
+def _encode_piece(
+    part_id: int,
+    piece: pa.Array,
+    name: str,
+    out: dict[str, list],
+    row_base: dict[str, int],
+    seq_base: dict[str, int],
+    cfg: EncodeConfig,
+    stats_level: str,
+    logical: dict[str, str] | None,
+) -> None:
+    """Chunk-split and encode one contiguous Arrow piece of a column."""
+    for start, ln in _chunk_ranges(piece, cfg.chunk_rows, cfg.chunk_bytes):
+        sl = piece.slice(start, ln)
+        st = compute_stats(sl, level=stats_level)
+        override = cfg.codec_overrides.get(name)
+        codec, opts = choose_codec(
+            sl, st=st, override=override, optimize_for=cfg.optimize_for
+        )
+        payload, meta = encode_array(sl, codec=codec, zstd=cfg.zstd, **opts)
+        if logical and name in logical:
+            meta["logical"] = logical[name]
+        top = meta["child"] if meta["codec"] == "zstd" else meta
+        pre = meta.get("pre_zstd_bytes", len(payload))
+        out["part_id"].append(part_id)
+        out["column"].append(name)
+        out["chunk_seq"].append(seq_base[name])
+        out["row_start"].append(row_base[name])
+        out["n_rows"].append(ln)
+        out["codec"].append(top["codec"] + ("+zstd" if meta["codec"] == "zstd" else ""))
+        out["n_nulls"].append(st.n_nulls)
+        out["raw_bytes"].append(st.data_bytes)
+        out["encoded_bytes"].append(len(payload))
+        out["pre_zstd_bytes"].append(pre)
+        out["payload"].append(payload)
+        out["meta"].append(json.dumps(meta, separators=(",", ":")))
+        out["stats"].append(json.dumps(st.to_dict(), separators=(",", ":")))
+        row_base[name] += ln
+        seq_base[name] += 1
 
 
 _SIMPLE_SPARK_TYPES = {

@@ -98,28 +98,51 @@ def winnowing_fingerprints(
     from collections.abc import Iterator
 
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
-    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from choetl_spark.operators.dedup import _rolling_hashes
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from choetl_spark.operators.dedup import (
+            _batch_window_hashes,
+            _unique_per_doc,
+        )
 
-        for pdf in it:
-            ids, fps = [], []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
-                hs = _rolling_hashes(str(text), k)
-                # sliding-window minimum over the (order-preserving) hash
-                # sequence; np.minimum.reduceat-based strided view
-                if len(hs) >= window:
-                    sw = np.lib.stride_tricks.sliding_window_view(hs, window)
-                    mins = sw.min(axis=1)
-                else:
-                    mins = hs
-                ids.append(did)
-                fps.append(
-                    np.unique(mins).astype(np.int64).tolist()
-                )
-            yield pd.DataFrame({id_col: ids, "fingerprints": fps})
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            h, wseg = _batch_window_hashes(batch.column(1), k)
+            n_win = np.diff(wseg)
+            # global sliding-window min over the flattened hash stream
+            # (window-1 shifted np.minimum passes), then select each
+            # doc's valid positions; docs shorter than the window keep
+            # all their hashes (scalar-reference semantics)
+            m = len(h) - window + 1
+            if m > 0:
+                gmin = h[:m].copy()
+                for j in range(1, window):
+                    np.minimum(gmin, h[j : j + m], out=gmin)
+            valid = np.where(n_win >= window, n_win - window + 1, n_win)
+            vseg = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(valid, out=vseg[1:])
+            total = int(vseg[-1])
+            intra = np.arange(total, dtype=np.int64) - np.repeat(
+                vseg[:-1], valid
+            )
+            pos = np.repeat(wseg[:-1], valid) + intra
+            vals = h[pos]
+            long_mask = np.repeat(n_win >= window, valid)
+            if m > 0:
+                vals[long_mask] = gmin[pos[long_mask]]
+            uniq, seg = _unique_per_doc(vals, vseg)
+            offsets = pa.array(seg.astype(np.int32), type=pa.int32())
+            fp_arr = pa.ListArray.from_arrays(
+                offsets, pa.array(uniq.astype(np.int64), type=pa.int64())
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0).cast(pa.int64()), fp_arr],
+                names=[id_col, "fingerprints"],
+            )
 
-    return df.select(id_col, text_col).mapInPandas(
+    return df.select(id_col, text_col).mapInArrow(
         kernel, f"{id_col} long, fingerprints array<long>"
     )

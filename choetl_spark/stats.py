@@ -46,14 +46,19 @@ class ChunkStats:
         return asdict(self)
 
 
-def compute_stats(arr: pa.Array) -> ChunkStats:
+def compute_stats(arr: pa.Array, level: str = "full") -> ChunkStats:
+    """``level="cheap"`` (the speed profile) skips the string-column
+    entropy/token-census work and shrinks the NDV sample: the speed
+    selector only needs NDV (dict-vs-plain) and lengths, so the byte
+    histogram and tokenizer would be pure overhead."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
     st = ChunkStats(n=n, n_nulls=arr.null_count, data_bytes=data_nbytes(arr))
     if n == 0:
         return st
-    sample = arr.slice(0, min(n, _SAMPLE_ROWS))
+    sample_rows = _SAMPLE_ROWS if level == "full" else 512
+    sample = arr.slice(0, min(n, sample_rows))
     sample = sample.drop_null() if sample.null_count else sample
     ns = len(sample)
     if ns == 0:
@@ -83,8 +88,10 @@ def compute_stats(arr: pa.Array) -> ChunkStats:
         lengths = np.asarray(pa.compute.binary_length(sample).cast(pa.int64()))
         st.avg_len = float(lengths.mean()) if ns else 0.0
         st.ndv = extrapolate_ndv(int(len(pa.compute.unique(sample))))
+        if level != "full":
+            return st
         st.mean_run_len = _mean_run_len_str(sample)
-        blob = _sample_blob(sample)
+        blob = _sample_blob(sample, st.avg_len)
         if blob:
             b = np.frombuffer(blob, dtype=np.uint8)
             hist = np.bincount(b, minlength=256).astype(np.float64)
@@ -132,8 +139,14 @@ def _mean_run_len_str(sample: pa.Array) -> float:
     return n / changes
 
 
-def _sample_blob(sample: pa.Array) -> bytes:
+def _sample_blob(sample: pa.Array, avg_len: float) -> bytes:
     from choetl_spark.codecs.core import _var_data_bytes
 
+    # bound the extraction itself: only as many rows as plausibly reach
+    # the byte cap get copied (the full sample of a blob-heavy column
+    # would copy tens of MB just to keep 64 KB)
+    n_rows = max(int(_SAMPLE_BYTES / max(avg_len, 1.0)) + 1, 16)
+    if n_rows < len(sample):
+        sample = sample.slice(0, n_rows)
     blob = _var_data_bytes(sample)
     return blob[:_SAMPLE_BYTES]

@@ -321,3 +321,98 @@ def test_winnowing_fingerprints(spark):
     out4 = {r["doc_id"]: set(r["fingerprints"]) for r in
             winnowing_fingerprints(df2, "text", "doc_id").collect()}
     assert len(out[1] & out4[4]) > 0
+
+
+# ---------------------------------------------------------------------------
+# golden pins: the vectorized batch kernels must stay byte-identical to the
+# scalar reference formulations (independent re-implementations kept in
+# dedup._rolling_hashes/_shingle_hashes)
+# ---------------------------------------------------------------------------
+
+_GOLD_TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "a",
+    "",
+    "hello hello hello hello",
+    "pack my box with five dozen liquor jugs 0123456789",
+    "élève naïve résumé 中文 русский",
+]
+# first doc's 16-hash minhash signature (seed 42, k=5), captured from the
+# round-1 scalar implementation before vectorizing
+_GOLD_MINHASH_ROW0 = [
+    115985141483318692, 28114043922200551, 143217876424581067,
+    15654985555661377, 21292975623694428, 89868645266859749,
+    69539902612416219, 4936609761954424, 13776647838817355,
+    32882885793618512, 8124221233169224, 2297319517202105,
+    111516490091747288, 34079570494005312, 30030462393813102,
+    10961104791629489,
+]
+_GOLD_SIMHASH = [
+    -7599173451206567146, 5234443914831993451, 1557189942547607808,
+    -9157723495791066573, -7580029862846887742, -7474224949283946368,
+]
+_GOLD_WINNOW_ROW0 = [
+    50041765723224016, 272267430380485925, 272267430380485930,
+    1448106193143926670, 1938890019404177682, 3020893739071947619,
+    3789139491201631974, 3797467378296745833,
+]
+
+
+def _gold_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_GOLD_TEXTS)], "doc_id long, text string"
+    )
+
+
+def test_minhash_signature_golden(spark):
+    rows = {
+        r["doc_id"]: r["signature"]
+        for r in minhash_signatures(
+            _gold_df(spark), "text", "doc_id", n_hashes=16
+        ).collect()
+    }
+    assert rows[0] == _GOLD_MINHASH_ROW0
+    # scalar cross-check for every doc
+    from choetl_spark.operators.dedup import (
+        _MERSENNE, _minhash_params, _shingle_hashes,
+    )
+
+    a_p, b_p = _minhash_params(16, 42)
+    for i, t in enumerate(_GOLD_TEXTS):
+        sh = (_shingle_hashes(t, 5).astype(np.int64) % _MERSENNE).astype(
+            np.int64
+        )
+        vals = (
+            sh[None, :].astype(np.uint64) * a_p[:, None].astype(np.uint64)
+            + b_p[:, None].astype(np.uint64)
+        ) % np.uint64(_MERSENNE)
+        assert rows[i] == vals.min(axis=1).astype(np.int64).tolist()
+
+
+def test_simhash_signature_golden(spark):
+    rows = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_signatures(_gold_df(spark), "text", "doc_id").collect()
+    }
+    assert [rows[i] for i in range(len(_GOLD_TEXTS))] == _GOLD_SIMHASH
+
+
+def test_winnowing_golden(spark):
+    from choetl_spark.operators import winnowing_fingerprints
+    from choetl_spark.operators.dedup import _rolling_hashes
+
+    rows = {
+        r["doc_id"]: r["fingerprints"]
+        for r in winnowing_fingerprints(
+            _gold_df(spark), "text", "doc_id"
+        ).collect()
+    }
+    assert rows[0] == _GOLD_WINNOW_ROW0
+    # scalar cross-check (independent sliding-window-min formulation)
+    for i, t in enumerate(_GOLD_TEXTS):
+        hs = _rolling_hashes(t, 5)
+        if len(hs) >= 8:
+            mins = np.lib.stride_tricks.sliding_window_view(hs, 8).min(axis=1)
+        else:
+            mins = hs
+        assert rows[i] == np.unique(mins).astype(np.int64).tolist()
