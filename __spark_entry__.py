@@ -365,7 +365,13 @@ def q_cosine_topk(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
 
 
+_EMB_DIM = 64  # embeddings.parquet vector length (TESTDATA.md, all sf)
+
+
 def q_ann_lsh_topk(spark, sf_dir):
+    """LSH ANN top-k. Oracle-checked end to end: the random-hyperplane
+    bucket rule is deterministic (seed 42), so the DuckDB oracle
+    replicates bucketing + probing + exact re-rank from plane literals."""
     from choetl_spark.operators import cosine_topk_lsh
 
     embs = _read(spark, sf_dir, "embeddings")
@@ -375,19 +381,25 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    """IVF ANN (coarse k-means quantizer + probed exact re-rank);
-    non-SQL-expressible training -> rows-only driver check."""
-    from choetl_spark.operators import cosine_topk_ivf, ivf_train_centroids
+    """IVF ANN (coarse quantizer + probed exact re-rank). The driver
+    query uses fixed seeded anchors (ivf_anchor_centroids) so the DuckDB
+    oracle can replicate the quantizer from literals; k-means training
+    (ivf_train_centroids) remains the library default, covered by the
+    pytest recall tests."""
+    from choetl_spark.operators import cosine_topk_ivf
+    from choetl_spark.operators.similarity import ivf_anchor_centroids
 
     embs = _read(spark, sf_dir, "embeddings")
     q = embs.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
-    cents = ivf_train_centroids(embs, n_clusters=8, sample_rows=2000)
+    cents = ivf_anchor_centroids(_EMB_DIM, n_clusters=8, seed=42)
     out = cosine_topk_ivf(embs, [float(x) for x in q], cents, k=10, n_probe=4)
     return out.select("vec_id", F.round("cosine", 4).alias("cosine_r"))
 
 
 def q_winnowing_fingerprints(spark, sf_dir):
-    """Rolling-hash winnowing fingerprints; rows-only driver check."""
+    """Rolling-hash winnowing fingerprints; non-SQL-expressible ->
+    rows-only driver check (the signature math is pinned by the golden
+    tests in tests/test_operators.py)."""
     from choetl_spark.operators import winnowing_fingerprints
 
     docs = _read(spark, sf_dir, "documents")
@@ -395,41 +407,84 @@ def q_winnowing_fingerprints(spark, sf_dir):
     return out.select("doc_id", F.size("fingerprints").alias("n_fp"))
 
 
+def _planted_corpus(docs):
+    """documents plus an exact copy of every 10th doc under a shifted id
+    — a deterministic near-dup corpus whose true duplicate pairs the
+    DuckDB oracle recomputes by text equality. (The raw corpus has no
+    duplicates, so an un-planted near-dup query would verify nothing.)"""
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return docs.select("doc_id", "text").unionAll(planted)
+
+
 def q_minhash_pairs_documents(spark, sf_dir):
-    from choetl_spark.operators import minhash_lsh_pairs, minhash_signatures
+    """Full near-dup pipeline: minhash signatures -> banded LSH
+    candidates -> exact n-gram-Jaccard verification. Recall is
+    structural for the planted exact copies (identical signature ->
+    every band collides); the >=0.99 exact-Jaccard verify step gives the
+    oracle a sound predicate (pairs of equal texts)."""
+    from choetl_spark.operators import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
 
     docs = _read(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "text", "doc_id", n_hashes=32)
-    return minhash_lsh_pairs(sigs, "doc_id", n_hashes=32, bands=8, threshold=0.9)
+    corpus = _planted_corpus(docs).repartition(8, "doc_id")
+    sigs = minhash_signatures(corpus, "text", "doc_id", n_hashes=32).persist()
+    cand = minhash_lsh_pairs(sigs, "doc_id", n_hashes=32, bands=8, threshold=0.9)
+    verified = ngram_jaccard_pairs(
+        corpus, cand.select("id_a", "id_b"), "text", "doc_id", n=3
+    )
+    return verified.filter(F.col("jaccard") >= 0.99).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r")
+    )
 
 
 def q_embedding_neardup_pairs(spark, sf_dir):
+    """LSH-bucketed near-dup pairs (the scale-default path — candidates
+    only from matching sign-bit buckets, never all-pairs). The bucket
+    rule is seed-deterministic, so the oracle replicates it exactly."""
     from choetl_spark.operators import embedding_neardup_pairs
 
     embs = _read(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(embs, threshold=0.4).select(
+    return embedding_neardup_pairs(embs, threshold=0.4, dim=_EMB_DIM).select(
         "id_a", "id_b", F.round("cosine", 4).alias("cosine_r")
     )
 
 
 def q_simhash_documents(spark, sf_dir):
-    from choetl_spark.operators import simhash_signatures
+    """SimHash near-dup pipeline on the planted corpus: signatures ->
+    16-bit-band candidates (hamming <= 3) -> exact text-equality verify.
+    Recall for exact copies is structural (equal text -> equal simhash
+    -> every band collides); signature math is pinned by golden tests."""
+    from choetl_spark.operators import simhash_near_pairs, simhash_signatures
 
     docs = _read(spark, sf_dir, "documents")
-    return simhash_signatures(docs, "text", "doc_id")
+    corpus = _planted_corpus(docs).repartition(8, "doc_id")
+    sigs = simhash_signatures(corpus, "text", "doc_id").persist()
+    pairs = simhash_near_pairs(sigs, "doc_id", max_hamming=3)
+    ta = corpus.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
+    tb = corpus.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(F.col("_ta") == F.col("_tb"))
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing (stub decode, real batching): deterministic
-    features + media meta over binary payloads. Non-SQL-expressible
-    (sha256-seeded) -> rows-only driver check."""
+    """Multimodal plumbing (stub decode, real Arrow batching): feature
+    extraction + media meta over binary payloads. Oracle-checked: ids
+    are md5(url) (DuckDB-recomputable), the feature kernel's output
+    arity and the payload byte counts are recomputed by the oracle."""
     from choetl_spark.operators.multimodal import extract_features, with_media_meta
     from choetl_spark.synth import webpages_from_documents
 
     pages = webpages_from_documents(spark, sf_dir)
-    with_id = pages.select(
-        F.xxhash64("url").alias("media_id"), "html"
-    )
+    with_id = pages.select(F.md5(F.col("url")).alias("media_id"), "html")
     feats = extract_features(with_id, "html", "media_id", dim=8)
     meta = with_media_meta(with_id, "html").select(
         "media_id", F.col("media_meta.n_bytes").alias("n_bytes")
@@ -440,7 +495,24 @@ def q_multimodal_features(spark, sf_dir):
 
 
 def q_encode_summary(spark, sf_dir):
-    return _encode_summary(spark, sf_dir)
+    """Per-column encode accounting, oracle-checked: n_rows and
+    raw_bytes are chunk-invariant pure functions of the input (one
+    4-byte offset per var-len value + value bytes; 8 bytes per
+    timestamp), so DuckDB recomputes them from the documents table. The
+    codec mix / footprint detail stays in entry() and bench."""
+    from choetl_spark.engine import EncodeConfig, encode_dataframe
+    from choetl_spark.synth import webpages_from_documents
+
+    pages = webpages_from_documents(spark, sf_dir)
+    cfg = EncodeConfig(
+        num_partitions=8, chunk_rows=4096, chunk_bytes=4 << 20,
+        deterministic=True,
+    )
+    enc = encode_dataframe(pages, cfg)
+    return enc.groupBy("column").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+    )
 
 
 def q_roundtrip_text_identity(spark, sf_dir):
@@ -537,6 +609,129 @@ def _lang_case() -> str:
                 f"struct_pack(score := {s}, lang := '{lang}') ELSE {expr} END)"
             )
     return f"({expr}).lang"
+
+
+# -- generated-SQL helpers for the deterministic ANN / LSH oracles ---------
+#
+# The hyperplanes / anchors are pure functions of (dim, n, seed), so the
+# oracle embeds them as double literals and replicates bucketing, probing
+# and the exact cosine re-rank entirely in DuckDB. The cosine expression
+# mirrors the Spark formula op-for-op (three sequential-fold dot
+# products, greatest(.., 1e-12)) so both engines produce bit-equal
+# doubles before rounding.
+
+
+def _sql_vec(v) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+
+def _sql_dot(vec_expr: str, plane) -> str:
+    return f"list_dot_product({vec_expr}, {_sql_vec(plane)})"
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}, {b}) / greatest("
+        f"sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))"
+        f", 1e-12))"
+    )
+
+
+def _sql_bucket_int(vec_expr: str, planes) -> str:
+    """Integer form of lsh_bucket_col's sign-bit string (bit i = plane i)."""
+    terms = [
+        f"(CASE WHEN {_sql_dot(vec_expr, p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _oracle_ann_lsh(n_planes: int = 6, probe_hamming: int = 1, k: int = 10) -> str:
+    from choetl_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(_EMB_DIM, n_planes, 42)
+    cos = _sql_cosine("b.v", "q.v")
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        b AS (SELECT vec_id, v, {_sql_bucket_int('v', planes)} AS bkt FROM e),
+        q AS (SELECT v, bkt FROM b WHERE vec_id = 0)
+        SELECT vec_id, round(c6, 4) AS cosine_r FROM (
+          SELECT b.vec_id, round({cos}, 6) AS c6
+          FROM b, q
+          WHERE bit_count(xor(b.bkt, q.bkt)) <= {probe_hamming}
+        ) ORDER BY c6 DESC, vec_id LIMIT {k}
+    """
+
+
+def _oracle_ann_ivf(n_clusters: int = 8, n_probe: int = 4, k: int = 10) -> str:
+    from choetl_spark.operators.similarity import ivf_anchor_centroids
+
+    cents = ivf_anchor_centroids(_EMB_DIM, n_clusters, seed=42)
+    dots = ", ".join(
+        f"{_sql_dot('v', c)} AS d{i}" for i, c in enumerate(cents)
+    )
+    # argmax over anchor dots, ties -> lowest index (numpy argmax rule)
+    cl = f"CAST(0 AS INTEGER)"
+    best = "d0"
+    for i in range(1, n_clusters):
+        cl = f"(CASE WHEN d{i} > {best} THEN {i} ELSE {cl} END)"
+        best = f"greatest({best}, d{i})"
+    # probe set: cluster c probed iff fewer than n_probe clusters rank
+    # strictly ahead of it on the query's anchor dots (ties -> lower idx)
+    ranks = []
+    for c in range(n_clusters):
+        ahead = [
+            f"(CASE WHEN q.d{j} > q.d{c} OR (q.d{j} = q.d{c} AND {j} < {c})"
+            f" THEN 1 ELSE 0 END)"
+            for j in range(n_clusters)
+            if j != c
+        ]
+        ranks.append(f"(({' + '.join(ahead)}) < {n_probe})")
+    probed = " OR ".join(
+        f"(a.cl = {c} AND {ranks[c]})" for c in range(n_clusters)
+    )
+    cos = _sql_cosine("a.v", "q.v")
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        d AS (SELECT vec_id, v, {dots} FROM e),
+        a AS (SELECT vec_id, v, {cl} AS cl FROM d),
+        q AS (SELECT * FROM d WHERE vec_id = 0)
+        SELECT vec_id, round(c6, 4) AS cosine_r FROM (
+          SELECT a.vec_id, round({cos}, 6) AS c6
+          FROM a, q WHERE {probed}
+        ) ORDER BY c6 DESC, vec_id LIMIT {k}
+    """
+
+
+def _oracle_embedding_neardup(
+    threshold: float = 0.4, n_planes: int = 8
+) -> str:
+    from choetl_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(_EMB_DIM, n_planes, 42)
+    cos = _sql_cosine("a.v", "b.v")
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        bk AS (SELECT vec_id, v, {_sql_bucket_int('v', planes)} AS bkt FROM e)
+        SELECT id_a, id_b, round(c6, 4) AS cosine_r FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({cos}, 6) AS c6
+          FROM bk a JOIN bk b
+            ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+        ) WHERE c6 >= {threshold}
+    """
+
+
+_HTML_SQL = (
+    "'<html><head><title>d' || CAST(doc_id AS VARCHAR) || "
+    "'</title></head><body><p>' || text || '</p></body></html>'"
+)
+_URL_SQL = (
+    "'https://' || source || '.example.com/' || lang || '/' || "
+    "CAST(doc_id AS VARCHAR)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -736,15 +931,55 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_documents": f"""
             SELECT doc_id, {_lang_case()} AS lang_pred FROM documents
         """,
-        "embedding_neardup_pairs": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(
-                     CAST(a.embedding AS DOUBLE[]),
-                     CAST(b.embedding AS DOUBLE[])), 4) AS cosine_r
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(
-                    CAST(a.embedding AS DOUBLE[]),
-                    CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+        "embedding_neardup_pairs": _oracle_embedding_neardup(0.4, 8),
+        "ann_lsh_topk": _oracle_ann_lsh(n_planes=6, probe_hamming=1, k=10),
+        "ann_ivf_topk": _oracle_ann_ivf(n_clusters=8, n_probe=4, k=10),
+        "minhash_pairs_documents": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id % 10 = 0
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(1.0 AS DOUBLE) AS jaccard_r
+            FROM corpus a JOIN corpus b
+              ON a.text = b.text AND a.doc_id < b.doc_id
+        """,
+        "simhash_documents": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id % 10 = 0
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(0 AS INTEGER) AS hamming
+            FROM corpus a JOIN corpus b
+              ON a.text = b.text AND a.doc_id < b.doc_id
+        """,
+        "encode_summary": f"""
+            WITH t AS (
+              SELECT {_URL_SQL} AS url, {_HTML_SQL} AS html, text, lang
+              FROM documents
+            )
+            SELECT 'url' AS "column", count(*) AS n_rows,
+                   CAST(sum(strlen(url)) + 4 * count(*) AS BIGINT) AS raw_bytes
+            FROM t
+            UNION ALL SELECT 'warc_ts', count(*),
+                   CAST(8 * count(*) AS BIGINT) FROM t
+            UNION ALL SELECT 'html', count(*),
+                   CAST(sum(strlen(html)) + 4 * count(*) AS BIGINT) FROM t
+            UNION ALL SELECT 'text', count(*),
+                   CAST(sum(strlen(text)) + 4 * count(*) AS BIGINT) FROM t
+            UNION ALL SELECT 'lang', count(*),
+                   CAST(sum(strlen(lang)) + 4 * count(*) AS BIGINT) FROM t
+        """,
+        "multimodal_features": f"""
+            SELECT md5({_URL_SQL}) AS media_id,
+                   CAST(8 AS INTEGER) AS dim,
+                   CAST(strlen({_HTML_SQL}) AS INTEGER) AS n_bytes
+            FROM documents
         """,
         "cosine_topk": """
             SELECT vec_id,

@@ -472,31 +472,47 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+_EXACT_PAIRS_MAX_ROWS = 100_000
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    use_lsh: bool = False,
+    use_lsh: bool = True,
     n_planes: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine >= threshold, id_a < id_b.
 
-    Default is the exact broadcast pair join (right side broadcast, left
-    never shuffles) — correct and fine when one side fits in memory. With
-    ``use_lsh`` the self-join runs per LSH bucket (random-hyperplane
-    sign bits), bounding the quadratic term per bucket — the 100 TB
-    shape; it can miss pairs whose vectors straddle a hyperplane.
+    DEFAULT is the LSH-bucketed self-join (random-hyperplane sign bits):
+    candidates come only from matching buckets, so the quadratic term is
+    bounded per bucket — the 100 TB shape. It can miss pairs whose
+    vectors straddle a hyperplane (recall < 1 by design; raise
+    ``n_planes`` down / add probing for more recall).
+
+    ``use_lsh=False`` is the exact all-pairs broadcast join — an
+    explicit small-data opt-in, guarded: it refuses inputs larger than
+    ``_EXACT_PAIRS_MAX_ROWS`` rows instead of OOMing an executor.
+
+    ``dim`` (vector length) avoids an eager plan-time job; when omitted
+    it is probed with ``first()`` (empty input -> empty result).
     """
     from choetl_spark.operators.similarity import cosine_sim_col, lsh_bucket_col, _hyperplanes
 
     vec_d = F.col(vec_col).cast("array<double>")
     base = df.select(F.col(id_col), vec_d.alias("_v"))
     if use_lsh:
-        planes = _hyperplanes(
-            len(df.select(vec_col).first()[0]), n_planes, seed
-        )
+        if dim is None:
+            head = df.select(vec_col).first()
+            if head is None or head[0] is None:
+                return df.sparkSession.createDataFrame(
+                    [], f"id_a long, id_b long, cosine double"
+                )
+            dim = len(head[0])
+        planes = _hyperplanes(dim, n_planes, seed)
         base = base.withColumn("_bucket", lsh_bucket_col(F.col("_v"), planes))
         a = base.alias("a")
         b = base.alias("b")
@@ -505,6 +521,13 @@ def embedding_neardup_pairs(
         )
         joined = a.join(b, cond)
     else:
+        n = df.limit(_EXACT_PAIRS_MAX_ROWS + 1).count()
+        if n > _EXACT_PAIRS_MAX_ROWS:
+            raise ValueError(
+                f"exact all-pairs path is O(n^2); input exceeds "
+                f"{_EXACT_PAIRS_MAX_ROWS} rows ({n}+). Use the default "
+                "LSH-bucketed path for large inputs."
+            )
         a = base.alias("a")
         b = base.alias("b")
         joined = a.join(

@@ -79,8 +79,9 @@ def extract_features(
             ]
             yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
 
+    id_ddl = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, payload_col).mapInPandas(
-        kernel, f"{id_col} long, features array<float>"
+        kernel, f"{id_col} {id_ddl}, features array<float>"
     )
 
 

@@ -166,15 +166,35 @@ def ivf_train_centroids(
 ) -> np.ndarray:
     """Train the coarse quantizer on a bounded driver-side sample.
 
-    At 10^12 rows the sample stays bounded (limit), the k-means is a few
-    numpy matmuls on the driver, and the result broadcasts — the classic
-    IVF recipe. Deterministic: fixed seed, fixed iteration count."""
+    At 10^12 rows the sample stays bounded, the k-means is a few numpy
+    matmuls on the driver, and the result broadcasts — the classic IVF
+    recipe. Deterministic: fixed seed, fixed iteration count. The sample
+    is an unbiased ``df.sample`` (a ``limit`` would take the first
+    partitions only — on host/time-sorted input the quantizer would
+    train on one corner of the space)."""
+    n_total = df.count()
+    if n_total == 0:
+        raise ValueError("ivf_train_centroids: empty input")
+    frac = min(1.0, sample_rows * 1.25 / n_total)
     sample = np.array(
-        [r[0] for r in df.select(vec_col).limit(sample_rows).collect()],
+        [
+            r[0]
+            for r in df.select(vec_col)
+            .sample(fraction=frac, seed=seed)
+            .limit(sample_rows)
+            .collect()
+        ],
         dtype=np.float64,
     )
+    if len(sample) == 0:  # tiny input + sampling variance: take it all
+        sample = np.array(
+            [r[0] for r in df.select(vec_col).limit(sample_rows).collect()],
+            dtype=np.float64,
+        )
     norms = np.linalg.norm(sample, axis=1, keepdims=True)
     sample = sample / np.maximum(norms, 1e-12)
+    # clamp so rng.choice(replace=False) cannot fail on small tables
+    n_clusters = min(n_clusters, len(sample))
     rng = np.random.default_rng(seed)
     cent = sample[rng.choice(len(sample), size=n_clusters, replace=False)]
     for _ in range(n_iters):
@@ -185,6 +205,25 @@ def ivf_train_centroids(
                 m = members.mean(axis=0)
                 cent[c] = m / max(np.linalg.norm(m), 1e-12)
     return cent
+
+
+def ivf_anchor_centroids(
+    dim: int, n_clusters: int = 8, seed: int = 42
+) -> np.ndarray:
+    """Fixed seeded anchor centroids (unit-normalized gaussian vectors).
+
+    A data-independent coarse quantizer: same IVF machinery
+    (:func:`with_ivf_cluster` assignment + probed re-rank), but the
+    anchors are a pure function of (dim, n_clusters, seed) — so an
+    external system (e.g. the driver's DuckDB oracle) can reproduce the
+    cluster assignment exactly from literals. Prefer
+    :func:`ivf_train_centroids` when recall matters and no external
+    replication is needed."""
+    rng = np.random.default_rng(seed)
+    cent = rng.standard_normal((n_clusters, dim)).astype(np.float64)
+    return cent / np.maximum(
+        np.linalg.norm(cent, axis=1, keepdims=True), 1e-12
+    )
 
 
 def with_ivf_cluster(
