@@ -11,12 +11,58 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
+_SNIFF_CANDIDATES = (",", ";", "\t", "|", "^")
+
+
+def sniff_delimiter(
+    path: str, quote: str = '"', sample_bytes: int = 8192
+) -> str:
+    """Delimiter auto-detection over a buffered prefix — the semantics of
+    the reference's sniffer (src/ChoETL/File/CSV/ChoCSVRecordReader.cs:
+    77-101,1821-1860): count candidate separators OUTSIDE quoted spans on
+    the first lines; the winner must appear the same number of times on
+    every sampled line (a consistent column count), ties broken by the
+    candidate order. Driver-side one-small-read, like schema inference.
+    """
+    import glob as _glob
+    import os as _os
+
+    if _os.path.isdir(path):
+        files = sorted(
+            f for f in _glob.glob(_os.path.join(path, "*")) if _os.path.isfile(f)
+        )
+    else:
+        files = sorted(_glob.glob(path)) or [path]
+    with open(files[0], "r", encoding="utf-8", errors="replace") as fh:
+        prefix = fh.read(sample_bytes)
+    lines = [ln for ln in prefix.split("\n") if ln.strip()][:20]
+    if len(lines) > 1:
+        lines = lines[:-1] or lines  # last line may be truncated mid-record
+    best: str | None = None
+    best_count = 0
+    for cand in _SNIFF_CANDIDATES:
+        counts = []
+        for ln in lines:
+            n = 0
+            in_q = False
+            for ch in ln:
+                if ch == quote:
+                    in_q = not in_q
+                elif ch == cand and not in_q:
+                    n += 1
+            counts.append(n)
+        if counts and counts[0] > 0 and len(set(counts)) == 1:
+            if counts[0] > best_count:
+                best, best_count = cand, counts[0]
+    return best or ","
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
     header: bool = True,
     infer_schema: bool = True,
-    delimiter: str = ",",
+    delimiter: str = "auto",
     quote: str = '"',
     escape: str = "\\",
     multi_line: bool = False,
@@ -24,7 +70,10 @@ def read_csv(
 ) -> DataFrame:
     """ChoCSVReader analog (reference src/ChoETL/File/CSV/ChoCSVReader.cs:284):
     quote-aware, multiline-field, header, comment skip; schema scan =
-    inferSchema sampling."""
+    inferSchema sampling; ``delimiter="auto"`` sniffs the separator from
+    a buffered prefix (see :func:`sniff_delimiter`)."""
+    if delimiter == "auto":
+        delimiter = sniff_delimiter(path, quote=quote)
     r = (
         spark.read.option("header", header)
         .option("inferSchema", infer_schema)
@@ -54,8 +103,19 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """ChoAvroReader analog; requires spark-avro jars on the cluster."""
-    return spark.read.format("avro").load(path)
+    """ChoAvroReader analog (reference src/ChoETL.Avro/ChoAvroReader.cs:21).
+
+    Uses the spark-avro module when deployed; otherwise falls back to
+    the pure-Python flat-record container bridge (same entry point, same
+    result), so Avro round-trips execute even jar-less."""
+    try:
+        df = spark.read.format("avro").load(path)
+        df.schema  # force source resolution now
+        return df
+    except Exception:
+        from choetl_spark.sources.avro_py import read_avro_py
+
+        return read_avro_py(spark, path)
 
 
 @dataclass
@@ -124,30 +184,77 @@ def stage_as_view(df: DataFrame, name: str) -> None:
     df.createOrReplaceTempView(name)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    fields: list[str],
+) -> DataFrame:
+    """ChoXmlReader analog (reference src/ChoETL/File/Xml/ChoXmlReader.cs:
+    22,651-655): whole-file read, split on <row_tag> boundaries, per-field
+    extraction — all declarative (explode + regexp_extract), no UDFs, no
+    spark-xml dependency (spark-xml remains the full-fidelity cluster
+    path for deep nesting/namespaces).
+
+    Field specs (the XPath-node-selection subset the reference tests
+    exercise):
+      - ``"name"``       — child element text; attributes on the element
+        and CDATA-wrapped text are handled
+      - ``"@attr"``      — attribute of the row element itself
+      - ``"a/b"``        — one level of nesting: text of <b> inside <a>
+    Tags/attrs may contain regex metacharacters (dotted or namespaced
+    names like ``ns:item``) — everything is re.escape'd.
+    """
+    import re as _re
+
+    tag = _re.escape(row_tag)
+    whole = spark.read.text(path, wholetext=True)
+    # keep the remainder of the opening tag (attributes) in each record
+    records = whole.select(
+        F.explode(F.split(F.col("value"), f"<{tag}(?=[\\s>/])")).alias("rec")
+    ).filter(F.col("rec").contains(f"</{row_tag}>"))
+    cols = []
+    for spec in fields:
+        out_name = spec.replace("@", "").replace("/", "_")
+        if spec.startswith("@"):
+            attr = _re.escape(spec[1:])
+            # attributes live before the first '>' of the (split) record
+            pat = f'^[^>]*\\s{attr}\\s*=\\s*"([^"]*)"'
+        elif "/" in spec:
+            parent, child = (_re.escape(s) for s in spec.split("/", 1))
+            pat = (
+                f"(?s)<{parent}(?:\\s[^>]*)?>.*?"
+                f"<{child}(?:\\s[^>]*)?>\\s*"
+                f"(?:<!\\[CDATA\\[(.*?)\\]\\]>|([^<]*))"
+                f"\\s*</{child}>.*?</{parent}>"
+            )
+        else:
+            f_esc = _re.escape(spec)
+            pat = (
+                f"(?s)<{f_esc}(?:\\s[^>]*)?>\\s*"
+                f"(?:<!\\[CDATA\\[(.*?)\\]\\]>|([^<]*))"
+                f"\\s*</{f_esc}>"
+            )
+        if spec.startswith("@"):
+            col = F.regexp_extract(F.col("rec"), pat, 1)
+        else:
+            # group 1 = CDATA body, group 2 = plain text; one is empty
+            col = F.concat(
+                F.regexp_extract(F.col("rec"), pat, 1),
+                F.regexp_extract(F.col("rec"), pat, 2),
+            )
+        cols.append(col.alias(out_name))
+    return records.select(*cols)
+
+
 def read_xml_flat(
     spark: SparkSession,
     path: str,
     row_tag: str,
     fields: list[str],
 ) -> DataFrame:
-    """ChoXmlReader analog for flat (non-nested) row elements
-    (reference src/ChoETL/File/Xml/ChoXmlReader.cs:22,651-655): whole-file
-    read, split on <row_tag> boundaries, per-field element extraction —
-    all declarative (explode + regexp_extract), no UDFs, no spark-xml
-    dependency. Nested/attribute XML would use spark-xml on a real
-    cluster; this covers the flat-record shape the reference tests use.
-    """
-    whole = spark.read.text(path, wholetext=True)
-    records = whole.select(
-        F.explode(F.split(F.col("value"), f"<{row_tag}[ >]")).alias("rec")
-    ).filter(F.col("rec").contains(f"</{row_tag}>"))
-    cols = [
-        F.regexp_extract(
-            F.col("rec"), f"<{f}>([^<]*)</{f}>", 1
-        ).alias(f)
-        for f in fields
-    ]
-    return records.select(*cols)
+    """Back-compat wrapper over :func:`read_xml` (flat element fields)."""
+    return read_xml(spark, path, row_tag, fields)
 
 
 def read_jdbc(
@@ -179,11 +286,17 @@ def read_jdbc(
 
 def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> None:
     """ChoAvroWriter analog (reference src/ChoETL.Avro/ChoAvroWriter.cs:17,
-    251-255, pluggable Codec): spark-avro with the codec option. Requires
-    the spark-avro module on the cluster (absent in this sandbox)."""
-    df.write.mode("overwrite").format("avro").option(
-        "avro.codec", codec
-    ).save(path)
+    251-255, pluggable Codec): spark-avro with the codec option when the
+    module is deployed, else the pure-Python flat-record container
+    bridge (one container file per task, null/deflate codecs)."""
+    try:
+        df.write.mode("overwrite").format("avro").option(
+            "avro.codec", codec
+        ).save(path)
+    except Exception:
+        from choetl_spark.sources.avro_py import write_avro_py
+
+        write_avro_py(df, path, codec=codec)
 
 
 def write_fixed_length(

@@ -205,3 +205,55 @@ def test_write_manifold_roundtrip(spark, tmp_path):
     )
     assert {(r["k"], r["v"]) for r in parts["O"].collect()} == {(1, 100), (2, 200)}
     assert parts["N"].collect()[0]["tag"] == "x"
+
+
+def test_read_xml_attributes_cdata_nested(spark, tmp_path):
+    """Nested XML (one level), row-element attributes, CDATA, and a
+    namespaced/dotted tag — the regex reader's declared scope (spark-xml
+    is the cluster path for deeper nesting)."""
+    xml = """<catalog>
+  <item id="7" lang="en"><name><![CDATA[A & B <raw>]]></name>
+    <meta><author>Ada</author><year>1842</year></meta>
+    <ns.price>12.5</ns.price></item>
+  <item id="8"><name>Plain</name>
+    <meta><author>Bob</author><year>1900</year></meta>
+    <ns.price>3</ns.price></item>
+</catalog>"""
+    p = tmp_path / "cat.xml"
+    p.write_text(xml)
+    from choetl_spark.sources import read_xml
+
+    df = read_xml(
+        spark, str(p), "item",
+        ["@id", "@lang", "name", "meta/author", "meta/year", "ns.price"],
+    )
+    rows = sorted(df.collect(), key=lambda r: r["id"])
+    assert [r["id"] for r in rows] == ["7", "8"]
+    assert rows[0]["lang"] == "en" and rows[1]["lang"] == ""
+    assert rows[0]["name"] == "A & B <raw>"
+    assert rows[1]["name"] == "Plain"
+    assert [r["meta_author"] for r in rows] == ["Ada", "Bob"]
+    assert [r["meta_year"] for r in rows] == ["1842", "1900"]
+    assert rows[0]["ns.price"] == "12.5"
+
+
+def test_csv_delimiter_sniffing(spark, tmp_path):
+    """delimiter='auto' detects ; \\t | from a buffered prefix, ignoring
+    candidates inside quoted spans (ChoCSVRecordReader.cs:1821-1860
+    semantics)."""
+    from choetl_spark.sources import sniff_delimiter
+
+    cases = {
+        "semi.csv": ('id;name;x\n1;"a;b";2\n2;c;3\n', ";"),
+        "tab.csv": ("id\tname\n1\tx\n2\ty\n", "\t"),
+        "pipe.csv": ("id|name|z\n1|x|9\n", "|"),
+        "comma.csv": ('id,name\n1,"x,y"\n2,z\n', ","),
+    }
+    for fname, (content, want) in cases.items():
+        p = tmp_path / fname
+        p.write_text(content)
+        assert sniff_delimiter(str(p)) == want, fname
+    # end-to-end: auto-sniffed read parses the right columns
+    df = src.read_csv(spark, str(tmp_path / "semi.csv"))
+    r = df.orderBy("id").collect()[0]
+    assert r["name"] == "a;b" and r["x"] == 2
