@@ -248,17 +248,15 @@ def q_manifold_dispatch(spark, sf_dir):
 
 def q_zip_positional(spark, sf_dir):
     """ZipOrDefault (SURVEY §2.3): positional zip of two streams via
-    row_number-keyed full-outer join; short side padded with nulls."""
-    from pyspark.sql import Window
+    sequence-number-keyed full-outer join; short side padded with nulls.
+    Sequence numbers come from the partition-offset with_seq_no (no
+    single-partition global window — scale-safe)."""
+    from choetl_spark.operators import with_seq_no
 
     cust = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 50)
     orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 120)
-    a = cust.withColumn(
-        "rn", F.row_number().over(Window.orderBy("c_custkey"))
-    ).select("rn", "c_custkey")
-    b = orders.withColumn(
-        "rn", F.row_number().over(Window.orderBy("o_orderkey"))
-    ).select("rn", "o_orderkey")
+    a = with_seq_no(cust.select("c_custkey"), ["c_custkey"], col_name="rn")
+    b = with_seq_no(orders.select("o_orderkey"), ["o_orderkey"], col_name="rn")
     return a.join(b, "rn", "full_outer").select("rn", "c_custkey", "o_orderkey")
 
 

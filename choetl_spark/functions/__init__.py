@@ -86,3 +86,122 @@ def json_field(col: Column, path: str) -> Column:
 def seq_no() -> Column:
     """ChoSeqNoGenerator analog — unique (not dense) ids, distributed."""
     return F.monotonically_increasing_id()
+
+# ---------------------------------------------------------------------------
+# recursive JSONPath (the $..x / wildcard subset get_json_object lacks)
+# ---------------------------------------------------------------------------
+
+_JSONPATH_TOKEN = None  # populated lazily by _parse_jsonpath
+
+
+def _parse_jsonpath(path: str) -> list[tuple[str, str]]:
+    """Tokenize a JSONPath subset: $, .name, ..name, [*], [n], .*
+    (the node-selection shapes of ChoJSONReader.WithJSONPath, reference
+    src/ChoETL.JSON/ChoJSONReader.cs:827-834, e.g. ``$..books[*]``)."""
+    import re
+
+    if not path.startswith("$"):
+        raise ValueError("JSONPath must start with $")
+    tokens: list[tuple[str, str]] = []
+    rest = path[1:]
+    pat = re.compile(
+        r"(\.\.[A-Za-z_][\w\-]*)|(\.[A-Za-z_][\w\-]*)|(\[\*\])|(\[\d+\])|(\.\*)"
+    )
+    pos = 0
+    while pos < len(rest):
+        m = pat.match(rest, pos)
+        if not m:
+            raise ValueError(f"unsupported JSONPath at ...{rest[pos:]}")
+        if m.group(1):
+            tokens.append(("recurse", m.group(1)[2:]))
+        elif m.group(2):
+            tokens.append(("key", m.group(2)[1:]))
+        elif m.group(3):
+            tokens.append(("wild_idx", ""))
+        elif m.group(4):
+            tokens.append(("idx", m.group(4)[1:-1]))
+        else:
+            tokens.append(("wild_key", ""))
+        pos = m.end()
+    return tokens
+
+
+def _jsonpath_matches(obj, tokens):
+    if not tokens:
+        yield obj
+        return
+    op, arg = tokens[0]
+    rest = tokens[1:]
+    if op == "key":
+        if isinstance(obj, dict) and arg in obj:
+            yield from _jsonpath_matches(obj[arg], rest)
+    elif op == "idx":
+        i = int(arg)
+        if isinstance(obj, list) and i < len(obj):
+            yield from _jsonpath_matches(obj[i], rest)
+    elif op == "wild_idx":
+        if isinstance(obj, list):
+            for v in obj:
+                yield from _jsonpath_matches(v, rest)
+    elif op == "wild_key":
+        if isinstance(obj, dict):
+            for v in obj.values():
+                yield from _jsonpath_matches(v, rest)
+    elif op == "recurse":
+        # descend depth-first; at every node, a dict key == arg matches
+        def walk(node):
+            if isinstance(node, dict):
+                if arg in node:
+                    yield from _jsonpath_matches(node[arg], rest)
+                for v in node.values():
+                    yield from walk(v)
+            elif isinstance(node, list):
+                for v in node:
+                    yield from walk(v)
+
+        yield from walk(obj)
+
+
+def json_path_extract(df, col: str, path: str, out_col: str = "matches"):
+    """Recursive JSONPath extraction (``$..books[*]`` etc.) over a JSON
+    string column -> array<string> of matches (scalars as-is, subtrees
+    re-serialized as JSON). ``get_json_object`` covers simple paths
+    JVM-side (:func:`json_field`); this covers the recursive/wildcard
+    subset it cannot, as an Arrow-batched kernel (per-row json parse is
+    unavoidable for recursive descent — same shape as the reference's
+    JObject SelectTokens, src/ChoETL.JSON/ChoJSONReader.cs:827-834)."""
+    import json as _json
+
+    import pyarrow as pa
+
+    tokens = _parse_jsonpath(path)
+    sig = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", `{out_col}` array<string>"
+    idx = df.columns.index(col)
+
+    def kernel(batches):
+        for batch in batches:
+            vals = batch.column(idx).to_pylist()
+            out = []
+            for v in vals:
+                if v is None:
+                    out.append(None)
+                    continue
+                try:
+                    obj = _json.loads(v)
+                except ValueError:
+                    out.append(None)
+                    continue
+                matches = [
+                    m if isinstance(m, str) else _json.dumps(m)
+                    for m in _jsonpath_matches(obj, tokens)
+                ]
+                out.append(matches)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)]
+                + [pa.array(out, type=pa.list_(pa.string()))],
+                names=list(batch.schema.names) + [out_col],
+            )
+
+    return df.mapInArrow(kernel, sig)

@@ -60,12 +60,60 @@ def with_seq_no(
     col_name: str = "seq_no",
 ) -> DataFrame:
     """ChoSequenceNoGenerator
-    (reference src/ChoETL/Common/Converters/ChoSeqNoGeneratorConvertor.cs:12-40)
-    as a window row_number — deterministic given a total order key."""
-    w = Window.orderBy(*order_by)
+    (reference src/ChoETL/Common/Converters/ChoSeqNoGeneratorConvertor.cs:12-40).
+
+    Partitioned: plain window row_number. UNpartitioned: a global
+    ``Window.orderBy`` funnels every row through one task, so instead we
+    range-partition on the order keys, count rows per partition (one
+    tiny driver collect — the zipWithIndex recipe), and add each
+    partition's cumulative offset to its local row number inside a
+    ``mapInArrow`` kernel. No single-partition exchange anywhere
+    (pinned by tests/test_plans.py)."""
     if partition_by:
         w = Window.partitionBy(*partition_by).orderBy(*order_by)
-    return df.withColumn(col_name, F.row_number().over(w))
+        return df.withColumn(col_name, F.row_number().over(w))
+
+    import numpy as np
+    import pyarrow as pa
+
+    sorted_df = df.repartitionByRange(*order_by).sortWithinPartitions(
+        *order_by
+    )
+    counts = (
+        sorted_df.select(F.spark_partition_id().alias("_pid"))
+        .groupBy("_pid")
+        .count()
+        .collect()
+    )
+    by_pid = {r["_pid"]: r["count"] for r in counts}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(by_pid):
+        offsets[pid] = acc
+        acc += by_pid[pid]
+
+    ddl = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + f", `{col_name}` bigint"
+
+    def kernel(batches):
+        from pyspark import TaskContext
+
+        base = offsets.get(TaskContext.get().partitionId(), 0)
+        seen = 0
+        for batch in batches:
+            n = batch.num_rows
+            seq = pa.array(
+                base + seen + 1 + np.arange(n, dtype=np.int64),
+                type=pa.int64(),
+            )
+            seen += n
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)] + [seq],
+                names=list(batch.schema.names) + [col_name],
+            )
+
+    return sorted_df.mapInArrow(kernel, ddl)
 
 
 def top_k(df: DataFrame, order_col: str, k: int, desc: bool = True) -> DataFrame:

@@ -32,8 +32,15 @@ def plan_partitions(
     by_host: bool = True,
     hot_factor: float = 2.0,
     salt_buckets: int = 16,
+    sample_fraction: float = 1.0,
 ) -> DataFrame:
-    """Return df + ``part_id`` column (long in [0, num_partitions))."""
+    """Return df + ``part_id`` column (long in [0, num_partitions)).
+
+    ``sample_fraction < 1`` runs the hot-host census on a seeded sample
+    of the input — at extreme scale an exact census is an extra full
+    scan; a hot host is by definition a large fraction of rows, so a
+    small sample finds it with near-certainty and the threshold scales
+    by the fraction."""
     if not by_host:
         return df.withColumn(
             "part_id", F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_partitions))
@@ -41,9 +48,13 @@ def plan_partitions(
     df = with_host(df, key_col)
     # One pass for the skew census: per-host counts are map-side combined
     # and tiny relative to the data; total derives from the same aggregate
-    # (no second scan of the big side). At extreme scale pass
-    # sample_fraction < 1 to estimate instead.
-    host_counts = df.groupBy("_host").count().persist()
+    # (no second scan of the big side).
+    census_src = (
+        df.sample(fraction=sample_fraction, seed=42)
+        if sample_fraction < 1.0
+        else df
+    )
+    host_counts = census_src.groupBy("_host").count().persist()
     total = host_counts.agg(F.sum("count").alias("t")).collect()[0]["t"] or 0
     threshold = max(int(total * hot_factor / num_partitions), 1)
     hot = (

@@ -179,9 +179,96 @@ def write_json(df: DataFrame, path: str) -> None:
 
 def stage_as_view(df: DataFrame, name: str) -> None:
     """StageOnSQLite analog (reference src/ChoETL.Sqlite/ChoETLSqlite.cs:24-59):
-    register for arbitrary SQL; the durable variant is the Iceberg/parquet
-    catalog table written by the engine."""
+    register for arbitrary SQL; see :func:`stage_durable` for the
+    persistent variant."""
     df.createOrReplaceTempView(name)
+
+
+def stage_durable(
+    df: DataFrame,
+    path: str,
+    name: str | None = None,
+    use_engine: bool = False,
+) -> DataFrame:
+    """Durable staging — the persistent analog of StageOnSQLite
+    (reference src/ChoETL.Sqlite/ChoETLSqlite.cs:24-59, which CREATEs a
+    real table and bulk-inserts): materialize ``df`` under ``path``,
+    return a DataFrame reading the store, optionally registered as a
+    view for SQL. ``use_engine=True`` stages through our encoded-chunk
+    store (encode_dataframe -> parquet -> decode_dataframe) instead of
+    plain parquet — same durable contract, engine footprint."""
+    if use_engine:
+        from choetl_spark.engine import (
+            EncodeConfig,
+            decode_dataframe,
+            encode_dataframe,
+        )
+
+        cfg = EncodeConfig(shuffle="none", key_col=df.columns[0])
+        encode_dataframe(df, cfg).write.mode("overwrite").parquet(path)
+        out = decode_dataframe(df.sparkSession.read.parquet(path))
+        out = out.select(*df.columns)
+    else:
+        df.write.mode("overwrite").parquet(path)
+        out = df.sparkSession.read.parquet(path)
+    if name:
+        out.createOrReplaceTempView(name)
+    return out
+
+
+def read_kvp(
+    spark: SparkSession,
+    path: str,
+    separator: str = ":",
+    record_start: str | None = None,
+) -> DataFrame:
+    """ChoKVPReader analog (reference src/ChoETL/File/KeyValue/
+    ChoKVPReader.cs:43; grouping state machine ChoKVPRecordReader.cs:
+    82-219): ``key: value`` lines grouped into records — either
+    blank-line separated (default) or opened by an explicit
+    ``record_start`` marker line.
+
+    Declarative sessionization: one row per FILE (wholetext), lines via
+    posexplode (order-preserving within the file), record ids via a
+    running sum of marker flags over a per-file window — files process
+    in parallel; within a file order is inherent to the format. Returns
+    (file, record_id, kv map<string,string>); project fields with
+    ``F.col("kv")["name"]``.
+    """
+    import re as _re
+
+    from pyspark.sql import Window
+
+    whole = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("file"), "value"
+    )
+    lines = whole.select(
+        "file",
+        F.posexplode(F.split(F.col("value"), "\r?\n")).alias("pos", "line"),
+    )
+    if record_start is not None:
+        is_marker = F.trim(F.col("line")) == record_start
+    else:
+        is_marker = F.trim(F.col("line")) == ""
+    w = Window.partitionBy("file").orderBy("pos")
+    sess = lines.withColumn(
+        "record_id", F.sum(is_marker.cast("long")).over(w)
+    )
+    sep = _re.escape(separator)
+    kv_lines = sess.filter(
+        ~is_marker & F.col("line").rlike(f"^[^{sep}]+{sep}")
+    )
+    key = F.trim(F.regexp_extract("line", f"^([^{sep}]+){sep}", 1))
+    val = F.trim(F.regexp_extract("line", f"^[^{sep}]+{sep}(.*)$", 1))
+    return (
+        kv_lines.select("file", "record_id", key.alias("k"), val.alias("v"))
+        .groupBy("file", "record_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("k"), F.col("v")))
+            ).alias("kv")
+        )
+    )
 
 
 def read_xml(

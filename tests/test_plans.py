@@ -90,3 +90,27 @@ def test_parquet_filter_pushdown(spark):
     li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     q = li.filter(F.col("l_orderkey") == 7).select("l_orderkey", "l_quantity")
     assert_pushed_filters(q, "l_orderkey")
+
+
+def test_seq_no_has_no_single_partition_exchange(spark):
+    """Unpartitioned with_seq_no must not funnel rows through one task
+    (the round-1 scale-killer: global Window.orderBy)."""
+    from choetl_spark.operators import with_seq_no
+
+    df = spark.range(0, 10000).select(F.col("id").alias("k"))
+    out = with_seq_no(df, ["k"], col_name="rn")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    rows = out.orderBy("rn").collect()
+    assert [r["rn"] for r in rows[:3]] == [1, 2, 3]
+    assert rows[-1]["rn"] == 10000
+    assert [r["k"] for r in rows] == sorted(r["k"] for r in rows)
+
+
+def test_plan_partitions_sample_fraction(spark, pages):
+    from choetl_spark.partitioning import plan_partitions
+
+    exact = plan_partitions(pages, 16)
+    sampled = plan_partitions(pages, 16, sample_fraction=0.5)
+    assert exact.count() == sampled.count() == pages.count()
+    assert sampled.select("part_id").distinct().count() <= 16

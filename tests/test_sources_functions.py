@@ -257,3 +257,109 @@ def test_csv_delimiter_sniffing(spark, tmp_path):
     df = src.read_csv(spark, str(tmp_path / "semi.csv"))
     r = df.orderBy("id").collect()[0]
     assert r["name"] == "a;b" and r["x"] == 2
+
+
+def test_read_kvp_marker_and_blankline(spark, tmp_path):
+    """ChoKVPReader analog: key:value lines grouped into records by a
+    start marker or blank lines (ChoKVPRecordReader.cs:82-219)."""
+    from choetl_spark.sources import read_kvp
+
+    (tmp_path / "m.kvp").write_text(
+        "##RECORD##\nid: 1\nname: Mark\ncity: NY\n"
+        "##RECORD##\nid: 2\nname: Jane\n"
+    )
+    df = read_kvp(spark, str(tmp_path / "m.kvp"), record_start="##RECORD##")
+    rows = sorted(df.collect(), key=lambda r: r["record_id"])
+    assert len(rows) == 2
+    assert rows[0]["kv"]["name"] == "Mark" and rows[0]["kv"]["city"] == "NY"
+    assert rows[1]["kv"]["id"] == "2" and "city" not in rows[1]["kv"]
+
+    (tmp_path / "b.kvp").write_text(
+        "id: 10\nnote: a:b:c\n\nid: 20\nnote: plain\n"
+    )
+    df2 = read_kvp(spark, str(tmp_path / "b.kvp"))
+    rows2 = sorted(df2.collect(), key=lambda r: r["record_id"])
+    assert [r["kv"]["id"] for r in rows2] == ["10", "20"]
+    assert rows2[0]["kv"]["note"] == "a:b:c"  # only first sep splits
+
+
+def test_json_path_extract_recursive(spark):
+    """$..x recursive descent + [*] wildcard — beyond get_json_object
+    (ChoJSONReader.cs:827-834 JSONPath parity)."""
+    from choetl_spark.functions import json_path_extract
+
+    doc = (
+        '{"store": {"books": [{"title": "A", "price": 5},'
+        ' {"title": "B"}], "shelf": {"books": [{"title": "C"}]}}}'
+    )
+    df = spark.createDataFrame([(1, doc), (2, "{}"), (3, None)],
+                               "id int, js string")
+    out = {
+        r["id"]: r["m"]
+        for r in json_path_extract(df, "js", "$..books[*].title", "m").collect()
+    }
+    assert sorted(out[1]) == ["A", "B", "C"]
+    assert out[2] == []
+    assert out[3] is None
+    out2 = {
+        r["id"]: r["m"]
+        for r in json_path_extract(
+            df, "js", "$.store.books[0].price", "m"
+        ).collect()
+    }
+    assert out2[1] == ["5"]
+
+
+def test_stage_durable_roundtrip(spark, tmp_path):
+    from choetl_spark.sources import stage_durable
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "k long, v string"
+    )
+    out = stage_durable(df, str(tmp_path / "stage_pq"), name="stg")
+    assert spark.sql("SELECT count(*) c FROM stg").collect()[0]["c"] == 3
+    eng = stage_durable(
+        df, str(tmp_path / "stage_eng"), name="stg2", use_engine=True
+    )
+    a = df.select("k", "v")
+    b = eng.select("k", "v")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_read_jdbc_option_wiring():
+    """No JDBC driver jars ship here; exercise the option-building logic
+    (what this layer owns) against a reader double."""
+    from choetl_spark.sources import read_jdbc
+
+    class FakeReader:
+        def __init__(self):
+            self.fmt = None
+            self.opts = {}
+
+        def format(self, f):
+            self.fmt = f
+            return self
+
+        def option(self, k, v):
+            self.opts[k] = v
+            return self
+
+        def load(self):
+            return self
+
+    class FakeSpark:
+        def __init__(self):
+            self.read = FakeReader()
+
+    fs = FakeSpark()
+    out = read_jdbc(
+        fs, "jdbc:postgresql://db/x", "events",
+        partition_column="id", num_partitions=16,
+        lower_bound=0, upper_bound=100000, fetchsize=10000,
+    )
+    assert out.fmt == "jdbc"
+    assert out.opts["dbtable"] == "events"
+    assert out.opts["partitionColumn"] == "id"
+    assert out.opts["numPartitions"] == 16
+    assert out.opts["lowerBound"] == 0 and out.opts["upperBound"] == 100000
+    assert out.opts["fetchsize"] == 10000
