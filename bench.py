@@ -115,9 +115,23 @@ def bench_join_topk(spark, sf_dir: str) -> None:
 
 
 def bench_minhash(spark, sf_dir: str) -> None:
+    """Full near-dup pipeline: signatures -> LSH candidates -> exact
+    n-gram-Jaccard verify (two extra joins vs round 1's signatures-only
+    query; at sf0.1 those joins are scheduler-constant-bound)."""
     import __spark_entry__ as e
 
     e.q_minhash_pairs_documents(spark, sf_dir).collect()
+
+
+def bench_minhash_signatures(spark, sf_dir: str) -> None:
+    """Signature kernel alone (the round-1 hot spot, now one vectorized
+    rolling-hash pass per Arrow batch)."""
+    import __spark_entry__ as e
+    from choetl_spark.operators import minhash_signatures
+
+    docs = e._read(spark, sf_dir, "documents")
+    corpus = e._planted_corpus(docs).repartition(8, "doc_id")
+    minhash_signatures(corpus, "text", "doc_id", n_hashes=32).count()
 
 
 def bench_cosine(spark, sf_dir: str) -> None:
@@ -133,6 +147,7 @@ BENCHES = {
     "pricing_summary": bench_pricing,
     "join_topk_revenue": bench_join_topk,
     "minhash_pairs": bench_minhash,
+    "minhash_signatures": bench_minhash_signatures,
     "cosine_topk": bench_cosine,
 }
 
