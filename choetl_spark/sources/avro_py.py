@@ -312,7 +312,7 @@ def avro_schema_for(df) -> dict:
     return {"type": "record", "name": "row", "fields": fields}
 
 
-def _spark_ddl_for(schema: dict, spark_types: dict[str, str]) -> str:
+def _spark_ddl_for(schema: dict) -> str:
     cols = []
     for f in schema["fields"]:
         t = f["type"]
@@ -378,7 +378,7 @@ def read_avro_py(spark, path: str):
     files = sorted(_glob.glob(os.path.join(path, "*.avro"))) or [path]
     with open(files[0], "rb") as fh:
         schema, _ = read_container(fh.read())
-    ddl = _spark_ddl_for(schema, {})
+    ddl = _spark_ddl_for(schema)
     ts_cols = [
         f["name"]
         for f in schema["fields"]
