@@ -486,6 +486,16 @@ the curve:
   {r32["gb_per_sec_speed"] / r32["gb_per_sec"]:.1f}x the balanced
   throughput — i.e. parquet-or-better footprint while giving up the
   extra compression the token-dictionary/FSST stack buys.
+- **speed profile vs the JVM writer, per level**:
+  {r8["gb_per_sec_speed"] / r8["gb_per_sec_parquet_zstd"]:.2f}x at
+  local[{r8["cores"]}], {r32["gb_per_sec_speed"] / r32["gb_per_sec_parquet_zstd"]:.2f}x
+  at local[{r32["cores"]}]. The residual gap is almost entirely the
+  JVM->Python Arrow transfer the JVM writer never pays: the no-op
+  mapInArrow control (same input, empty kernel) alone costs 20.8s at 2
+  pinned cores vs the JVM writer's ~18s TOTAL — i.e. at 2 cores the
+  transfer floor is ~the whole JVM-writer budget. On a cluster that
+  tax funds per-column codec selection + a 1.46x footprint win in the
+  balanced profile.
 
 The actual reference (ChoETL, single-threaded C# row pivot +
 Parquet.Net) is orders of magnitude below either number at this data

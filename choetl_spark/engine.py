@@ -164,11 +164,15 @@ def _encode_block(
         if name == "part_id":
             continue
         col = table.column(name)
-        # combine only small columns: for a blob-heavy column the
-        # combine is a full extra copy of the buffered block, and its
-        # Arrow-batch pieces already exceed the chunk byte cap, so
-        # encoding per piece loses nothing
-        if col.num_chunks > 1 and col.nbytes <= cfg.chunk_bytes:
+        # per-piece encoding avoids a full extra copy of the buffered
+        # block, but only when the pieces themselves are chunk-sized;
+        # small pieces (narrow column, small Arrow batches) would
+        # fragment into undersized chunks (worse dict/fsst/zstd ratios,
+        # more metadata), so those combine first
+        if (
+            col.num_chunks > 1
+            and col.nbytes / col.num_chunks < cfg.chunk_bytes // 2
+        ):
             pieces = [col.combine_chunks()]
         else:
             pieces = col.chunks

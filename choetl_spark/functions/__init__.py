@@ -91,9 +91,6 @@ def seq_no() -> Column:
 # recursive JSONPath (the $..x / wildcard subset get_json_object lacks)
 # ---------------------------------------------------------------------------
 
-_JSONPATH_TOKEN = None  # populated lazily by _parse_jsonpath
-
-
 def _parse_jsonpath(path: str) -> list[tuple[str, str]]:
     """Tokenize a JSONPath subset: $, .name, ..name, [*], [n], .*
     (the node-selection shapes of ChoJSONReader.WithJSONPath, reference

@@ -89,15 +89,14 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 # run via ``np.minimum/add.reduceat`` on segment boundaries.
 
 
-def _flatten_texts(arr) -> tuple[np.ndarray, np.ndarray, int]:
+def _flatten_texts(arr, k: int) -> tuple[np.ndarray, np.ndarray, int]:
     """(byte_buf, doc_offsets) of a pa.StringArray, short docs padded.
 
     Returns (buf uint8[T], seg int64[n+1]) where buf[seg[d]:seg[d+1]] are
-    doc d's utf-8 bytes padded with spaces to >= ``_flatten_texts.k``.
+    doc d's utf-8 bytes padded with spaces to >= ``k``.
     """
     import pyarrow as pa
 
-    k = _flatten_texts.k
     if arr.null_count:
         arr = pa.compute.fill_null(arr, "")
     big = pa.types.is_large_string(arr.type)
@@ -127,8 +126,7 @@ def _batch_window_hashes(
     """All k-byte rolling-hash windows of every doc in an Arrow string
     array. Returns (h uint64[W], wseg int64[n+1]): doc d's in-order
     window hashes are h[wseg[d]:wseg[d+1]] (>= 1 per doc)."""
-    _flatten_texts.k = k
-    buf, seg, n = _flatten_texts(texts_arr)
+    buf, seg, n = _flatten_texts(texts_arr, k)
     doc_lens = np.diff(seg)
     n_win = doc_lens - k + 1
     m = len(buf) - k + 1

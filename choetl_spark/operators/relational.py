@@ -76,9 +76,15 @@ def with_seq_no(
     import numpy as np
     import pyarrow as pa
 
+    # localCheckpoint PINS the range partitioning: repartitionByRange
+    # re-samples its boundaries per job (seed varies with the RDD id),
+    # so without materialization the count job and the numbering job
+    # could see DIFFERENT partition boundaries -> duplicated/gapped
+    # sequence numbers. One materialization is the same price RDD
+    # zipWithIndex pays (its count pass + cached partitions).
     sorted_df = df.repartitionByRange(*order_by).sortWithinPartitions(
         *order_by
-    )
+    ).localCheckpoint()
     counts = (
         sorted_df.select(F.spark_partition_id().alias("_pid"))
         .groupBy("_pid")

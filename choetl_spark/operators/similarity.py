@@ -163,6 +163,7 @@ def ivf_train_centroids(
     sample_rows: int = 10000,
     n_iters: int = 10,
     seed: int = 42,
+    total_rows: int | None = None,
 ) -> np.ndarray:
     """Train the coarse quantizer on a bounded driver-side sample.
 
@@ -171,8 +172,10 @@ def ivf_train_centroids(
     recipe. Deterministic: fixed seed, fixed iteration count. The sample
     is an unbiased ``df.sample`` (a ``limit`` would take the first
     partitions only — on host/time-sorted input the quantizer would
-    train on one corner of the space)."""
-    n_total = df.count()
+    train on one corner of the space). Pass ``total_rows`` when known to
+    skip the sizing ``count()`` (cheap on parquet/Iceberg — row-group
+    metadata only — but a scan on computed inputs)."""
+    n_total = total_rows if total_rows is not None else df.count()
     if n_total == 0:
         raise ValueError("ivf_train_centroids: empty input")
     frac = min(1.0, sample_rows * 1.25 / n_total)

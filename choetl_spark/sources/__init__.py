@@ -27,12 +27,24 @@ def sniff_delimiter(
     import glob as _glob
     import os as _os
 
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            "sniff_delimiter reads a local prefix; for remote storage "
+            f"({path.split('://')[0]}://) pass an explicit delimiter"
+        )
+    path = path.removeprefix("file://")
     if _os.path.isdir(path):
         files = sorted(
-            f for f in _glob.glob(_os.path.join(path, "*")) if _os.path.isfile(f)
+            f
+            for f in _glob.glob(_os.path.join(path, "*"))
+            if _os.path.isfile(f)
+            and not _os.path.basename(f).startswith(("_", "."))
+            and _os.path.getsize(f) > 0
         )
     else:
         files = sorted(_glob.glob(path)) or [path]
+    if not files:
+        return ","
     with open(files[0], "r", encoding="utf-8", errors="replace") as fh:
         prefix = fh.read(sample_bytes)
     lines = [ln for ln in prefix.split("\n") if ln.strip()][:20]
@@ -73,7 +85,10 @@ def read_csv(
     inferSchema sampling; ``delimiter="auto"`` sniffs the separator from
     a buffered prefix (see :func:`sniff_delimiter`)."""
     if delimiter == "auto":
-        delimiter = sniff_delimiter(path, quote=quote)
+        try:
+            delimiter = sniff_delimiter(path, quote=quote)
+        except (ValueError, OSError):
+            delimiter = ","  # remote/unreadable path: Spark default
     r = (
         spark.read.option("header", header)
         .option("inferSchema", infer_schema)
@@ -112,10 +127,24 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         df = spark.read.format("avro").load(path)
         df.schema  # force source resolution now
         return df
-    except Exception:
+    except Exception as e:
+        if not _spark_avro_missing(e):
+            raise  # real error from a deployed spark-avro: surface it
         from choetl_spark.sources.avro_py import read_avro_py
 
         return read_avro_py(spark, path)
+
+
+def _spark_avro_missing(e: Exception) -> bool:
+    """True only for 'the avro data source is not on the classpath' —
+    any other spark-avro failure (bad path, corrupt file, task failure)
+    must surface, not silently retry through the Python bridge."""
+    msg = str(e)
+    return (
+        "FAILED_TO_FIND_DATA_SOURCE" in msg
+        or "Failed to find data source: avro" in msg
+        or "AVRO" in msg and "find" in msg.lower()
+    )
 
 
 @dataclass
@@ -344,6 +373,106 @@ def read_xml_flat(
     return read_xml(spark, path, row_tag, fields)
 
 
+def read_yaml(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    yaml_path: str | None = None,
+    multi_doc: bool = True,
+) -> DataFrame:
+    """ChoYamlReader analog (reference src/ChoETL.Yaml/ChoYamlReader.cs:21):
+    YAML documents -> records. Distributed per FILE (wholetext read, one
+    ``yaml.safe_load_all`` per file in an Arrow-batched kernel — YAML has
+    no record-splittable framing, so per-file is the natural parallel
+    unit); documents re-serialize to JSON and land via ``from_json``
+    (explicit ``schema``) or Spark's JSON schema inference.
+
+    ``yaml_path`` is the YamlPath-lite subtree selector: a dotted path
+    (``a.b``) descended in each document before emission; a list at the
+    end fans out one record per element.
+    """
+    import json as _json
+
+    import pyarrow as pa
+    import yaml as _yaml
+
+    parts = yaml_path.split(".") if yaml_path else []
+
+    def kernel(batches):
+        for batch in batches:
+            out = []
+            for content in batch.column(0).to_pylist():
+                docs = (
+                    _yaml.safe_load_all(content)
+                    if multi_doc
+                    else [_yaml.safe_load(content)]
+                )
+                for doc in docs:
+                    if doc is None:
+                        continue
+                    node = doc
+                    ok = True
+                    for p in parts:
+                        if isinstance(node, dict) and p in node:
+                            node = node[p]
+                        else:
+                            ok = False
+                            break
+                    if not ok:
+                        continue
+                    fan = node if isinstance(node, list) else [node]
+                    out.extend(
+                        _json.dumps(x, default=str) for x in fan
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out, type=pa.string())], names=["json"]
+            )
+
+    jsons = spark.read.text(path, wholetext=True).mapInArrow(
+        kernel, "json string"
+    )
+    if schema:
+        return jsons.select(
+            F.from_json("json", schema).alias("r")
+        ).select("r.*")
+    return spark.read.json(jsons.rdd.map(lambda r: r["json"]))
+
+
+def write_yaml(df: DataFrame, path: str, multi_doc: bool = True) -> None:
+    """ChoYamlWriter analog (reference src/ChoETL.Yaml/ChoYamlWriter.cs:19):
+    one YAML stream per partition under ``path`` (``---``-separated
+    documents), written task-side like the Avro bridge."""
+    import os as _os
+    import uuid as _uuid
+
+    import yaml as _yaml
+
+    _os.makedirs(path, exist_ok=True)
+    for old in __import__("glob").glob(_os.path.join(path, "*.yaml")):
+        _os.unlink(old)
+
+    def part(batches):
+        import pyarrow as pa
+
+        fname = _os.path.join(path, f"part-{_uuid.uuid4().hex}.yaml")
+        n = 0
+        with open(fname, "w", encoding="utf-8") as fh:
+            for batch in batches:
+                rows = batch.to_pylist()
+                for r in rows:
+                    fh.write("---\n")
+                    _yaml.safe_dump(r, fh, sort_keys=False)
+                n += len(rows)
+        if n == 0:
+            _os.unlink(fname)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([fname]), pa.array([n], type=pa.int64())],
+            names=["file", "n_rows"],
+        )
+
+    df.mapInArrow(part, "file string, n_rows long").collect()
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,
@@ -380,7 +509,9 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> None:
         df.write.mode("overwrite").format("avro").option(
             "avro.codec", codec
         ).save(path)
-    except Exception:
+    except Exception as e:
+        if not _spark_avro_missing(e):
+            raise
         from choetl_spark.sources.avro_py import write_avro_py
 
         write_avro_py(df, path, codec=codec)

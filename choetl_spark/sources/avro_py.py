@@ -332,40 +332,57 @@ def _spark_ddl_for(schema: dict) -> str:
 
 def write_avro_py(df, path: str, codec: str = "deflate") -> None:
     """Distributed fallback writer: each task writes one container file
-    under ``path`` (works against any task-visible filesystem)."""
-    import pandas as pd
+    under ``path`` (works against any task-visible filesystem).
+
+    Overwrite semantics match the primary spark-avro path: existing
+    ``*.avro`` part files under ``path`` are removed first. Nulls come
+    from Arrow validity (``to_pylist`` yields None), so float NaN stays
+    a value and null timestamps take the Avro null branch — no pandas
+    NaN/NaT ambiguity. (Task retries could leave a duplicate uuid part
+    file — the jar-backed writer's commit protocol is the cluster
+    answer; this bridge targets jar-less single-job use.)"""
+    import glob as _glob
 
     schema = avro_schema_for(df)
-    ts_cols = [
+    ts_cols = {
         f.name
         for f in df.schema.fields
         if f.dataType.simpleString().startswith("timestamp")
-    ]
+    }
     os.makedirs(path, exist_ok=True)
+    for old in _glob.glob(os.path.join(path, "*.avro")):
+        os.unlink(old)
     names = [f.name for f in df.schema.fields]
 
-    def part(it):
+    def part(batches):
+        import pandas as pd
+        import pyarrow as pa
+
         fname = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
         n = 0
+
+        def rows():
+            for batch in batches:
+                cols = []
+                for name in names:
+                    col = batch.column(batch.schema.get_field_index(name))
+                    if name in ts_cols:
+                        # timestamp-micros as long; validity preserved
+                        col = col.cast(pa.timestamp("us")).cast(pa.int64())
+                    cols.append(col.to_pylist())
+                for tup in zip(*cols):
+                    yield dict(zip(names, tup))
+
         with open(fname, "wb") as fh:
-            def rows():
-                for pdf in it:
-                    for c in ts_cols:
-                        pdf[c] = pdf[c].astype("datetime64[us]").astype("int64")
-                    recs = pdf[names].to_dict("records")
-                    for r in recs:
-                        yield {
-                            k: (None if pd.isna(v) else v)
-                            if not isinstance(v, (bytes, bytearray, list))
-                            else v
-                            for k, v in r.items()
-                        }
             n = write_container(fh, schema, rows(), codec=codec)
         if n == 0:
             os.unlink(fname)
-        yield pd.DataFrame({"file": [fname], "n_rows": [n]})
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([fname]), pa.array([n], type=pa.int64())],
+            names=["file", "n_rows"],
+        )
 
-    df.mapInPandas(part, "file string, n_rows long").collect()
+    df.mapInArrow(part, "file string, n_rows long").collect()
 
 
 def read_avro_py(spark, path: str):

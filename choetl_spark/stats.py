@@ -77,8 +77,21 @@ def compute_stats(arr: pa.Array, level: str = "full") -> ChunkStats:
         v = int_view(sample)
         st.ndv = extrapolate_ndv(int(len(np.unique(v))))
         st.mean_run_len = _mean_run_len_int(v)
-        st.min_val = int(v.min())
-        st.max_val = int(v.max())
+        # min/max over the FULL chunk (C kernel, null-aware): these ride
+        # into the encoded table's stats column and drive
+        # prune_partitions_by_stats — a prefix-sample bound would
+        # silently drop partitions whose extremes sit past the sample
+        mm_src = arr
+        if pa.types.is_timestamp(t):
+            mm_src = arr.cast(pa.int64())
+        elif pa.types.is_date32(t):
+            mm_src = arr.cast(pa.int32())
+        elif pa.types.is_boolean(t):
+            mm_src = arr.cast(pa.int8())
+        mm = pa.compute.min_max(mm_src)
+        lo, hi = mm["min"], mm["max"]
+        st.min_val = int(lo.as_py()) if lo.is_valid else None
+        st.max_val = int(hi.as_py()) if hi.is_valid else None
     elif pa.types.is_floating(t):
         v = np.asarray(sample)
         bits = v.view(np.int64 if v.dtype == np.float64 else np.int32)

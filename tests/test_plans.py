@@ -97,14 +97,21 @@ def test_seq_no_has_no_single_partition_exchange(spark):
     (the round-1 scale-killer: global Window.orderBy)."""
     from choetl_spark.operators import with_seq_no
 
-    df = spark.range(0, 10000).select(F.col("id").alias("k"))
+    df = (
+        spark.range(0, 50000, numPartitions=8)
+        .select(F.col("id").alias("k"))
+        .repartition(7)  # scrambled input, multiple range partitions
+    )
     out = with_seq_no(df, ["k"], col_name="rn")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
-    rows = out.orderBy("rn").collect()
-    assert [r["rn"] for r in rows[:3]] == [1, 2, 3]
-    assert rows[-1]["rn"] == 10000
-    assert [r["k"] for r in rows] == sorted(r["k"] for r in rows)
+    rows = out.collect()
+    # exact bijection 1..n (catches the repartitionByRange re-sampling
+    # race: boundaries must be pinned across the count and numbering
+    # jobs or sequence numbers duplicate/gap)
+    assert sorted(r["rn"] for r in rows) == list(range(1, 50001))
+    by_rn = sorted(rows, key=lambda r: r["rn"])
+    assert [r["k"] for r in by_rn] == sorted(r["k"] for r in rows)
 
 
 def test_plan_partitions_sample_fraction(spark, pages):

@@ -363,3 +363,42 @@ def test_read_jdbc_option_wiring():
     assert out.opts["numPartitions"] == 16
     assert out.opts["lowerBound"] == 0 and out.opts["upperBound"] == 100000
     assert out.opts["fetchsize"] == 10000
+
+
+def test_read_yaml_multidoc_and_path(spark, tmp_path):
+    """ChoYamlReader analog: multi-doc streams, YamlPath-lite subtree
+    selection with list fan-out, explicit-schema and inferred reads."""
+    from choetl_spark.sources import read_yaml
+
+    (tmp_path / "a.yaml").write_text(
+        "---\nid: 1\nname: Ada\ntags: [x, y]\n---\nid: 2\nname: Bob\n"
+    )
+    df = read_yaml(spark, str(tmp_path / "a.yaml"),
+                   schema="id long, name string, tags array<string>")
+    rows = sorted(df.collect(), key=lambda r: r["id"])
+    assert [r["name"] for r in rows] == ["Ada", "Bob"]
+    assert rows[0]["tags"] == ["x", "y"] and rows[1]["tags"] is None
+
+    (tmp_path / "b.yaml").write_text(
+        "store:\n  books:\n    - {title: A, price: 5}\n"
+        "    - {title: B, price: 7}\n"
+    )
+    books = read_yaml(spark, str(tmp_path / "b.yaml"),
+                      yaml_path="store.books")  # inferred schema
+    got = sorted(books.collect(), key=lambda r: r["title"])
+    assert [r["title"] for r in got] == ["A", "B"]
+    assert got[1]["price"] == 7
+
+
+def test_write_yaml_roundtrip(spark, tmp_path):
+    from choetl_spark.sources import read_yaml, write_yaml
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", None)], "id long, s string, x double"
+    )
+    p = str(tmp_path / "out_yaml")
+    write_yaml(df, p)
+    back = read_yaml(spark, p, schema="id long, s string, x double")
+    a = df.select("id", "s", "x")
+    b = back.select("id", "s", "x")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
