@@ -473,6 +473,60 @@ def write_yaml(df: DataFrame, path: str, multi_doc: bool = True) -> None:
     df.mapInArrow(part, "file string, n_rows long").collect()
 
 
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "root",
+    attributes: list[str] | None = None,
+) -> None:
+    """ChoXmlWriter analog (reference src/ChoETL/File/Xml/ChoXmlWriter.cs:18):
+    rows -> XML elements, fully declarative (concat expressions, XML
+    entity escaping JVM-side, whole-stage codegen) -> one text part per
+    partition plus root open/close markers. Columns in ``attributes``
+    render as attributes of the row element; the rest as child elements.
+    Nulls omit the element (the reference's null-value handling)."""
+    attrs = attributes or []
+
+    def esc(c):
+        out = F.col(c).cast("string")
+        for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                         ('"', "&quot;")):
+            out = F.regexp_replace(out, raw, ent)
+        return out
+
+    attr_parts = [
+        F.when(
+            F.col(c).isNotNull(), F.concat(F.lit(f' {c}="'), esc(c), F.lit('"'))
+        ).otherwise(F.lit(""))
+        for c in attrs
+    ]
+    elem_parts = [
+        F.when(
+            F.col(c).isNotNull(),
+            F.concat(F.lit(f"<{c}>"), esc(c), F.lit(f"</{c}>")),
+        ).otherwise(F.lit(""))
+        for c in df.columns
+        if c not in attrs
+    ]
+    line = F.concat(
+        F.lit(f"<{row_tag}"), *attr_parts, F.lit(">"), *elem_parts,
+        F.lit(f"</{row_tag}>"),
+    )
+    rows = df.select(line.alias("value"))
+    header = df.sparkSession.createDataFrame(
+        [(f"<{root_tag}>",)], "value string"
+    )
+    footer = df.sparkSession.createDataFrame(
+        [(f"</{root_tag}>",)], "value string"
+    )
+    # root markers as separate single-row partitions: part files
+    # concatenate (in name order) to a well-formed document; at scale
+    # the consumer reads the directory as a stream (same contract as
+    # Spark's own text writer)
+    header.unionAll(rows).unionAll(footer).write.mode("overwrite").text(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,
