@@ -57,7 +57,7 @@ def left_join(
 
 def with_seq_no(
     df: DataFrame, order_by: list[str], partition_by: list[str] | None = None,
-    col_name: str = "seq_no",
+    col_name: str = "seq_no", materialize: bool = True,
 ) -> DataFrame:
     """ChoSequenceNoGenerator
     (reference src/ChoETL/Common/Converters/ChoSeqNoGeneratorConvertor.cs:12-40).
@@ -82,9 +82,14 @@ def with_seq_no(
     # could see DIFFERENT partition boundaries -> duplicated/gapped
     # sequence numbers. One materialization is the same price RDD
     # zipWithIndex pays (its count pass + cached partitions).
+    # ``materialize=False`` skips the checkpoint so the exchanges stay
+    # visible in the query plan — for plan-shape tests ONLY (it reopens
+    # the boundary race on real data).
     sorted_df = df.repartitionByRange(*order_by).sortWithinPartitions(
         *order_by
-    ).localCheckpoint()
+    )
+    if materialize:
+        sorted_df = sorted_df.localCheckpoint()
     counts = (
         sorted_df.select(F.spark_partition_id().alias("_pid"))
         .groupBy("_pid")

@@ -138,12 +138,15 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
 def _spark_avro_missing(e: Exception) -> bool:
     """True only for 'the avro data source is not on the classpath' —
     any other spark-avro failure (bad path, corrupt file, task failure)
-    must surface, not silently retry through the Python bridge."""
-    msg = str(e)
-    return (
-        "FAILED_TO_FIND_DATA_SOURCE" in msg
-        or "Failed to find data source: avro" in msg
-        or "AVRO" in msg and "find" in msg.lower()
+    must surface, not silently retry through the Python bridge. Checks
+    the version-stable error CLASS first, message phrasing as backup."""
+    get_cls = getattr(e, "getErrorClass", None)
+    cls = (get_cls() if callable(get_cls) else None) or ""
+    if cls in ("FAILED_TO_FIND_DATA_SOURCE", "DATA_SOURCE_NOT_FOUND"):
+        return True
+    msg = str(e).lower()
+    return "avro" in msg and ("find" in msg or "classpath" in msg) and (
+        "data source" in msg or "datasource" in msg
     )
 
 
@@ -435,42 +438,32 @@ def read_yaml(
         return jsons.select(
             F.from_json("json", schema).alias("r")
         ).select("r.*")
-    return spark.read.json(jsons.rdd.map(lambda r: r["json"]))
+    # inference reads the JSON twice (schema pass + data pass): persist
+    # so the expensive YAML parse itself runs once, not per pass
+    return spark.read.json(jsons.persist().rdd.map(lambda r: r["json"]))
 
 
 def write_yaml(df: DataFrame, path: str, multi_doc: bool = True) -> None:
     """ChoYamlWriter analog (reference src/ChoETL.Yaml/ChoYamlWriter.cs:19):
     one YAML stream per partition under ``path`` (``---``-separated
-    documents), written task-side like the Avro bridge."""
-    import os as _os
-    import uuid as _uuid
-
+    documents), written task-side via the shared part-file writer."""
     import yaml as _yaml
 
-    _os.makedirs(path, exist_ok=True)
-    for old in __import__("glob").glob(_os.path.join(path, "*.yaml")):
-        _os.unlink(old)
+    from choetl_spark.sources.partfiles import write_part_files
 
-    def part(batches):
-        import pyarrow as pa
-
-        fname = _os.path.join(path, f"part-{_uuid.uuid4().hex}.yaml")
+    def encode_batches(batches, fh) -> int:
         n = 0
-        with open(fname, "w", encoding="utf-8") as fh:
-            for batch in batches:
-                rows = batch.to_pylist()
-                for r in rows:
-                    fh.write("---\n")
-                    _yaml.safe_dump(r, fh, sort_keys=False)
-                n += len(rows)
-        if n == 0:
-            _os.unlink(fname)
-        yield pa.RecordBatch.from_arrays(
-            [pa.array([fname]), pa.array([n], type=pa.int64())],
-            names=["file", "n_rows"],
-        )
+        for batch in batches:
+            rows = batch.to_pylist()
+            for r in rows:
+                fh.write(b"---\n")
+                fh.write(
+                    _yaml.safe_dump(r, sort_keys=False).encode("utf-8")
+                )
+            n += len(rows)
+        return n
 
-    df.mapInArrow(part, "file string, n_rows long").collect()
+    write_part_files(df, path, "yaml", encode_batches)
 
 
 def write_xml(

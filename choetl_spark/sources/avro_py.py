@@ -26,7 +26,6 @@ import io
 import json
 import os
 import struct
-import uuid
 import zlib
 from collections.abc import Iterable, Iterator
 
@@ -334,14 +333,12 @@ def write_avro_py(df, path: str, codec: str = "deflate") -> None:
     """Distributed fallback writer: each task writes one container file
     under ``path`` (works against any task-visible filesystem).
 
-    Overwrite semantics match the primary spark-avro path: existing
-    ``*.avro`` part files under ``path`` are removed first. Nulls come
-    from Arrow validity (``to_pylist`` yields None), so float NaN stays
-    a value and null timestamps take the Avro null branch — no pandas
-    NaN/NaT ambiguity. (Task retries could leave a duplicate uuid part
-    file — the jar-backed writer's commit protocol is the cluster
-    answer; this bridge targets jar-less single-job use.)"""
-    import glob as _glob
+    Overwrite semantics match the primary spark-avro path (stale part
+    files cleared — see :mod:`choetl_spark.sources.partfiles`). Nulls
+    come from Arrow validity (``to_pylist`` yields None), so float NaN
+    stays a value and null timestamps take the Avro null branch — no
+    pandas NaN/NaT ambiguity."""
+    from choetl_spark.sources.partfiles import write_part_files
 
     schema = avro_schema_for(df)
     ts_cols = {
@@ -349,17 +346,10 @@ def write_avro_py(df, path: str, codec: str = "deflate") -> None:
         for f in df.schema.fields
         if f.dataType.simpleString().startswith("timestamp")
     }
-    os.makedirs(path, exist_ok=True)
-    for old in _glob.glob(os.path.join(path, "*.avro")):
-        os.unlink(old)
     names = [f.name for f in df.schema.fields]
 
-    def part(batches):
-        import pandas as pd
+    def encode_batches(batches, fh) -> int:
         import pyarrow as pa
-
-        fname = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
-        n = 0
 
         def rows():
             for batch in batches:
@@ -373,16 +363,9 @@ def write_avro_py(df, path: str, codec: str = "deflate") -> None:
                 for tup in zip(*cols):
                     yield dict(zip(names, tup))
 
-        with open(fname, "wb") as fh:
-            n = write_container(fh, schema, rows(), codec=codec)
-        if n == 0:
-            os.unlink(fname)
-        yield pa.RecordBatch.from_arrays(
-            [pa.array([fname]), pa.array([n], type=pa.int64())],
-            names=["file", "n_rows"],
-        )
+        return write_container(fh, schema, rows(), codec=codec)
 
-    df.mapInArrow(part, "file string, n_rows long").collect()
+    write_part_files(df, path, "avro", encode_batches)
 
 
 def read_avro_py(spark, path: str):
@@ -411,7 +394,11 @@ def read_avro_py(spark, path: str):
                 _, rows = read_container(bytes(content))
                 out = pd.DataFrame(list(rows), columns=names)
                 for c in ts_cols:
-                    out[c] = pd.to_datetime(out[c], unit="us")
+                    # the container stores true UTC epoch micros
+                    # (timestamp-micros); the series must be tz-AWARE or
+                    # Spark reinterprets naive values in the session TZ
+                    # and shifts every timestamp by the UTC offset
+                    out[c] = pd.to_datetime(out[c], unit="us", utc=True)
                 yield out
 
     binf = spark.read.format("binaryFile").load(

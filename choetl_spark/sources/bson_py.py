@@ -20,7 +20,6 @@ import datetime as _dt
 import json
 import os
 import struct
-import uuid
 from collections.abc import Iterator
 
 _EPOCH = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
@@ -63,6 +62,10 @@ def decode_document(buf: memoryview, pos: int = 0) -> tuple[dict, int]:
             blen = struct.unpack_from("<i", buf, p)[0]
             out[name] = bytes(buf[p + 5 : p + 5 + blen])  # skip subtype
             p += 5 + blen
+        elif etype == 0x07:  # ObjectId -> 24-char hex string (mongodump
+            # documents always carry one in _id)
+            out[name] = bytes(buf[p : p + 12]).hex()
+            p += 12
         elif etype == 0x08:  # bool
             out[name] = bool(buf[p])
             p += 1
@@ -106,7 +109,15 @@ def encode_document(doc: dict, type_hints: dict[str, str] | None = None) -> byte
         elif isinstance(v, _dt.datetime):
             if v.tzinfo is None:
                 v = v.replace(tzinfo=_dt.timezone.utc)
-            ms = int((v - _EPOCH).total_seconds() * 1000)
+            # integer floor-division: float total_seconds() truncation
+            # corrupted pre-epoch values by +1ms. BSON datetime is
+            # ms-precision — sub-ms components round to the nearest ms
+            # (documented loss, not silent float drift).
+            us = (v - _EPOCH) // _dt.timedelta(microseconds=1)
+            if us >= 0:
+                ms = (us + 500) // 1000
+            else:
+                ms = -((-us + 500) // 1000)
             body += b"\x09" + nb + struct.pack("<q", ms)
         elif isinstance(v, float):
             body += b"\x01" + nb + struct.pack("<d", v)
@@ -162,33 +173,21 @@ def read_bson_py(spark, path: str, schema: str):
 def write_bson_py(df, path: str) -> None:
     """Distributed writer: one ``.bson`` dump file per task under
     ``path``; overwrite clears stale part files."""
-    import glob as _glob
+    from choetl_spark.sources.partfiles import write_part_files
 
-    import pyarrow as pa
-
-    os.makedirs(path, exist_ok=True)
-    for old in _glob.glob(os.path.join(path, "*.bson")):
-        os.unlink(old)
     hints = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     names = [f.name for f in df.schema.fields]
 
-    def part(batches):
-        fname = os.path.join(path, f"part-{uuid.uuid4().hex}.bson")
+    def encode_batches(batches, fh) -> int:
         n = 0
-        with open(fname, "wb") as fh:
-            for batch in batches:
-                cols = [
-                    batch.column(batch.schema.get_field_index(c)).to_pylist()
-                    for c in names
-                ]
-                for tup in zip(*cols):
-                    fh.write(encode_document(dict(zip(names, tup)), hints))
-                    n += 1
-        if n == 0:
-            os.unlink(fname)
-        yield pa.RecordBatch.from_arrays(
-            [pa.array([fname]), pa.array([n], type=pa.int64())],
-            names=["file", "n_rows"],
-        )
+        for batch in batches:
+            cols = [
+                batch.column(batch.schema.get_field_index(c)).to_pylist()
+                for c in names
+            ]
+            for tup in zip(*cols):
+                fh.write(encode_document(dict(zip(names, tup)), hints))
+                n += 1
+        return n
 
-    df.mapInArrow(part, "file string, n_rows long").collect()
+    write_part_files(df, path, "bson", encode_batches)

@@ -57,6 +57,25 @@ def compute_stats(arr: pa.Array, level: str = "full") -> ChunkStats:
     st = ChunkStats(n=n, n_nulls=arr.null_count, data_bytes=data_nbytes(arr))
     if n == 0:
         return st
+    t = arr.type
+    if is_int_like(t):
+        # min/max over the FULL chunk (C kernel, null-aware), computed
+        # BEFORE any sample-emptiness early-out: these ride into the
+        # encoded table's stats column and drive
+        # prune_partitions_by_stats — a prefix-sample bound (or a chunk
+        # whose sampled prefix is all null) would silently drop
+        # partitions whose real extremes sit past the sample
+        mm_src = arr
+        if pa.types.is_timestamp(t):
+            mm_src = arr.cast(pa.int64())
+        elif pa.types.is_date32(t):
+            mm_src = arr.cast(pa.int32())
+        elif pa.types.is_boolean(t):
+            mm_src = arr.cast(pa.int8())
+        mm = pa.compute.min_max(mm_src)
+        lo, hi = mm["min"], mm["max"]
+        st.min_val = int(lo.as_py()) if lo.is_valid else None
+        st.max_val = int(hi.as_py()) if hi.is_valid else None
     sample_rows = _SAMPLE_ROWS if level == "full" else 512
     sample = arr.slice(0, min(n, sample_rows))
     sample = sample.drop_null() if sample.null_count else sample
@@ -72,26 +91,10 @@ def compute_stats(arr: pa.Array, level: str = "full") -> ChunkStats:
             return int(sample_ndv / max(ns, 1) * max(n - st.n_nulls, ns))
         return sample_ndv
 
-    t = arr.type
     if is_int_like(t):
         v = int_view(sample)
         st.ndv = extrapolate_ndv(int(len(np.unique(v))))
         st.mean_run_len = _mean_run_len_int(v)
-        # min/max over the FULL chunk (C kernel, null-aware): these ride
-        # into the encoded table's stats column and drive
-        # prune_partitions_by_stats — a prefix-sample bound would
-        # silently drop partitions whose extremes sit past the sample
-        mm_src = arr
-        if pa.types.is_timestamp(t):
-            mm_src = arr.cast(pa.int64())
-        elif pa.types.is_date32(t):
-            mm_src = arr.cast(pa.int32())
-        elif pa.types.is_boolean(t):
-            mm_src = arr.cast(pa.int8())
-        mm = pa.compute.min_max(mm_src)
-        lo, hi = mm["min"], mm["max"]
-        st.min_val = int(lo.as_py()) if lo.is_valid else None
-        st.max_val = int(hi.as_py()) if hi.is_valid else None
     elif pa.types.is_floating(t):
         v = np.asarray(sample)
         bits = v.view(np.int64 if v.dtype == np.float64 else np.int32)

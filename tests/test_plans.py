@@ -102,9 +102,14 @@ def test_seq_no_has_no_single_partition_exchange(spark):
         .select(F.col("id").alias("k"))
         .repartition(7)  # scrambled input, multiple range partitions
     )
-    out = with_seq_no(df, ["k"], col_name="rn")
-    plan = out._jdf.queryExecution().executedPlan().toString()
+    # plan shape on the UNmaterialized variant: the localCheckpoint in
+    # the default path truncates lineage, which would hide (and thus
+    # vacuously pass) the single-partition check
+    shape = with_seq_no(df, ["k"], col_name="rn", materialize=False)
+    plan = shape._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+    assert "rangepartitioning" in plan.lower()
+    out = with_seq_no(df, ["k"], col_name="rn")
     rows = out.collect()
     # exact bijection 1..n (catches the repartitionByRange re-sampling
     # race: boundaries must be pinned across the count and numbering

@@ -174,3 +174,60 @@ def test_incremental_encode_foreachbatch(spark, tmp_path):
     assert ledger.groupBy("part_id").count().filter("count > 1").count() == 0
     decoded = decode_dataframe(read_encoded(spark, out))
     assert verify_roundtrip(all_pages, decoded) == 0
+
+
+def test_avro_bridge_non_utc_session_tz(spark, tmp_path):
+    """Regression: the bridge stores UTC epoch micros; reads must come
+    back tz-aware or Spark reinterprets them in the session TZ and
+    shifts every value by the UTC offset."""
+    import datetime as dt
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        df = spark.createDataFrame(
+            [(1, dt.datetime(2023, 7, 22, 1, 2, 3, 456789))],
+            "id long, ts timestamp",
+        )
+        p = str(tmp_path / "tz_avro")
+        src.write_avro(df, p)
+        back = src.read_avro(spark, p)
+        assert back.collect()[0]["ts"] == df.collect()[0]["ts"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_bson_pre_epoch_and_subms_timestamps():
+    """Regression: integer ms arithmetic — pre-1970 values must not
+    shift by 1ms (float truncation), sub-ms rounds to nearest ms."""
+    import datetime as dt
+
+    from choetl_spark.sources.bson_py import decode_document, encode_document
+
+    utc = dt.timezone.utc
+    cases = [
+        (dt.datetime(1969, 12, 31, 23, 59, 55, 905000, tzinfo=utc),
+         dt.datetime(1969, 12, 31, 23, 59, 55, 905000, tzinfo=utc)),
+        (dt.datetime(2023, 7, 22, 1, 2, 3, 456789, tzinfo=utc),
+         dt.datetime(2023, 7, 22, 1, 2, 3, 457000, tzinfo=utc)),  # round up
+        (dt.datetime(1969, 12, 31, 23, 59, 59, 999400, tzinfo=utc),
+         dt.datetime(1969, 12, 31, 23, 59, 59, 999000, tzinfo=utc)),
+    ]
+    for given, want in cases:
+        doc, _ = decode_document(
+            memoryview(encode_document({"t": given}))
+        )
+        assert doc["t"] == want, (given, doc["t"], want)
+
+
+def test_bson_objectid_decodes_to_hex():
+    """mongodump documents always carry an ObjectId _id (type 0x07)."""
+    import struct
+
+    from choetl_spark.sources.bson_py import decode_document
+
+    oid = bytes(range(12))
+    body = b"\x07_id\x00" + oid
+    raw = struct.pack("<i", len(body) + 5) + body + b"\x00"
+    doc, _ = decode_document(memoryview(raw))
+    assert doc["_id"] == oid.hex()
