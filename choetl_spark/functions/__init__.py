@@ -202,3 +202,18 @@ def json_path_extract(df, col: str, path: str, out_col: str = "matches"):
             )
 
     return df.mapInArrow(kernel, sig)
+
+
+def encrypt_col(col: Column, key: str) -> Column:
+    """Per-field crypto converter (the reference's ChoDESCryptoConverter,
+    src/ChoETL/Common/Converters/ChoDESCryptoConverter.cs:10-39, mapped
+    to Spark-native AES-GCM — DES is obsolete; aes_encrypt is the
+    JVM-side modern equivalent). Key must be 16/24/32 bytes."""
+    return F.base64(
+        F.aes_encrypt(col.cast("string").cast("binary"), F.lit(key))
+    )
+
+
+def decrypt_col(col: Column, key: str) -> Column:
+    """Inverse of :func:`encrypt_col` -> string."""
+    return F.aes_decrypt(F.unbase64(col), F.lit(key)).cast("string")

@@ -457,3 +457,16 @@ def test_write_xml_roundtrip(spark, tmp_path):
     assert rows[0]["note"] == "a&lt;b&amp;c"
     assert rows[1]["v"] == "q&quot;z"
     assert rows[1]["note"] == ""  # null -> element omitted
+
+
+def test_crypto_converter_roundtrip(spark):
+    """ChoDESCryptoConverter analog on Spark-native AES (JVM-side)."""
+    from choetl_spark.functions import decrypt_col, encrypt_col
+
+    key = "0123456789abcdef"
+    df = spark.createDataFrame([(1, "secret"), (2, None)], "id int, s string")
+    enc = df.select("id", encrypt_col(F.col("s"), key).alias("c"))
+    assert enc.filter("id = 1").collect()[0]["c"] != "secret"
+    back = enc.select("id", decrypt_col(F.col("c"), key).alias("s"))
+    rows = {r["id"]: r["s"] for r in back.collect()}
+    assert rows[1] == "secret" and rows[2] is None
