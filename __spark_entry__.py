@@ -164,6 +164,28 @@ def q_customers_without_orders(spark, sf_dir):
     return except_keys(cust, big, "c_custkey").select("c_custkey", "c_name")
 
 
+def q_jsonpath_recursive_events(spark, sf_dir):
+    """Recursive JSONPath ($..k) over the events props column — the
+    subset get_json_object cannot express (SURVEY §2.1 ChoJSONReader
+    WithJSONPath parity)."""
+    from choetl_spark.functions import json_path_extract
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "props")
+    out = json_path_extract(ev, "props", "$..k", "matches")
+    return out.select("event_id", "matches")
+
+
+def q_seqno_global_events(spark, sf_dir):
+    """Global (unpartitioned) sequence numbers via the partition-offset
+    implementation — no single-task window (SURVEY §2.6)."""
+    from choetl_spark.operators import with_seq_no
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "ts")
+    return with_seq_no(ev, ["ts", "event_id"], col_name="seq").select(
+        "event_id", "seq"
+    )
+
+
 def q_seqno_events_per_user(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -546,6 +568,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_part_fields": q_substring_part_fields,
         "json_extract_events": q_json_extract_events,
         "customers_without_orders": q_customers_without_orders,
+        "jsonpath_recursive_events": q_jsonpath_recursive_events,
+        "seqno_global_events": q_seqno_global_events,
         "seqno_events_per_user": q_seqno_events_per_user,
         "agg_events_stats": q_agg_events_stats,
         "window_hourly_events": q_window_hourly_events,
@@ -801,6 +825,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey NOT IN
               (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        """,
+        "jsonpath_recursive_events": """
+            SELECT event_id, [json_extract_string(props, '$.k')] AS matches
+            FROM events
+        """,
+        "seqno_global_events": """
+            SELECT event_id,
+                   row_number() OVER (ORDER BY ts, event_id) AS seq
+            FROM events
         """,
         "seqno_events_per_user": """
             SELECT user_id, event_id, rn FROM (
