@@ -126,3 +126,20 @@ def test_plan_partitions_sample_fraction(spark, pages):
     sampled = plan_partitions(pages, 16, sample_fraction=0.5)
     assert exact.count() == sampled.count() == pages.count()
     assert sampled.select("part_id").distinct().count() <= 16
+
+
+def test_embedding_neardup_default_has_no_allpairs_join(spark):
+    """Round-2 criterion: the default embedding_neardup_pairs path must
+    be the bucketed equi-join — no broadcast nested-loop / cartesian
+    all-pairs candidate generation anywhere in the plan."""
+    from choetl_spark.operators import embedding_neardup_pairs
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    out = embedding_neardup_pairs(df, threshold=0.9, dim=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    out.collect()  # and it runs
