@@ -145,6 +145,40 @@ def _batch_window_hashes(
     return h_all[idx], wseg
 
 
+_KERNEL_TEXT_BUDGET = 8 << 20  # text bytes per vectorized slice
+
+
+def _iter_batch_slices(batch, text_idx: int = 1, budget: int = _KERNEL_TEXT_BUDGET):
+    """Split an Arrow batch into row slices of <= ``budget`` text bytes.
+
+    The batch kernels allocate flat temporaries proportional to the
+    slice's TOTAL text bytes (hash stream, gather indices ~25-40x);
+    bounding the slice bounds the peak regardless of Arrow batch size
+    or document length — same discipline as the engine's byte-capped
+    chunker. Vectorization is unaffected: each slice is still processed
+    in whole-array numpy passes."""
+    import pyarrow as pa
+
+    arr = batch.column(text_idx)
+    n = batch.num_rows
+    if n <= 1 or arr.nbytes <= budget:
+        yield batch
+        return
+    lens = np.asarray(
+        pa.compute.fill_null(
+            pa.compute.binary_length(arr).cast(pa.int64()), 0
+        )
+    )
+    cum = np.cumsum(lens)
+    start = 0
+    while start < n:
+        base = int(cum[start - 1]) if start else 0
+        hi = int(np.searchsorted(cum, base + budget, side="right"))
+        end = max(start + 1, min(hi, n))
+        yield batch.slice(start, end - start)
+        start = end
+
+
 def _unique_per_doc(
     h: np.ndarray, wseg: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -185,7 +219,10 @@ def minhash_signatures(
     b_u = b_params.astype(np.uint64)
     M = np.uint64(_MERSENNE)
 
-    def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    def compute(raw: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        batches = (
+            piece for b in raw for piece in _iter_batch_slices(b)
+        )
         for batch in batches:
             n = batch.num_rows
             if n == 0:
@@ -346,12 +383,21 @@ def simhash_signatures(
     """64-bit SimHash per doc over distinct character-shingle hashes,
     fully vectorized across the batch: one rolling-hash pass, per-doc
     distinct via a single lexsort, then 64 bit-vote reductions with
-    ``np.add.reduceat`` — no per-document Python. Byte-identical to the
-    scalar reference (pinned by tests/test_operators.py goldens)."""
+    ``np.add.reduceat`` — no per-document Python. Pinned by the
+    tests/test_operators.py goldens.
+
+    Case folding is Arrow's ``utf8_lower`` (full Unicode, locale
+    independent). It differs from Python ``str.lower()`` for a few
+    context-sensitive mappings (Greek final sigma, Turkish dotted I) —
+    signatures for such text are stable within this engine but not
+    comparable to a Python-lowercased external implementation."""
     import pyarrow as pa
 
-    def compute(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    def compute(raw: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         one = np.uint64(1)
+        batches = (
+            piece for b in raw for piece in _iter_batch_slices(b)
+        )
         for batch in batches:
             n = batch.num_rows
             if n == 0:
@@ -504,10 +550,16 @@ def embedding_neardup_pairs(
     base = df.select(F.col(id_col), vec_d.alias("_v"))
     if use_lsh:
         if dim is None:
-            head = df.select(vec_col).first()
-            if head is None or head[0] is None:
+            # probe a NON-NULL vector (a null first row must not empty
+            # the whole result); truly no vectors -> empty pairs
+            head = (
+                df.select(vec_col)
+                .filter(F.col(vec_col).isNotNull())
+                .first()
+            )
+            if head is None:
                 return df.sparkSession.createDataFrame(
-                    [], f"id_a long, id_b long, cosine double"
+                    [], "id_a long, id_b long, cosine double"
                 )
             dim = len(head[0])
         planes = _hyperplanes(dim, n_planes, seed)

@@ -244,10 +244,11 @@ def with_ivf_cluster(
 
     @pandas_udf("int")
     def assign(vs: pd.Series) -> pd.Series:
+        # argmax over centroid dot products is invariant to row scaling
+        # (centroids are unit-normalized), so rows are deliberately NOT
+        # normalized: one fewer FP pass, and the arithmetic matches an
+        # external raw-dot replication (the driver's DuckDB oracle)
         mat = np.array(vs.tolist(), dtype=np.float64)
-        mat = mat / np.maximum(
-            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
-        )
         return pd.Series(np.argmax(mat @ cent.T, axis=1).astype(np.int32))
 
     return df.withColumn(out_col, assign(F.col(vec_col)))

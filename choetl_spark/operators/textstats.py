@@ -100,12 +100,16 @@ def winnowing_fingerprints(
     import numpy as np
     import pyarrow as pa
 
-    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    def kernel(raw: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         from choetl_spark.operators.dedup import (
             _batch_window_hashes,
+            _iter_batch_slices,
             _unique_per_doc,
         )
 
+        batches = (
+            piece for b in raw for piece in _iter_batch_slices(b)
+        )
         for batch in batches:
             n = batch.num_rows
             if n == 0:

@@ -48,8 +48,11 @@ def sniff_delimiter(
     with open(files[0], "r", encoding="utf-8", errors="replace") as fh:
         prefix = fh.read(sample_bytes)
     lines = [ln for ln in prefix.split("\n") if ln.strip()][:20]
-    if len(lines) > 1:
-        lines = lines[:-1] or lines  # last line may be truncated mid-record
+    if len(prefix) == sample_bytes and len(lines) > 1:
+        # only a TRUNCATED read can end mid-record; on a fully-read
+        # small file the last line is real data and dropping it can
+        # flip the vote (header-only ties resolve to ',')
+        lines = lines[:-1]
     best: str | None = None
     best_count = 0
     for cand in _SNIFF_CANDIDATES:
@@ -438,9 +441,19 @@ def read_yaml(
         return jsons.select(
             F.from_json("json", schema).alias("r")
         ).select("r.*")
-    # inference reads the JSON twice (schema pass + data pass): persist
-    # so the expensive YAML parse itself runs once, not per pass
-    return spark.read.json(jsons.persist().rdd.map(lambda r: r["json"]))
+    # schema inference is its own pass: run it over a persisted copy,
+    # then RELEASE the cache (a leaked persist would pin executor
+    # storage for the session) and apply the inferred schema lazily
+    jsons = jsons.persist()
+    try:
+        inferred = spark.read.json(
+            jsons.rdd.map(lambda r: r["json"])
+        ).schema
+    finally:
+        jsons.unpersist()
+    return jsons.select(
+        F.from_json("json", inferred.simpleString()).alias("r")
+    ).select("r.*")
 
 
 def write_yaml(df: DataFrame, path: str, multi_doc: bool = True) -> None:

@@ -375,17 +375,31 @@ def read_avro_py(spark, path: str):
 
     import pandas as pd
 
-    files = sorted(_glob.glob(os.path.join(path, "*.avro"))) or [path]
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "*.avro")))
+        if not files:
+            raise FileNotFoundError(
+                f"no .avro part files under {path} (an empty write "
+                "leaves none — the container carries the schema, so an "
+                "empty dataset cannot be re-read from nothing)"
+            )
+    else:
+        files = [path]
     with open(files[0], "rb") as fh:
         schema, _ = read_container(fh.read())
     ddl = _spark_ddl_for(schema)
-    ts_cols = [
-        f["name"]
-        for f in schema["fields"]
-        if isinstance(
-            (f["type"][1] if isinstance(f["type"], list) else f["type"]), dict
-        )
-    ]
+
+    def _is_ts(ftype) -> bool:
+        # the timestamp marker is a logicalType on the NON-null branch,
+        # wherever it sits in the union; other logical types (uuid,
+        # decimal...) ride their primitive and must NOT be converted
+        if isinstance(ftype, list):
+            ftype = next((x for x in ftype if x != "null"), "null")
+        return isinstance(ftype, dict) and str(
+            ftype.get("logicalType", "")
+        ).startswith("timestamp")
+
+    ts_cols = [f["name"] for f in schema["fields"] if _is_ts(f["type"])]
     names = [f["name"] for f in schema["fields"]]
 
     def parse(it):

@@ -152,6 +152,13 @@ def read_bson_py(spark, path: str, schema: str):
     from pyspark.sql.types import _parse_datatype_string
 
     names = [f.name for f in _parse_datatype_string(schema).fields]
+    if os.path.isdir(path):
+        import glob as _glob
+
+        if not _glob.glob(os.path.join(path, "*.bson")):
+            # empty write leaves no part files; schema is explicit here,
+            # so an empty DataFrame is the faithful read
+            return spark.createDataFrame([], schema)
 
     def parse(it):
         for pdf in it:

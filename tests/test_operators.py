@@ -416,3 +416,30 @@ def test_winnowing_golden(spark):
         else:
             mins = hs
         assert rows[i] == np.unique(mins).astype(np.int64).tolist()
+
+
+def test_kernel_byte_budget_slicing_identical():
+    """The per-slice memory cap must not change window hashes: slicing
+    a batch at a tiny byte budget and concatenating per-slice results
+    must equal the unsliced computation (kernel-level check — the
+    Spark kernels consume _iter_batch_slices verbatim)."""
+    import pyarrow as pa
+
+    import choetl_spark.operators.dedup as dd
+
+    texts = [("word%d " % i) * (5 + i % 37) for i in range(200)]
+    batch = pa.RecordBatch.from_arrays(
+        [pa.array(list(range(200)), type=pa.int64()), pa.array(texts)],
+        names=["doc_id", "text"],
+    )
+    h_all, seg_all = dd._batch_window_hashes(batch.column(1), 5)
+    pieces = list(dd._iter_batch_slices(batch, budget=1024))
+    assert len(pieces) > 5  # the budget really split the batch
+    hs = []
+    for p in pieces:
+        h, _ = dd._batch_window_hashes(p.column(1), 5)
+        hs.append(h)
+    assert np.array_equal(np.concatenate(hs), h_all)
+    # row alignment preserved across slices
+    ids = [i for p in pieces for i in p.column(0).to_pylist()]
+    assert ids == list(range(200))
