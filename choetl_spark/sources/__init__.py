@@ -379,6 +379,22 @@ def read_xml_flat(
     return read_xml(spark, path, row_tag, fields)
 
 
+def read_bson(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """ChoBSONReader analog (reference src/ChoETL.BSON/ChoBSONReader.cs:21)
+    over the pure-Python dump bridge; the mongo-spark connector is the
+    cluster path for live MongoDB sources."""
+    from choetl_spark.sources.bson_py import read_bson_py
+
+    return read_bson_py(spark, path, schema)
+
+
+def write_bson(df: DataFrame, path: str) -> None:
+    """BSON dump writer (one mongodump-style file per task)."""
+    from choetl_spark.sources.bson_py import write_bson_py
+
+    write_bson_py(df, path)
+
+
 def read_yaml(
     spark: SparkSession,
     path: str,
