@@ -379,6 +379,56 @@ def read_xml_flat(
     return read_xml(spark, path, row_tag, fields)
 
 
+def read_text_gated(
+    spark: SparkSession,
+    path: str,
+    skip_until: str | None = None,
+    do_while: str | None = None,
+) -> DataFrame:
+    """Stateful SkipUntil / DoWhile row gating over ordered text files
+    (reference src/ChoETL/IChoReader.cs:22-23; applied e.g.
+    ChoParquetRecordReader.cs:208-226): per file, emit lines from the
+    first ``skip_until`` match (inclusive; SQL predicate over ``line``)
+    up to the first subsequent line failing ``do_while`` (exclusive).
+    Files with no ``skip_until`` match yield nothing.
+
+    Declarative sessionization, not a driver loop: per-file line
+    positions via wholetext + posexplode (order-preserving within a
+    file), gate positions via windowed min-aggregates, one filter. Runs
+    parallel across files; within a file, order is inherent to the
+    format. Returns (file, pos, line).
+    """
+    from pyspark.sql import Window
+
+    whole = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("file"), "value"
+    )
+    lines = whole.select(
+        "file",
+        F.posexplode(F.split(F.col("value"), "\r?\n")).alias("pos", "line"),
+    )
+    w = Window.partitionBy("file")
+    start_pos = (
+        F.min(F.when(F.expr(skip_until), F.col("pos"))).over(w)
+        if skip_until is not None
+        else F.lit(0)
+    )
+    gated = lines.withColumn("_start", start_pos).filter(
+        F.col("_start").isNotNull() & (F.col("pos") >= F.col("_start"))
+    )
+    if do_while is not None:
+        stop_pos = F.min(
+            F.when(
+                ~F.expr(do_while) & (F.col("pos") > F.col("_start")),
+                F.col("pos"),
+            )
+        ).over(Window.partitionBy("file"))
+        gated = gated.withColumn("_stop", stop_pos).filter(
+            F.col("_stop").isNull() | (F.col("pos") < F.col("_stop"))
+        )
+    return gated.select("file", "pos", "line")
+
+
 def read_bson(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """ChoBSONReader analog (reference src/ChoETL.BSON/ChoBSONReader.cs:21)
     over the pure-Python dump bridge; the mongo-spark connector is the

@@ -470,3 +470,27 @@ def test_crypto_converter_roundtrip(spark):
     back = enc.select("id", decrypt_col(F.col("c"), key).alias("s"))
     rows = {r["id"]: r["s"] for r in back.collect()}
     assert rows[1] == "secret" and rows[2] is None
+
+
+def test_read_text_gated_skipuntil_dowhile(spark, tmp_path):
+    """Stateful SkipUntil/DoWhile gating (IChoReader.cs:22-23): emit
+    from the first match through the last line satisfying do_while."""
+    from choetl_spark.sources import read_text_gated
+
+    (tmp_path / "a.log").write_text(
+        "garbage\nmore garbage\nBEGIN\ndata 1\ndata 2\nEND\ntrailing\n"
+    )
+    (tmp_path / "b.log").write_text("no markers here\nat all\n")
+    out = read_text_gated(
+        spark,
+        str(tmp_path / "*.log"),
+        skip_until="line = 'BEGIN'",
+        do_while="line != 'END'",
+    )
+    rows = sorted(out.collect(), key=lambda r: r["pos"])
+    assert [r["line"] for r in rows] == ["BEGIN", "data 1", "data 2"]
+    # skip_until alone: from marker to EOF
+    tail = read_text_gated(
+        spark, str(tmp_path / "a.log"), skip_until="line = 'END'"
+    )
+    assert [r["line"] for r in sorted(tail.collect(), key=lambda r: r["pos"])][:2] == ["END", "trailing"]
