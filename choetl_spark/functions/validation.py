@@ -64,20 +64,18 @@ def validate_or_fail(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """ErrorMode=ThrowAndStop: raise_error on first invalid row (checked
     lazily at execution, like the reference's streaming writer).
 
-    The guard is woven into the first output column — a standalone
-    dropped column would be pruned by Catalyst and never evaluate. The
-    same pruning means an action that reads NO columns (a bare
-    ``count()``) skips the guard; any materialization of the first
-    column (collect/write/select) enforces it."""
+    The guard lives in a FILTER predicate, which Catalyst cannot prune
+    away no matter which columns the action reads — even a bare
+    ``count()`` evaluates it for every row (a guard woven into an
+    output column, the previous form, was skipped by column pruning on
+    zero-column actions)."""
     out = check(df, rules)
-    c0 = df.columns[0]
-    dtype = df.schema[c0].dataType.simpleString()
-    guarded = F.when(
+    guard = F.when(
         F.size("_violations") > 0,
         F.raise_error(
             F.concat(
                 F.lit("validation failed: "), F.array_join("_violations", ",")
             )
-        ).cast(dtype),
-    ).otherwise(F.col(c0))
-    return out.withColumn(c0, guarded).drop("_violations")
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
+    return out.filter(guard).drop("_violations")

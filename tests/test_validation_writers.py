@@ -54,8 +54,13 @@ def test_validate_split(people):
 def test_validate_or_fail(spark, people):
     ok = people.filter(F.col("id").isin(1, 4))
     assert len(validate_or_fail(ok, _rules()).collect()) == 2
+    assert validate_or_fail(ok, _rules()).count() == 2
     with pytest.raises(Exception, match="validation failed"):
         validate_or_fail(people, _rules()).collect()
+    # the filter-predicate guard survives column pruning: even a bare
+    # count() (zero columns read) must enforce it
+    with pytest.raises(Exception, match="validation failed"):
+        validate_or_fail(people, _rules()).count()
 
 
 # --- writers -----------------------------------------------------------------
