@@ -165,14 +165,25 @@ def q_customers_without_orders(spark, sf_dir):
 
 
 def q_jsonpath_recursive_events(spark, sf_dir):
-    """Recursive JSONPath ($..k) over the events props column — the
-    subset get_json_object cannot express (SURVEY §2.1 ChoJSONReader
-    WithJSONPath parity)."""
+    """Recursive JSONPath ($..k) over a *nested* JSON doc built from the
+    events props column — the subset get_json_object cannot express
+    (SURVEY §2.1 ChoJSONReader WithJSONPath parity). $..k must find the
+    key at both nesting levels; the matches are emitted pipe-joined so
+    the driver canonicalizer gets a scalar column (an array<string> cell
+    is unhashable for its pandas sort — round-2 gate failure)."""
     from choetl_spark.functions import json_path_extract
 
-    ev = _read(spark, sf_dir, "events").select("event_id", "props")
-    out = json_path_extract(ev, "props", "$..k", "matches")
-    return out.select("event_id", "matches")
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(
+            F.lit('{"outer": '), F.col("props"),
+            F.lit(', "list": ['), F.col("props"), F.lit("]}"),
+        ).alias("doc"),
+    )
+    out = json_path_extract(ev, "doc", "$..k", "matches")
+    return out.select(
+        "event_id", F.concat_ws("|", "matches").alias("matches_s")
+    )
 
 
 def q_seqno_global_events(spark, sf_dir):
@@ -417,14 +428,35 @@ def q_ann_ivf_topk(spark, sf_dir):
 
 
 def q_winnowing_fingerprints(spark, sf_dir):
-    """Rolling-hash winnowing fingerprints; non-SQL-expressible ->
-    rows-only driver check (the signature math is pinned by the golden
-    tests in tests/test_operators.py)."""
+    """Rolling-hash winnowing fingerprints, oracle-checked via the
+    planted-duplicate corpus (same candidate->verify discipline as the
+    minhash/simhash queries): fingerprint-set equality generates the
+    candidate pairs, exact text equality verifies them. Recall through
+    the winnowing path is structural — equal text => identical k-gram
+    hashes => identical winnowing mins => the pair is produced — so a
+    winnowing bug drops rows and flips the oracle. (Fingerprint sets are
+    lossy digests; highly-similar distinct texts can collide, which the
+    verify step filters exactly as a production near-dup pipeline
+    would.) Signature math pinned by tests/test_operators.py goldens."""
     from choetl_spark.operators import winnowing_fingerprints
 
     docs = _read(spark, sf_dir, "documents")
-    out = winnowing_fingerprints(docs, "text", "doc_id")
-    return out.select("doc_id", F.size("fingerprints").alias("n_fp"))
+    corpus = _planted_corpus(docs).repartition(8, "doc_id")
+    fp = winnowing_fingerprints(corpus, "text", "doc_id")
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("fingerprints").alias("_fa"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("fingerprints").alias("_fb"))
+    cand = (
+        a.join(b, F.col("_fa") == F.col("_fb"))  # array equi-join (SMJ)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    ta = corpus.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
+    tb = corpus.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+    return (
+        cand.join(ta, "id_a").join(tb, "id_b")
+        .filter(F.col("_ta") == F.col("_tb"))
+        .select("id_a", "id_b")
+    )
 
 
 def _planted_corpus(docs):
@@ -452,7 +484,9 @@ def q_minhash_pairs_documents(spark, sf_dir):
 
     docs = _read(spark, sf_dir, "documents")
     corpus = _planted_corpus(docs).repartition(8, "doc_id")
-    sigs = minhash_signatures(corpus, "text", "doc_id", n_hashes=32).persist()
+    # no .persist(): the driver materializes this query once, and a
+    # session-lifetime pin would leak executor storage (ADVICE r2)
+    sigs = minhash_signatures(corpus, "text", "doc_id", n_hashes=32)
     cand = minhash_lsh_pairs(sigs, "doc_id", n_hashes=32, bands=8, threshold=0.9)
     verified = ngram_jaccard_pairs(
         corpus, cand.select("id_a", "id_b"), "text", "doc_id", n=3
@@ -483,7 +517,7 @@ def q_simhash_documents(spark, sf_dir):
 
     docs = _read(spark, sf_dir, "documents")
     corpus = _planted_corpus(docs).repartition(8, "doc_id")
-    sigs = simhash_signatures(corpus, "text", "doc_id").persist()
+    sigs = simhash_signatures(corpus, "text", "doc_id")
     pairs = simhash_near_pairs(sigs, "doc_id", max_hamming=3)
     ta = corpus.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
     tb = corpus.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
@@ -827,7 +861,9 @@ def oracle_sql() -> dict[str, str]:
               (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
         """,
         "jsonpath_recursive_events": """
-            SELECT event_id, [json_extract_string(props, '$.k')] AS matches
+            SELECT event_id,
+                   json_extract_string(props, '$.k') || '|' ||
+                   json_extract_string(props, '$.k') AS matches_s
             FROM events
         """,
         "seqno_global_events": """
@@ -965,6 +1001,17 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_pairs": _oracle_embedding_neardup(0.4, 8),
         "ann_lsh_topk": _oracle_ann_lsh(n_planes=6, probe_hamming=1, k=10),
         "ann_ivf_topk": _oracle_ann_ivf(n_clusters=8, n_probe=4, k=10),
+        "winnowing_fingerprints": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id % 10 = 0
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM corpus a JOIN corpus b
+              ON a.text = b.text AND a.doc_id < b.doc_id
+        """,
         "minhash_pairs_documents": """
             WITH corpus AS (
               SELECT doc_id, text FROM documents

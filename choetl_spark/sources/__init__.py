@@ -67,6 +67,13 @@ def sniff_delimiter(
                     n += 1
             counts.append(n)
         if counts and counts[0] > 0 and len(set(counts)) == 1:
+            # the comma wins whenever it is itself consistent-nonzero,
+            # even at a lower count: a valid comma CSV whose text columns
+            # happen to contain a consistent number of pipes/semicolons
+            # must not be silently re-delimited (ADVICE r2; the
+            # reference's auto-detect is likewise conservative)
+            if cand == ",":
+                return ","
             if counts[0] > best_count:
                 best, best_count = cand, counts[0]
     return best or ","
@@ -289,6 +296,12 @@ def read_kvp(
     sess = lines.withColumn(
         "record_id", F.sum(is_marker.cast("long")).over(w)
     )
+    if record_start is not None:
+        # no record is open until the first marker: preamble lines carry
+        # record_id 0 and must not surface as a bogus record (the
+        # reference's state machine only opens a record at the marker,
+        # ChoKVPRecordReader.cs:82-219; ADVICE r2)
+        sess = sess.filter(F.col("record_id") >= 1)
     sep = _re.escape(separator)
     kv_lines = sess.filter(
         ~is_marker & F.col("line").rlike(f"^[^{sep}]+{sep}")

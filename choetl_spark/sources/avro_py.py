@@ -406,7 +406,20 @@ def read_avro_py(spark, path: str):
         for pdf in it:
             for content in pdf["content"]:
                 _, rows = read_container(bytes(content))
-                out = pd.DataFrame(list(rows), columns=names)
+                recs = list(rows)
+                # per-column object series, NOT pd.DataFrame(list(rows)):
+                # a nullable long column with any null would be coerced to
+                # float64, silently corrupting int64 values beyond 2^53
+                # (same guard as bson_py.py; ADVICE r2)
+                out = pd.DataFrame(
+                    {
+                        n: pd.Series(
+                            [r.get(n) for r in recs], dtype=object
+                        )
+                        for n in names
+                    },
+                    columns=names,
+                )
                 for c in ts_cols:
                     # the container stores true UTC epoch micros
                     # (timestamp-micros); the series must be tz-AWARE or

@@ -259,6 +259,38 @@ def test_csv_delimiter_sniffing(spark, tmp_path):
     assert r["name"] == "a;b" and r["x"] == 2
 
 
+def test_csv_sniffer_prefers_comma(tmp_path):
+    """A valid comma CSV whose text column consistently contains MORE of
+    another candidate (pipes in a templated column) must still sniff as
+    comma — the comma wins whenever it is itself consistent-nonzero
+    (ADVICE r2: auto-detect must not silently re-delimit a comma CSV)."""
+    from choetl_spark.sources import sniff_delimiter
+
+    p = tmp_path / "tricky.csv"
+    p.write_text(
+        "id,path\n1,a|b|c|d\n2,e|f|g|h\n3,i|j|k|l\n"
+    )
+    assert sniff_delimiter(str(p)) == ","
+
+
+def test_read_kvp_preamble_before_first_marker_dropped(spark, tmp_path):
+    """key:value lines before the first record_start marker are preamble,
+    not a record — the reference's state machine only opens a record at
+    the marker (ChoKVPRecordReader.cs:82-219; ADVICE r2)."""
+    from choetl_spark.sources import read_kvp
+
+    (tmp_path / "pre.kvp").write_text(
+        "generator: testsuite\nversion: 9\n"
+        "##RECORD##\nid: 1\nname: Mark\n"
+        "##RECORD##\nid: 2\nname: Jane\n"
+    )
+    df = read_kvp(spark, str(tmp_path / "pre.kvp"), record_start="##RECORD##")
+    rows = sorted(df.collect(), key=lambda r: r["record_id"])
+    assert len(rows) == 2
+    assert [r["kv"]["id"] for r in rows] == ["1", "2"]
+    assert all("generator" not in r["kv"] for r in rows)
+
+
 def test_read_kvp_marker_and_blankline(spark, tmp_path):
     """ChoKVPReader analog: key:value lines grouped into records by a
     start marker or blank lines (ChoKVPRecordReader.cs:82-219)."""

@@ -115,6 +115,22 @@ def test_avro_roundtrip(spark, tmp_path):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_avro_nullable_bigint_beyond_2_53(spark, tmp_path):
+    """A nullable long column with a null plus values > 2^53 must survive
+    the read bit-exact: the fallback reader builds per-column object
+    series, so pandas never coerces the column to float64 (which would
+    silently round xxhash64-scale ids; ADVICE r2)."""
+    big = (1 << 60) + 7  # not representable in float64
+    rows = [(1, big), (2, None), (3, -(1 << 59) - 3)]
+    df = spark.createDataFrame(rows, "id bigint, h bigint")
+    p = str(tmp_path / "bigint_avro")
+    src.write_avro(df, p)
+    got = {
+        r["id"]: r["h"] for r in src.read_avro(spark, p).collect()
+    }
+    assert got == {1: big, 2: None, 3: -(1 << 59) - 3}
+
+
 def test_avro_null_codec_and_container_format(tmp_path):
     """Container-level golden checks on the pure-Python writer: magic,
     schema in metadata, sync-marked blocks, null codec round-trip."""
