@@ -485,11 +485,18 @@ def q_minhash_pairs_documents(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     corpus = _planted_corpus(docs).repartition(8, "doc_id")
     # no .persist(): the driver materializes this query once, and a
-    # session-lifetime pin would leak executor storage (ADVICE r2)
+    # session-lifetime pin would leak executor storage (ADVICE r2).
+    # the sig-sim >=0.9 prefilter is load-bearing: on this corpus of
+    # highly-similar synthetic docs, raw band collisions are ~100x the
+    # true pairs, and exact-Jaccard verify on all of them would dominate
     sigs = minhash_signatures(corpus, "text", "doc_id", n_hashes=32)
     cand = minhash_lsh_pairs(sigs, "doc_id", n_hashes=32, bands=8, threshold=0.9)
+    # prune_to_pairs=False: the candidate subtree (LSH) is expensive
+    # relative to one gram pass over this small corpus, and the gate
+    # cannot persist intermediates
     verified = ngram_jaccard_pairs(
-        corpus, cand.select("id_a", "id_b"), "text", "doc_id", n=3
+        corpus, cand.select("id_a", "id_b"), "text", "doc_id", n=3,
+        prune_to_pairs=False,
     )
     return verified.filter(F.col("jaccard") >= 0.99).select(
         "id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r")
@@ -572,6 +579,7 @@ def q_encode_summary(spark, sf_dir):
 def q_roundtrip_text_identity(spark, sf_dir):
     from choetl_spark.engine import (
         EncodeConfig,
+        column_manifest,
         decode_dataframe,
         encode_dataframe,
     )
@@ -583,7 +591,9 @@ def q_roundtrip_text_identity(spark, sf_dir):
         deterministic=True,  # chunk-stable across driver reruns
     )
     enc = encode_dataframe(pages, cfg)
-    decoded = decode_dataframe(enc, columns=["url", "text"])
+    decoded = decode_dataframe(
+        enc, columns=["url", "text"], manifest=column_manifest(pages, cfg)
+    )
     matched = (
         decoded.alias("d")
         .join(pages.alias("s"), "url")

@@ -89,6 +89,7 @@ def bench_encode_speed(spark, sf_dir: str) -> None:
 def bench_roundtrip(spark, sf_dir: str) -> None:
     from choetl_spark.engine import (
         EncodeConfig,
+        column_manifest,
         decode_dataframe,
         encode_dataframe,
     )
@@ -98,7 +99,9 @@ def bench_roundtrip(spark, sf_dir: str) -> None:
         num_partitions=32, chunk_rows=8192, chunk_bytes=8 << 20, shuffle="none"
     )
     enc = encode_dataframe(pages, cfg)
-    decoded = decode_dataframe(enc, columns=["url", "text"])
+    decoded = decode_dataframe(
+        enc, columns=["url", "text"], manifest=column_manifest(pages, cfg)
+    )
     decoded.count()
 
 

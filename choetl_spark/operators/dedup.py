@@ -251,23 +251,26 @@ def minhash_signatures(
     return df.select(id_col, text_col).mapInArrow(compute, out_schema)
 
 
-def minhash_lsh_pairs(
+def minhash_lsh_candidates(
     sigs: DataFrame,
     id_col: str,
     n_hashes: int = 64,
     bands: int = 16,
-    threshold: float = 0.7,
 ) -> DataFrame:
-    """Candidate pairs via banding, verified by signature-level Jaccard.
+    """Candidate pairs via banding — the slim half of LSH.
 
     Scale shape: explode to (band_id, band_hash) → shuffle groups only
     bucket collisions; the quadratic blowup is bounded per bucket, never
-    global. Returns (id_a, id_b, sim) with id_a < id_b and sim >= threshold.
+    global. The band self-join shuffles ONLY (id, band, band_hash) — the
+    full n_hashes-long signatures would otherwise ride the explode
+    ``bands``-fold (a ~8x shuffle-byte tax at 64 hashes / 16 bands).
+    Returns distinct (id_a, id_b) with id_a < id_b; chain
+    :func:`ngram_jaccard_pairs` (exact) or :func:`minhash_lsh_pairs`
+    (signature-level sim) to verify.
     """
     rows_per_band = n_hashes // bands
     banded = sigs.select(
         F.col(id_col),
-        F.col("signature"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -283,7 +286,7 @@ def minhash_lsh_pairs(
     )
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -293,11 +296,37 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame,
+    id_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Candidate pairs via banding, verified by signature-level Jaccard.
+
+    Built on :func:`minhash_lsh_candidates`; signatures are re-joined
+    only for surviving candidates (two id-equi-joins of the slim
+    candidate set against ``sigs``) instead of riding the band shuffle.
+    Callers that verify with exact text similarity anyway should use
+    the candidates function directly and skip this re-join — it costs
+    two extra evaluations of ``sigs`` unless that DataFrame is
+    persisted/checkpointed.
+    Returns (id_a, id_b, sim) with id_a < id_b and sim >= threshold.
+    """
+    cand = minhash_lsh_candidates(sigs, id_col, n_hashes, bands)
+    sa = sigs.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")
+    )
+    sb = sigs.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")
+    )
+    pairs = cand.join(sa, "id_a").join(sb, "id_b")
     sim = (
         F.size(
             F.filter(
@@ -433,7 +462,10 @@ def simhash_near_pairs(
     """Candidates via 4x16-bit band buckets, verified by popcount.
 
     With <= 3 differing bits, at least one 16-bit quarter is identical
-    (pigeonhole), so banding finds all true pairs."""
+    (pigeonhole), so banding finds all true pairs. Unlike minhash, the
+    signature here is a single long — carrying it through the 4-band
+    explode costs 8 bytes/row, cheaper than the extra candidate-side
+    joins a slim-then-rejoin would add, so it rides along."""
     banded = sigs.select(
         id_col,
         "simhash",
@@ -481,8 +513,25 @@ def ngram_jaccard_pairs(
     text_col: str,
     id_col: str,
     n: int = 3,
+    prune_to_pairs: bool = True,
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard for given (id_a, id_b) candidate pairs."""
+    """Exact word-n-gram Jaccard for given (id_a, id_b) candidate pairs.
+
+    With ``prune_to_pairs`` (default), gram arrays are computed only for
+    docs that actually appear in a candidate pair (semi-join first):
+    verify cost scales with the candidate set, not the corpus — after
+    LSH pruning, candidates are orders of magnitude smaller than the
+    corpus at web scale. The semi-join evaluates ``pairs`` an extra
+    time, so persist/checkpoint the candidate DataFrame first — or pass
+    ``prune_to_pairs=False`` when the candidate subtree is expensive
+    relative to a corpus-wide gram pass (small corpora)."""
+    if prune_to_pairs:
+        needed = (
+            pairs.select(F.col("id_a").alias(id_col))
+            .unionAll(pairs.select(F.col("id_b").alias(id_col)))
+            .dropDuplicates([id_col])
+        )
+        df = df.join(needed, id_col, "semi")
     grams = df.select(
         F.col(id_col),
         F.array_distinct(

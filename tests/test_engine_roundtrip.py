@@ -82,6 +82,45 @@ def test_roundtrip_text_byte_identity_per_url(spark, pages, encoded):
     assert decoded.count() == pages.count()
 
 
+def test_column_manifest_matches_chunk_metas(spark):
+    """column_manifest (driver-side, zero jobs) must predict exactly the
+    storage dtype + logical DDL the encode kernel records in chunk metas,
+    across every supported Spark type including nested and decimal."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from choetl_spark.codecs.base import str_to_type
+    from choetl_spark.engine import (
+        _column_metas,
+        _meta_storage_type,
+        column_manifest,
+    )
+
+    rows = [
+        (True, 1, 2, 3, 4, 1.5, 2.5, "s", b"b", dt.date(2024, 1, 2),
+         dt.datetime(2024, 1, 2, 3, 4, 5), [1, 2], Decimal("12.34")),
+        (None, None, None, None, None, None, None, None, None, None,
+         None, None, None),
+    ]
+    ddl = (
+        "b boolean, t tinyint, sm smallint, i int, l bigint, f float, "
+        "d double, st string, bn binary, dt date, ts timestamp, "
+        "ar array<int>, de decimal(10,2)"
+    )
+    df = spark.createDataFrame(rows, ddl)
+    cfg = EncodeConfig(num_partitions=2, shuffle="none", key_col="st")
+    enc = encode_dataframe(df, cfg)
+    metas = _column_metas(enc)
+    man = column_manifest(df, cfg)
+    assert set(man) == set(metas)
+    for c, m in metas.items():
+        assert str_to_type(man[c]["dtype"]) == _meta_storage_type(m), c
+        assert man[c]["logical"] == m.get("logical"), c
+    # decode through the manifest path round-trips bit-identically
+    dec = decode_dataframe(enc, manifest=man)
+    assert verify_roundtrip(df, dec) == 0
+
+
 def test_column_pruned_decode(spark, encoded):
     decoded = decode_dataframe(encoded, columns=["lang"])
     assert decoded.columns == ["lang"]

@@ -75,6 +75,36 @@ def test_rerun_is_noop(spark, pages, tmp_path):
     assert ledger.filter(F.col("run_id") == "b").count() == 0
 
 
+def test_ledger_n_rows_and_manifest_sidecar(spark, tmp_path):
+    """Ledger n_rows is the partition's TRUE row count (round-2 verdict:
+    it used to report rows x columns), and the manifest sidecar persists
+    at encode time so stored tables decode with zero plan-build jobs."""
+    from choetl_spark.ledger import read_manifest
+
+    out = str(tmp_path / "enc_meta")
+    pages = webpages(spark, 600, partitions=4)
+    cfg = EncodeConfig(num_partitions=4, chunk_rows=128, shuffle="none")
+    encode_with_resume(spark, pages, out, cfg, run_id="r1")
+    truth = {
+        r["part_id"]: r["n"]
+        for r in pages.withColumn(
+            "part_id", F.spark_partition_id().cast("long")
+        )
+        .groupBy("part_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = {
+        r["part_id"]: r["n_rows"]
+        for r in read_ledger(spark, out).collect()
+    }
+    assert got == truth
+    man = read_manifest(out)
+    assert man is not None and set(man) == set(pages.columns)
+    decoded = decode_dataframe(read_encoded(spark, out), manifest=man)
+    assert verify_roundtrip(pages, decoded) == 0
+
+
 def test_resume_scan_local_mode(spark, tmp_path):
     """shuffle="none" resume: second run over the same input encodes
     nothing new; decode of committed chunks round-trips."""
