@@ -54,6 +54,7 @@ def encode_array(
     arr: pa.Array,
     codec: str = "auto",
     zstd: str = "off",
+    zstd_level: int = 3,
     **opts,
 ) -> tuple[bytes, dict]:
     """Encode a pa.Array. codec="auto" delegates to the selector."""
@@ -68,7 +69,7 @@ def encode_array(
     if null_meta["n_nulls"]:
         meta["nulls"] = null_meta
     if zstd in ("auto", "on"):
-        payload, meta = _zstd.wrap(payload, meta)
+        payload, meta = _zstd.wrap(payload, meta, level=zstd_level)
     return payload, meta
 
 

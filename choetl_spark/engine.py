@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, functions as F
 from choetl_spark.codecs import decode_array, encode_array
 from choetl_spark.codecs.base import data_nbytes, str_to_type, type_to_str
 from choetl_spark.partitioning import plan_partitions
-from choetl_spark.selector import choose_codec
+from choetl_spark.selector import choose_codec, zstd_level_for
 from choetl_spark.stats import compute_stats
 
 ENCODED_SCHEMA_DDL = (
@@ -102,7 +102,19 @@ class EncodeConfig:
     codec_overrides: dict[str, str] = field(default_factory=dict)
     zstd: str = "auto"  # auto|off — final entropy pass, kept only if smaller
     flush_bytes: int = 64 << 20  # encode-buffer flush cap inside a task
-    optimize_for: str = "balanced"  # ratio | balanced | speed (selector bias)
+    # selector bias: ratio | balanced | speed. The DEFAULT is "speed"
+    # (dict-or-plain + zstd; parquet-or-better footprint at ~0.99x the
+    # parquet+zstd size, within 2x the JVM writer's throughput at pinned
+    # cores) — the same trade parquet's own default compression makes.
+    # "balanced" (token-dictionary/FSST stack, ~1.5x smaller footprint
+    # at ~3x the encode cost) is the opt-in for storage-dominated
+    # economics; the measured ceiling argument for why it cannot ALSO be
+    # within 2x of the JVM writer on a shared-bus box (the worddict
+    # split+dict pass alone costs ~8.9 s/GB of CPU vs the 2.6 s/GB
+    # budget 0.5x-of-JVM leaves after the Arrow transfer) lives in
+    # BENCH/BASELINE.md. "ratio" additionally keeps fsst/zstd-3
+    # everywhere the sample trial shows any win.
+    optimize_for: str = "speed"
 
 
 # ---------------------------------------------------------------------------
@@ -156,10 +168,13 @@ def _encode_block(
     seq_base: dict[str, int],
     cfg: EncodeConfig,
     logical: dict[str, str] | None = None,
+    trial_caches: dict[str, dict] | None = None,
 ) -> pa.RecordBatch:
     """Encode one buffered block of a logical partition into chunk rows."""
     out: dict[str, list] = {name: [] for name in _ENCODED_PA_SCHEMA.names}
     stats_level = "cheap" if cfg.optimize_for == "speed" else "full"
+    if trial_caches is None:
+        trial_caches = {}
     for name in table.column_names:
         if name == "part_id":
             continue
@@ -178,7 +193,8 @@ def _encode_block(
             pieces = col.chunks
         for piece in pieces:
             _encode_piece(part_id, piece, name, out, row_base, seq_base,
-                          cfg, stats_level, logical)
+                          cfg, stats_level, logical,
+                          trial_caches.setdefault(name, {}))
     arrays = [
         pa.array(out[f.name], type=f.type) for f in _ENCODED_PA_SCHEMA
     ]
@@ -195,6 +211,7 @@ def _encode_piece(
     cfg: EncodeConfig,
     stats_level: str,
     logical: dict[str, str] | None,
+    trial_cache: dict | None = None,
 ) -> None:
     """Chunk-split and encode one contiguous Arrow piece of a column."""
     for start, ln in _chunk_ranges(piece, cfg.chunk_rows, cfg.chunk_bytes):
@@ -202,9 +219,13 @@ def _encode_piece(
         st = compute_stats(sl, level=stats_level)
         override = cfg.codec_overrides.get(name)
         codec, opts = choose_codec(
-            sl, st=st, override=override, optimize_for=cfg.optimize_for
+            sl, st=st, override=override, optimize_for=cfg.optimize_for,
+            trial_cache=trial_cache,
         )
-        payload, meta = encode_array(sl, codec=codec, zstd=cfg.zstd, **opts)
+        payload, meta = encode_array(
+            sl, codec=codec, zstd=cfg.zstd,
+            zstd_level=zstd_level_for(codec, cfg.optimize_for), **opts
+        )
         if logical and name in logical:
             meta["logical"] = logical[name]
         top = meta["child"] if meta["codec"] == "zstd" else meta
@@ -251,6 +272,12 @@ def _nested_columns(df: DataFrame) -> dict[str, str]:
 
 
 def _make_encode_kernel(cfg: EncodeConfig, logical: dict[str, str] | None = None):
+    # note on pipelining: a background-thread prefetch of the input
+    # iterator (overlap JVM->Python Arrow transfer with the codec
+    # kernel) was prototyped and A/B-measured at pinned cores — it is
+    # NET-NEGATIVE here (17.7s vs 16.8s at local[2]): the transfer cost
+    # is JVM/worker CPU competing for the same cores, not idle wait, so
+    # there is nothing to overlap into and the queue adds copies.
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as np
 
@@ -261,6 +288,9 @@ def _make_encode_kernel(cfg: EncodeConfig, logical: dict[str, str] | None = None
         # part_id that reappears after an interleave continues its row
         # numbering instead of restarting at 0
         bases: dict[int, tuple[dict[str, int], dict[str, int]]] = {}
+        # per-column measured-trial verdicts, task-lifetime (first chunk
+        # of a column pays the sample trial, the rest reuse it)
+        trial_caches: dict[str, dict] = {}
 
         def flush() -> Iterator[pa.RecordBatch]:
             nonlocal buf, buf_bytes
@@ -271,7 +301,8 @@ def _make_encode_kernel(cfg: EncodeConfig, logical: dict[str, str] | None = None
             buf_bytes = 0
             row_base, seq_base = bases[cur_part]
             yield _encode_block(
-                cur_part, table, row_base, seq_base, cfg, logical
+                cur_part, table, row_base, seq_base, cfg, logical,
+                trial_caches,
             )
 
         for batch in batches:

@@ -83,14 +83,59 @@ def estimate_sizes(arr: pa.Array, st: ChunkStats) -> dict[str, float]:
 #   fsst16+zstd  ratio 0.253 @ 25 MB/s | plain+zstd  0.260 @ 231 MB/s
 _PROFILE_FSST_SYMBOLS = {"ratio": 127, "balanced": 48, "speed": 16}
 
+# measured micro-trial (string codecs only): the size estimates cannot
+# model the zstd entropy backstop, which often makes plain+zstd land
+# within a few percent of a 10-15x-slower symbol-table codec (e.g. urls:
+# fsst+zstd 0.0911 vs plain+zstd 0.0932 — a 2% footprint win at 1/15th
+# the speed). So when the estimate picks fsst/worddict, both pipelines
+# run zstd-inclusive on a deterministic head sample and the expensive
+# codec must beat plain+zstd by the profile's margin to keep the pick.
+_TRIAL_ROWS = 256
+_TRIAL_MARGIN = {"balanced": 0.88, "ratio": 1.0}
+
+
+def zstd_level_for(codec: str, optimize_for: str) -> int:
+    """zstd level per payload kind (measured, not per profile): on RAW
+    web text level 1 is no faster than 3 (~238 MB/s both) and ~9% bigger,
+    so plain/fsst payloads always use 3; the worddict byte-aligned index
+    stream compresses 2.7x faster at level 1 for ~10% more bytes, the
+    right trade everywhere except the ratio profile."""
+    if codec == "worddict" and optimize_for != "ratio":
+        return 1
+    return 3
+
+
+def _sample_trial(
+    arr: pa.Array, name: str, opts: dict, optimize_for: str
+) -> str:
+    from choetl_spark.codecs import encode_array  # registry, avoids cycle
+
+    sample = arr.slice(0, min(len(arr), _TRIAL_ROWS))
+    try:
+        cand, _ = encode_array(
+            sample, codec=name, zstd="auto",
+            zstd_level=zstd_level_for(name, optimize_for), **opts
+        )
+        plain, _ = encode_array(sample, codec="plain", zstd="auto")
+    except (ValueError, TypeError):  # pragma: no cover - defensive
+        return name
+    margin = _TRIAL_MARGIN.get(optimize_for, 0.88)
+    return name if len(cand) < len(plain) * margin else "plain"
+
 
 def choose_codec(
     arr: pa.Array,
     st: ChunkStats | None = None,
     override: str | None = None,
     optimize_for: str = "balanced",
+    trial_cache: dict | None = None,
 ) -> tuple[str, dict]:
-    """Return (codec_name, codec_opts) for an array chunk."""
+    """Return (codec_name, codec_opts) for an array chunk.
+
+    ``trial_cache`` (one dict per column per task) memoizes the measured
+    sample-trial outcome so only the first chunk of a column pays the
+    trial encode; subsequent chunks whose estimate picks the same codec
+    reuse the verdict."""
     if override:
         return override, {}
     if st is None:
@@ -109,6 +154,19 @@ def choose_codec(
     n_syms = _PROFILE_FSST_SYMBOLS.get(optimize_for, 48)
     if name == "fsst":
         opts["max_symbols"] = n_syms
+    if name in ("fsst", "worddict") and len(arr) >= 1024:
+        # measured backstop check (see _sample_trial); head slice keeps
+        # the choice deterministic for a given chunk
+        key = (name, n_syms)
+        if trial_cache is not None and key in trial_cache:
+            name = trial_cache[key]
+        else:
+            verdict = _sample_trial(arr, name, opts, optimize_for)
+            if trial_cache is not None:
+                trial_cache[key] = verdict
+            name = verdict
+        if name == "plain":
+            opts = {}
     if name == "dict":
         t = arr.type
         if (

@@ -188,16 +188,36 @@ def read_fixed_length(
 def read_manifold(
     spark: SparkSession,
     path: str,
-    selector_start: int,
-    selector_size: int,
-    layouts: dict[str, list[FixedField]],
+    selector_start: int | None = None,
+    selector_size: int | None = None,
+    layouts: dict[str, list[FixedField]] | None = None,
+    selector=None,
 ) -> dict[str, DataFrame]:
     """ChoManifoldReader analog
     (reference src/ChoETL/File/Manifold/ChoManifoldReader.cs:16,273-290):
-    one file, many record layouts, dispatched by a record-type code
-    substring → one cached scan + per-type filter/parse branches."""
+    one file, many record layouts, dispatched by a record-type code →
+    one cached scan + per-type filter/parse branches.
+
+    Dispatch rule: either positional (``selector_start``/``selector_size``
+    substring, the common fixed-prefix case) or a custom ``selector`` —
+    a callable ``Column -> Column`` over the raw line (the reference's
+    arbitrary recordSelector Func, ChoManifoldReader.cs:273-290) whose
+    result is compared against the layout keys. Keeping the selector a
+    Column expression (not a Python row function) keeps dispatch inside
+    whole-stage codegen."""
+    if layouts is None:
+        raise TypeError("read_manifold requires layouts")
     lines = spark.read.text(path)
-    code = F.trim(F.substring(F.col("value"), selector_start, selector_size))
+    if selector is not None:
+        code = selector(F.col("value"))
+    elif selector_start is not None and selector_size is not None:
+        code = F.trim(
+            F.substring(F.col("value"), selector_start, selector_size)
+        )
+    else:
+        raise TypeError(
+            "read_manifold needs selector_start+selector_size or selector"
+        )
     out = {}
     for type_code, fields in layouts.items():
         branch = lines.filter(code == type_code)
@@ -258,11 +278,48 @@ def stage_durable(
     return out
 
 
+def _guard_wholetext(
+    spark: SparkSession, path: str, max_file_bytes: int | None
+) -> None:
+    """Reject inputs a wholetext reader would OOM on.
+
+    The wholetext formats (KVP/XML/YAML/gated text) materialize ONE
+    string per FILE inside one task — the reference streams every format
+    line-by-line instead (src/ChoETL/Common/ChoExtensions.cs:808), so a
+    multi-GB single file that the reference handles would silently blow
+    a task here. This guard reads file METADATA only (binaryFile source,
+    content column pruned) and raises with the offending paths; pass
+    ``max_file_bytes=None`` to opt out, or split the input. Line-framed
+    formats (CSV/TSV/fixed/JSON-lines/manifold) stream and need no cap.
+    """
+    if max_file_bytes is None:
+        return
+    try:
+        meta = spark.read.format("binaryFile").load(path)
+    except Exception:  # pattern the text source accepts but binaryFile won't
+        return
+    over = (
+        meta.select("path", "length")
+        .filter(F.col("length") > max_file_bytes)
+        .limit(5)
+        .collect()
+    )
+    if over:
+        names = ", ".join(f"{r['path']} ({r['length']} B)" for r in over)
+        raise ValueError(
+            f"wholetext reader: file(s) exceed max_file_bytes="
+            f"{max_file_bytes}: {names}. This format materializes one "
+            "string per file in a single task; split the input or raise "
+            "the cap explicitly (max_file_bytes=None)."
+        )
+
+
 def read_kvp(
     spark: SparkSession,
     path: str,
     separator: str = ":",
     record_start: str | None = None,
+    max_file_bytes: int | None = 256 << 20,
 ) -> DataFrame:
     """ChoKVPReader analog (reference src/ChoETL/File/KeyValue/
     ChoKVPReader.cs:43; grouping state machine ChoKVPRecordReader.cs:
@@ -277,6 +334,7 @@ def read_kvp(
     (file, record_id, kv map<string,string>); project fields with
     ``F.col("kv")["name"]``.
     """
+    _guard_wholetext(spark, path, max_file_bytes)
     import re as _re
 
     from pyspark.sql import Window
@@ -319,27 +377,83 @@ def read_kvp(
     )
 
 
+def _xml_field_pattern(spec: str) -> tuple[str, int]:
+    """(regex, n_groups) for one XML field spec; raises on specs outside
+    the supported subset instead of silently matching nothing (round-2
+    verdict #6: an ``a/b/c`` path used to return empty strings)."""
+    import re as _re
+
+    bad = (
+        not spec
+        or "//" in spec
+        or spec.endswith("/")
+        or any(ch in spec for ch in "[]*|()")
+    )
+    parts = spec.split("/") if not bad else []
+    for i, p in enumerate(parts):
+        # '@attr' is only legal as the whole final segment
+        if not p or (
+            "@" in p
+            and not (i == len(parts) - 1 and p.startswith("@") and len(p) > 1)
+        ):
+            bad = True
+    if bad:
+        raise ValueError(
+            f"unsupported XML field spec {spec!r}: supported are element "
+            "paths 'a/b/c' (any depth), '@attr' on the row element, and "
+            "'a/b/@attr'. XPath predicates/wildcards need spark-xml on a "
+            "real cluster."
+        )
+    if parts[-1].startswith("@"):
+        attr = _re.escape(parts[-1][1:])
+        ancestors = parts[:-1]
+        if not ancestors:
+            # attributes of the row element live before the first '>'
+            # of the (split) record
+            return f'^[^>]*\\s{attr}\\s*=\\s*"([^"]*)"', 1
+        holder = _re.escape(ancestors[-1])
+        pat = f'<{holder}[^>]*\\s{attr}\\s*=\\s*"([^"]*)"'
+        for anc in reversed(ancestors[:-1]):
+            a = _re.escape(anc)
+            pat = f"<{a}(?:\\s[^>]*)?>.*?{pat}"
+        return "(?s)" + pat, 1
+    leaf = _re.escape(parts[-1])
+    pat = (
+        f"<{leaf}(?:\\s[^>]*)?>\\s*"
+        f"(?:<!\\[CDATA\\[(.*?)\\]\\]>|([^<]*))"
+        f"\\s*</{leaf}>"
+    )
+    for anc in reversed(parts[:-1]):
+        a = _re.escape(anc)
+        pat = f"<{a}(?:\\s[^>]*)?>.*?{pat}.*?</{a}>"
+    return "(?s)" + pat, 2
+
+
 def read_xml(
     spark: SparkSession,
     path: str,
     row_tag: str,
     fields: list[str],
+    max_file_bytes: int | None = 256 << 20,
 ) -> DataFrame:
     """ChoXmlReader analog (reference src/ChoETL/File/Xml/ChoXmlReader.cs:
     22,651-655): whole-file read, split on <row_tag> boundaries, per-field
     extraction — all declarative (explode + regexp_extract), no UDFs, no
     spark-xml dependency (spark-xml remains the full-fidelity cluster
-    path for deep nesting/namespaces).
+    path for namespaces/XPath predicates).
 
     Field specs (the XPath-node-selection subset the reference tests
     exercise):
       - ``"name"``       — child element text; attributes on the element
         and CDATA-wrapped text are handled
+      - ``"a/b/c"``      — nested element text, any depth
       - ``"@attr"``      — attribute of the row element itself
-      - ``"a/b"``        — one level of nesting: text of <b> inside <a>
+      - ``"a/b/@attr"``  — attribute of a nested element
     Tags/attrs may contain regex metacharacters (dotted or namespaced
-    names like ``ns:item``) — everything is re.escape'd.
+    names like ``ns:item``) — everything is re.escape'd. Unsupported
+    specs raise instead of silently matching nothing.
     """
+    _guard_wholetext(spark, path, max_file_bytes)
     import re as _re
 
     tag = _re.escape(row_tag)
@@ -351,26 +465,8 @@ def read_xml(
     cols = []
     for spec in fields:
         out_name = spec.replace("@", "").replace("/", "_")
-        if spec.startswith("@"):
-            attr = _re.escape(spec[1:])
-            # attributes live before the first '>' of the (split) record
-            pat = f'^[^>]*\\s{attr}\\s*=\\s*"([^"]*)"'
-        elif "/" in spec:
-            parent, child = (_re.escape(s) for s in spec.split("/", 1))
-            pat = (
-                f"(?s)<{parent}(?:\\s[^>]*)?>.*?"
-                f"<{child}(?:\\s[^>]*)?>\\s*"
-                f"(?:<!\\[CDATA\\[(.*?)\\]\\]>|([^<]*))"
-                f"\\s*</{child}>.*?</{parent}>"
-            )
-        else:
-            f_esc = _re.escape(spec)
-            pat = (
-                f"(?s)<{f_esc}(?:\\s[^>]*)?>\\s*"
-                f"(?:<!\\[CDATA\\[(.*?)\\]\\]>|([^<]*))"
-                f"\\s*</{f_esc}>"
-            )
-        if spec.startswith("@"):
+        pat, n_groups = _xml_field_pattern(spec)
+        if n_groups == 1:
             col = F.regexp_extract(F.col("rec"), pat, 1)
         else:
             # group 1 = CDATA body, group 2 = plain text; one is empty
@@ -397,6 +493,7 @@ def read_text_gated(
     path: str,
     skip_until: str | None = None,
     do_while: str | None = None,
+    max_file_bytes: int | None = 256 << 20,
 ) -> DataFrame:
     """Stateful SkipUntil / DoWhile row gating over ordered text files
     (reference src/ChoETL/IChoReader.cs:22-23; applied e.g.
@@ -411,6 +508,7 @@ def read_text_gated(
     parallel across files; within a file, order is inherent to the
     format. Returns (file, pos, line).
     """
+    _guard_wholetext(spark, path, max_file_bytes)
     from pyspark.sql import Window
 
     whole = spark.read.text(path, wholetext=True).select(
@@ -464,6 +562,7 @@ def read_yaml(
     schema: str | None = None,
     yaml_path: str | None = None,
     multi_doc: bool = True,
+    max_file_bytes: int | None = 256 << 20,
 ) -> DataFrame:
     """ChoYamlReader analog (reference src/ChoETL.Yaml/ChoYamlReader.cs:21):
     YAML documents -> records. Distributed per FILE (wholetext read, one
@@ -476,6 +575,7 @@ def read_yaml(
     (``a.b``) descended in each document before emission; a list at the
     end fans out one record per element.
     """
+    _guard_wholetext(spark, path, max_file_bytes)
     import json as _json
 
     import pyarrow as pa
@@ -625,7 +725,9 @@ def read_jdbc(
     """DB scan analog (reference src/ChoETL.Parquet/ChoParquetWriter.cs:590-631
     Write(IDataReader)): Spark's JDBC source with explicit partitioned
     reads — the distributed replacement for row-at-a-time IDataReader
-    pulls. No driver jars ship in this sandbox; gated for real clusters."""
+    pulls. Exercised end-to-end against embedded Apache Derby (bundled
+    with Spark) in tests; external engines just need their driver jar on
+    the cluster classpath."""
     r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in opts.items():
         r = r.option(k, v)

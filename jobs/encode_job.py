@@ -27,7 +27,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--chunk-bytes", type=int, default=8 << 20)
     p.add_argument("--key-col", default="url")
     p.add_argument("--columns", default=None, help="comma list; default all")
-    p.add_argument("--profile", default="balanced",
+    p.add_argument("--profile", default="speed",
                    choices=["ratio", "balanced", "speed"])
     p.add_argument("--no-host-partitioning", action="store_true")
     p.add_argument(

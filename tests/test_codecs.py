@@ -236,12 +236,29 @@ def test_selector_wordy_text_picks_worddict():
     assert codec == "worddict"
 
 
-def test_selector_spaceless_text_picks_fsst():
-    # url-like: dense ascii, no separators -> worddict inapplicable
+def test_selector_spaceless_text_fsst_vs_measured_backstop():
+    # url-like: dense ascii, no separators -> worddict inapplicable.
+    # The size estimate picks fsst; the measured sample trial then
+    # compares it against plain+zstd. On urls the fsst win over zstd is
+    # ~2% at ~1/15th the encode speed, so the balanced profile demotes
+    # to plain while the ratio profile keeps fsst (strictly smaller).
+    from choetl_spark.selector import estimate_sizes
+    from choetl_spark.stats import compute_stats
+
     vals = [f"https://www.host{i % 7:03d}.example.com/en/page/{i}" for i in range(3000)]
     arr = pa.array(vals)
-    codec, _ = choose_codec(arr)
-    assert codec == "fsst"
+    # the size model still nominates fsst (cheapest estimate) ...
+    st = compute_stats(arr)
+    est = estimate_sizes(arr, st)
+    assert min(est, key=est.get) == "fsst"
+    # ... and the measured trial demotes it: plain+zstd is within a few
+    # percent at >10x the encode speed on url-like text
+    codec, _ = choose_codec(arr, optimize_for="balanced")
+    assert codec == "plain"
+    # trial cache memoizes the verdict for subsequent chunks
+    cache: dict = {}
+    choose_codec(arr, optimize_for="balanced", trial_cache=cache)
+    assert list(cache.values()) == ["plain"]
 
 
 def test_selector_override():

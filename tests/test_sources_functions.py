@@ -237,6 +237,102 @@ def test_read_xml_attributes_cdata_nested(spark, tmp_path):
     assert rows[0]["ns.price"] == "12.5"
 
 
+def test_read_xml_arbitrary_depth_and_raises_on_unsupported(spark, tmp_path):
+    """Depth>=3 element paths and attributes on nested elements resolve
+    (round-2 verdict #6: a/b/c used to silently return empty); specs
+    outside the supported subset raise instead of matching nothing."""
+    import pytest as _pytest
+
+    xml = """<catalog>
+  <item id="1"><a><b sku="X9"><c>deep1</c></b></a></item>
+  <item id="2"><a><b sku="Y3"><c><![CDATA[deep & raw]]></c></b></a></item>
+</catalog>"""
+    p = tmp_path / "deep.xml"
+    p.write_text(xml)
+    from choetl_spark.sources import read_xml
+
+    df = read_xml(spark, str(p), "item", ["@id", "a/b/c", "a/b/@sku"])
+    rows = sorted(df.collect(), key=lambda r: r["id"])
+    assert [r["a_b_c"] for r in rows] == ["deep1", "deep & raw"]
+    assert [r["a_b_sku"] for r in rows] == ["X9", "Y3"]
+    for bad in ["a//b", "a/b/", "a[1]/b", "a/*", "", "a/@b/c"]:
+        with _pytest.raises(ValueError, match="unsupported XML field"):
+            read_xml(spark, str(p), "item", [bad])
+
+
+def test_wholetext_guard_rejects_oversized_file(spark, tmp_path):
+    """The wholetext formats materialize one string per FILE per task;
+    a file above max_file_bytes raises with the path named instead of
+    OOMing a task (round-2 verdict #7)."""
+    import pytest as _pytest
+
+    p = tmp_path / "big.kvp"
+    p.write_text("k: v\n" * 4000)  # 20 kB
+    from choetl_spark.sources import read_kvp, read_text_gated
+
+    with _pytest.raises(ValueError, match="max_file_bytes"):
+        read_kvp(spark, str(p), max_file_bytes=1024)
+    with _pytest.raises(ValueError, match="max_file_bytes"):
+        read_text_gated(
+            spark, str(p), skip_until="line like '%'", max_file_bytes=1024
+        )
+    # under the cap (and with the default) it reads fine
+    assert read_kvp(spark, str(p), max_file_bytes=1 << 20).count() == 1
+
+
+def test_read_manifold_custom_selector(spark, tmp_path):
+    """Non-positional dispatch: a Column-expression selector (the
+    reference's arbitrary recordSelector Func,
+    ChoManifoldReader.cs:273-290) — here the record type is the text
+    AFTER a variable-width numeric prefix, which no fixed substring
+    can express."""
+    from choetl_spark.sources import FixedField, read_manifold
+
+    p = tmp_path / "mixed.txt"
+    p.write_text(
+        "7ORD000123    \n42LIN000456   \n8ORD000789    \n"
+    )
+    sel = lambda c: F.regexp_extract(c, r"^\d+([A-Z]+)", 1)  # noqa: E731
+    out = read_manifold(
+        spark, str(p),
+        layouts={
+            "ORD": [FixedField("line", 1, 14, "string")],
+            "LIN": [FixedField("line", 1, 14, "string")],
+        },
+        selector=sel,
+    )
+    assert out["ORD"].count() == 2 and out["LIN"].count() == 1
+
+
+def test_read_jdbc_embedded_derby_roundtrip(spark, tmp_path):
+    """End-to-end JDBC against a REAL database: Spark bundles Apache
+    Derby (embedded JDBC) for its Hive metastore, so the partitioned
+    read path runs un-gated here — the executable analog of the
+    reference's SQLite staging (ChoETL.Sqlite/ChoETLSqlite.cs:24-59)."""
+    from choetl_spark.sources import read_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    src_df = spark.range(0, 100).selectExpr(
+        "id", "CAST(id * 2 AS DOUBLE) AS dbl"
+    )
+    (
+        src_df.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "t1")
+        .option("driver", driver)
+        .save()
+    )
+    back = read_jdbc(
+        spark, url, "t1",
+        partition_column="id", num_partitions=4,
+        lower_bound=0, upper_bound=100, driver=driver,
+    )
+    assert back.rdd.getNumPartitions() == 4  # genuinely partitioned read
+    rows = {r["id"]: r["dbl"] for r in back.collect()}
+    assert len(rows) == 100 and rows[7] == 14.0
+
+
 def test_csv_delimiter_sniffing(spark, tmp_path):
     """delimiter='auto' detects ; \\t | from a buffered prefix, ignoring
     candidates inside quoted spans (ChoCSVRecordReader.cs:1821-1860
