@@ -314,12 +314,110 @@ def _guard_wholetext(
         )
 
 
+def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
+    """(file, pos, line) with ``pos`` the 0-based line number within its
+    file — WITHOUT wholetext: files stream through Spark's ordinary
+    line-splittable text source, so a single multi-GB file costs one
+    split per task, not one string per file (the scale path the
+    reference's pull-based line reader takes for every format,
+    src/ChoETL/Common/ChoExtensions.cs:808).
+
+    Line numbers are reconstructed with the same partition-offset recipe
+    as ``with_seq_no``: a tiny per-(partition, file) line census (one
+    driver collect, bounded by the number of splits), then each task
+    adds its split's cumulative offset to split-local indices inside a
+    ``mapInArrow`` kernel. No single-task window, no shuffle of the
+    data. Relies on the file source's deterministic split planning
+    (splits are enumerated in file/byte-offset order and lines of one
+    file are contiguous within a task) — pinned by a test that forces
+    one file into many splits and checks the reconstruction.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    raw = spark.read.text(path).select(
+        F.input_file_name().alias("file"), "value"
+    )
+    counts = (
+        raw.select(F.spark_partition_id().alias("_pid"), "file")
+        .groupBy("_pid", "file")
+        .count()
+        .collect()
+    )
+    offsets: dict[tuple[int, str], int] = {}
+    per_file: dict[str, int] = {}
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[(r["_pid"], r["file"])] = per_file.get(r["file"], 0)
+        per_file[r["file"]] = per_file.get(r["file"], 0) + r["count"]
+
+    def kernel(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen: dict[str, int] = {}
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            d = pc.dictionary_encode(batch.column(0))
+            idx = np.asarray(d.indices)
+            names = d.dictionary.to_pylist()
+            bounds = (
+                [0]
+                + (np.flatnonzero(idx[1:] != idx[:-1]) + 1).tolist()
+                + [n]
+            )
+            pos = np.empty(n, dtype=np.int64)
+            for i in range(len(bounds) - 1):
+                s, e = bounds[i], bounds[i + 1]
+                f = names[idx[s]]
+                base = offsets.get((pid, f), 0) + seen.get(f, 0)
+                pos[s:e] = base + np.arange(e - s, dtype=np.int64)
+                seen[f] = seen.get(f, 0) + (e - s)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(pos, type=pa.int64()),
+                    batch.column(1),
+                ],
+                names=["file", "pos", "line"],
+            )
+
+    return raw.mapInArrow(kernel, "file string, pos bigint, line string")
+
+
+def _framed_lines(
+    spark: SparkSession,
+    path: str,
+    framing: str,
+    max_file_bytes: int | None,
+) -> DataFrame:
+    """(file, pos, line) under either framing. ``wholetext`` preserves a
+    trailing empty line after a final newline (string-split semantics)
+    and is capped by :func:`_guard_wholetext`; ``lines`` streams any
+    file size through :func:`read_text_lines` (no cap needed)."""
+    if framing == "lines":
+        return read_text_lines(spark, path)
+    if framing != "wholetext":
+        raise ValueError(f"framing must be 'wholetext' or 'lines': {framing!r}")
+    _guard_wholetext(spark, path, max_file_bytes)
+    whole = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("file"), "value"
+    )
+    return whole.select(
+        "file",
+        F.posexplode(F.split(F.col("value"), "\r?\n")).alias("pos", "line"),
+    )
+
+
 def read_kvp(
     spark: SparkSession,
     path: str,
     separator: str = ":",
     record_start: str | None = None,
     max_file_bytes: int | None = 256 << 20,
+    framing: str = "wholetext",
 ) -> DataFrame:
     """ChoKVPReader analog (reference src/ChoETL/File/KeyValue/
     ChoKVPReader.cs:43; grouping state machine ChoKVPRecordReader.cs:
@@ -332,20 +430,15 @@ def read_kvp(
     running sum of marker flags over a per-file window — files process
     in parallel; within a file order is inherent to the format. Returns
     (file, record_id, kv map<string,string>); project fields with
-    ``F.col("kv")["name"]``.
+    ``F.col("kv")["name"]``. ``framing="lines"`` streams arbitrarily
+    large files through the line-splittable text source
+    (:func:`read_text_lines`) instead of one wholetext string per file.
     """
-    _guard_wholetext(spark, path, max_file_bytes)
     import re as _re
 
     from pyspark.sql import Window
 
-    whole = spark.read.text(path, wholetext=True).select(
-        F.input_file_name().alias("file"), "value"
-    )
-    lines = whole.select(
-        "file",
-        F.posexplode(F.split(F.col("value"), "\r?\n")).alias("pos", "line"),
-    )
+    lines = _framed_lines(spark, path, framing, max_file_bytes)
     if record_start is not None:
         is_marker = F.trim(F.col("line")) == record_start
     else:
@@ -494,6 +587,7 @@ def read_text_gated(
     skip_until: str | None = None,
     do_while: str | None = None,
     max_file_bytes: int | None = 256 << 20,
+    framing: str = "wholetext",
 ) -> DataFrame:
     """Stateful SkipUntil / DoWhile row gating over ordered text files
     (reference src/ChoETL/IChoReader.cs:22-23; applied e.g.
@@ -506,18 +600,12 @@ def read_text_gated(
     positions via wholetext + posexplode (order-preserving within a
     file), gate positions via windowed min-aggregates, one filter. Runs
     parallel across files; within a file, order is inherent to the
-    format. Returns (file, pos, line).
+    format. Returns (file, pos, line). ``framing="lines"`` streams
+    arbitrarily large files (see :func:`read_text_lines`).
     """
-    _guard_wholetext(spark, path, max_file_bytes)
     from pyspark.sql import Window
 
-    whole = spark.read.text(path, wholetext=True).select(
-        F.input_file_name().alias("file"), "value"
-    )
-    lines = whole.select(
-        "file",
-        F.posexplode(F.split(F.col("value"), "\r?\n")).alias("pos", "line"),
-    )
+    lines = _framed_lines(spark, path, framing, max_file_bytes)
     w = Window.partitionBy("file")
     start_pos = (
         F.min(F.when(F.expr(skip_until), F.col("pos"))).over(w)

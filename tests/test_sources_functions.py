@@ -387,6 +387,56 @@ def test_read_kvp_preamble_before_first_marker_dropped(spark, tmp_path):
     assert all("generator" not in r["kv"] for r in rows)
 
 
+def test_read_text_lines_ordered_across_many_splits(spark, tmp_path):
+    """Line-framed reader (no wholetext): force ONE file into many input
+    splits (tiny maxPartitionBytes) and check the partition-offset
+    line-number reconstruction is exact — this is the assumption the
+    streaming framing rests on."""
+    from choetl_spark.sources import read_text_lines
+
+    n = 5000
+    p = tmp_path / "big.txt"
+    p.write_text("".join(f"line-{i:06d}\n" for i in range(n)))
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4096")
+    try:
+        df = read_text_lines(spark, str(p))
+        assert df.rdd.getNumPartitions() > 4  # really split
+        rows = df.collect()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert len(rows) == n
+    by_pos = sorted(rows, key=lambda r: r["pos"])
+    assert [r["pos"] for r in by_pos] == list(range(n))
+    assert [r["line"] for r in by_pos] == [f"line-{i:06d}" for i in range(n)]
+
+
+def test_read_kvp_lines_framing_matches_wholetext(spark, tmp_path):
+    """framing="lines" (streaming, unbounded file size) produces the
+    same records as the wholetext path."""
+    from choetl_spark.sources import read_kvp
+
+    (tmp_path / "a.kvp").write_text(
+        "##R##\nid: 1\nname: Ann\n##R##\nid: 2\nname: Bo\n"
+    )
+    (tmp_path / "b.kvp").write_text("id: 10\nnote: x\n\nid: 20\nnote: y\n")
+
+    def canon(df):
+        return sorted(
+            (r["file"].rsplit("/", 1)[-1], r["record_id"], dict(r["kv"]))
+            for r in df.collect()
+        )
+
+    whole_m = read_kvp(spark, str(tmp_path / "a.kvp"), record_start="##R##")
+    lines_m = read_kvp(
+        spark, str(tmp_path / "a.kvp"), record_start="##R##", framing="lines"
+    )
+    assert canon(whole_m) == canon(lines_m)
+    whole_b = read_kvp(spark, str(tmp_path / "b.kvp"))
+    lines_b = read_kvp(spark, str(tmp_path / "b.kvp"), framing="lines")
+    assert canon(whole_b) == canon(lines_b)
+
+
 def test_read_kvp_marker_and_blankline(spark, tmp_path):
     """ChoKVPReader analog: key:value lines grouped into records by a
     start marker or blank lines (ChoKVPRecordReader.cs:82-219)."""
