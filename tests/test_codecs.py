@@ -330,6 +330,44 @@ def test_worddict_values_codec_plain():
     assert decode_array(payload, meta).equals(arr)
 
 
+def test_worddict_aligned_layout_and_legacy_decode():
+    """New payloads carry byte-aligned indices (idx_layout=aligned);
+    tables encoded before the layout change (bit-packed indices, no
+    idx_layout key) must keep decoding — storage compatibility is part
+    of the ledger's resume contract."""
+    from choetl_spark.codecs.base import bit_width, pack_uints
+    from choetl_spark.codecs.worddict import _split_tokens, decode_worddict
+
+    vals = ["red green blue", "green green", "", "blue red"] * 50
+    arr = pa.array(vals)
+    payload, meta = encode_array(arr, codec="worddict")
+    assert meta["idx_layout"] == "aligned"
+    assert meta["idx_width"] in (8, 16, 32)
+    assert decode_array(payload, meta).equals(arr)
+
+    # hand-build a LEGACY bit-packed payload for the same data
+    import pyarrow.compute as pc
+
+    flat, ntoks = _split_tokens(arr)
+    d = pc.dictionary_encode(flat)
+    idx = np.asarray(d.indices.cast(pa.int64()))
+    w = max(bit_width(int(idx.max())), 1)
+    idx_payload = pack_uints(idx, w)
+    val_payload, val_meta = encode_array(d.dictionary, codec="plain")
+    tw = max(bit_width(int(ntoks.max())), 1)
+    row_payload = pack_uints(ntoks, tw)
+    legacy_meta = {
+        "codec": "worddict", "dtype": "string", "n": len(arr),
+        "n_tokens": int(len(idx)), "idx_width": w,
+        "idx_bytes": len(idx_payload), "row_width": tw,
+        "row_bytes": len(row_payload), "values": val_meta,
+    }  # note: no idx_layout key — the pre-change on-disk form
+    out = decode_worddict(
+        row_payload + idx_payload + val_payload, legacy_meta
+    )
+    assert out.equals(arr)
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     hst.lists(
