@@ -11,6 +11,7 @@ from choetl_spark.operators.dedup import (  # noqa: F401
     dedup_embedding_cosine,
     dedup_exact,
     dedup_exact_normalized,
+    connected_components,
     dedup_minhash,
     embedding_neardup_pairs,
     minhash_lsh_candidates,

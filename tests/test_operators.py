@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from choetl_spark.operators import (
     compare_tables,
+    connected_components,
     cosine_topk,
     cosine_topk_lsh,
     dedup_exact,
@@ -126,6 +127,45 @@ def test_dedup_minhash_removes_dups(spark, docs_with_dups, docs):
     )
     assert out.count() <= docs.count()
     assert out.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def _union_find_labels(n_nodes, edges):
+    """Ground-truth component min-labels via a plain union-find."""
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in range(n_nodes)}
+
+
+def test_connected_components_vs_union_find(spark):
+    """large-star/small-star labels == union-find ground truth on a
+    seeded random graph PLUS a 64-node path (the high-diameter shape
+    that defeats fixed-round min-propagation)."""
+    rng = np.random.default_rng(11)
+    n = 200
+    edges = [
+        tuple(sorted(map(int, rng.integers(0, n, 2)))) for _ in range(250)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    chain_base = 1000
+    edges += [(chain_base + i, chain_base + i + 1) for i in range(63)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["root"] for r in connected_components(df).collect()}
+    truth = _union_find_labels(chain_base + 64, edges)
+    nodes_with_edges = {x for e in edges for x in e}
+    for node in nodes_with_edges:
+        assert got.get(node, node) == truth[node], node
+    for node, root in got.items():
+        assert truth[node] == root
 
 
 def test_simhash_near_pairs(spark, docs_with_dups):
