@@ -536,6 +536,27 @@ def q_simhash_documents(spark, sf_dir):
     )
 
 
+def q_connected_components_graph(spark, sf_dir):
+    """Distributed connected components (large-star/small-star) over a
+    deterministic graph derived from orders — oracle-checked against a
+    DuckDB recursive-CTE transitive closure. The graph is built so
+    components stay small (closure stays cheap for the oracle) while
+    still exercising multi-hop merges the Spark side must resolve in
+    O(log n) rounds."""
+    from choetl_spark.operators import connected_components
+
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    edges = orders.select(
+        (F.col("o_orderkey") % 300).alias("src"),
+        (F.lit(300) + F.col("o_orderkey") % 450).alias("dst"),
+    )
+    cc = connected_components(edges)
+    # roots label themselves implicitly in the operator's star output;
+    # the oracle emits every node, so make the self-labels explicit
+    roots = cc.select(F.col("root").alias("node"), "root").distinct()
+    return cc.unionAll(roots).select("node", "root")
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing (stub decode, real Arrow batching): feature
     extraction + media meta over binary payloads. Oracle-checked: ids
@@ -636,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_documents": q_minhash_pairs_documents,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "simhash_documents": q_simhash_documents,
+        "connected_components_graph": q_connected_components_graph,
         "multimodal_features": q_multimodal_features,
         "encode_summary": q_encode_summary,
         "roundtrip_text_identity": q_roundtrip_text_identity,
@@ -1062,6 +1084,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(strlen(text)) + 4 * count(*) AS BIGINT) FROM t
             UNION ALL SELECT 'lang', count(*),
                    CAST(sum(strlen(lang)) + 4 * count(*) AS BIGINT) FROM t
+        """,
+        "connected_components_graph": """
+            WITH RECURSIVE edges AS (
+              SELECT CAST(o_orderkey % 300 AS BIGINT) AS src,
+                     CAST(300 + o_orderkey % 450 AS BIGINT) AS dst
+              FROM orders WHERE o_orderkey < 2000
+            ),
+            sym AS (
+              SELECT src, dst FROM edges
+              UNION SELECT dst AS src, src AS dst FROM edges
+            ),
+            nodes AS (SELECT DISTINCT src AS node FROM sym),
+            reach(node, r) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT s.dst, reach.r FROM sym s
+                JOIN reach ON reach.node = s.src
+            )
+            SELECT node, CAST(min(r) AS BIGINT) AS root
+            FROM reach GROUP BY node
         """,
         "multimodal_features": f"""
             SELECT md5({_URL_SQL}) AS media_id,
