@@ -536,6 +536,31 @@ def q_simhash_documents(spark, sf_dir):
     )
 
 
+def q_pii_redaction_documents(spark, sf_dir):
+    """PII scrub (emails/phones/IPv4/card digit groups) over documents
+    with deterministically planted PII — the redaction chain and hit
+    counts are mirrored byte-for-byte by the DuckDB oracle (patterns
+    restricted to the Java-regex ∩ RE2 subset)."""
+    from choetl_spark.operators import with_pii_redacted
+
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel +1-555 123 4567 ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 card 4111 1111 1111 1111"),
+        ).alias("text"),
+    )
+    out = with_pii_redacted(planted, "text")
+    return out.select(
+        "doc_id", "pii_hits", F.md5("redacted").alias("red_md5")
+    )
+
+
 def q_connected_components_graph(spark, sf_dir):
     """Distributed connected components (large-star/small-star) over a
     deterministic graph derived from orders — oracle-checked against a
@@ -657,6 +682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_documents": q_minhash_pairs_documents,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "simhash_documents": q_simhash_documents,
+        "pii_redaction_documents": q_pii_redaction_documents,
         "connected_components_graph": q_connected_components_graph,
         "multimodal_features": q_multimodal_features,
         "encode_summary": q_encode_summary,
@@ -809,6 +835,35 @@ def _oracle_embedding_neardup(
           FROM bk a JOIN bk b
             ON a.bkt = b.bkt AND a.vec_id < b.vec_id
         ) WHERE c6 >= {threshold}
+    """
+
+
+def _oracle_pii() -> str:
+    """Generated from PII_PATTERNS so the oracle can never drift from
+    the Spark-side chain: counts on the planted original, replacements
+    applied in the same order ('g' flag — DuckDB replaces only the
+    first match by default, Spark replaces all)."""
+    from choetl_spark.operators.textstats import PII_PATTERNS
+
+    counts = " + ".join(
+        f"len(regexp_extract_all(s, '{pat}'))" for _, pat, _ in PII_PATTERNS
+    )
+    red = "s"
+    for _, pat, tok in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 text || ' contact user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com tel +1-555 123 4567 ip 10.0.'
+                      || CAST(doc_id % 256 AS VARCHAR)
+                      || '.7 card 4111 1111 1111 1111' AS s
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST({counts} AS INTEGER) AS pii_hits,
+               md5({red}) AS red_md5
+        FROM t
     """
 
 
@@ -1085,6 +1140,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'lang', count(*),
                    CAST(sum(strlen(lang)) + 4 * count(*) AS BIGINT) FROM t
         """,
+        "pii_redaction_documents": _oracle_pii(),
         "connected_components_graph": """
             WITH RECURSIVE edges AS (
               SELECT CAST(o_orderkey % 300 AS BIGINT) AS src,

@@ -2,10 +2,12 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extraction / resize / frame-sampling run as Arrow-batched
-``mapInPandas`` kernels. The actual media decoding is STUBBED (no
-image/audio libraries in this container — see ``decode_image``), but the
-Spark-side plumbing — schema, batching, partition-size discipline — is
-real and tested: swapping the stub for PIL/ffmpeg changes one function.
+``mapInPandas`` kernels. ``decode_image`` REALLY decodes the uncompressed
+formats (PPM P6, 24-bit BMP) with numpy alone; compressed formats
+(PNG/JPEG) stay gated behind NotImplementedError because this container
+ships no codec libraries — swapping that gate for PIL/ffmpeg changes one
+function, the Spark-side plumbing (schema, batching, partition-size
+discipline) is identical either way and tested.
 """
 
 from __future__ import annotations
@@ -24,12 +26,68 @@ MEDIA_META_DDL = (
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Decode an image payload to HxWx3 uint8. STUB — no codec libs in
-    this container; a real deployment plugs PIL/turbojpeg in here."""
+    """Decode an image payload to HxWx3 uint8.
+
+    REAL for the two uncompressed formats decodable with numpy alone
+    (no codec libraries): binary netpbm ``P6`` (PPM) and 24-bit
+    uncompressed ``BI_RGB`` BMP (bottom-up or top-down). Compressed
+    formats (PNG/JPEG/WebP/...) still need PIL/libjpeg, which this
+    container does not ship — those raise NotImplementedError (the
+    environmental gate; a deployment plugs PIL in right here)."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp24(payload)
     raise NotImplementedError(
-        "image decoding requires PIL/libjpeg, not available in this "
-        "container; use fake_features for deterministic pipeline tests"
+        "only uncompressed PPM(P6)/BMP(24-bit) decode without codec "
+        "libraries; PNG/JPEG require PIL/libjpeg (not in this container)"
     )
+
+
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary netpbm P6: ASCII header (with # comments), raw RGB data."""
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return px.reshape(h, w, 3).copy()
+
+
+def _decode_bmp24(payload: bytes) -> np.ndarray:
+    """BMP, 24 bits per pixel, BI_RGB (uncompressed), BGR rows padded to
+    4 bytes, bottom-up unless height is negative."""
+    data_off = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB BMP decodes here (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    h = abs(height)
+    stride = (width * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=data_off
+    ).reshape(h, stride)
+    img = rows[:, : width * 3].reshape(h, width, 3)[:, :, ::-1]  # BGR->RGB
+    if height > 0:  # bottom-up storage
+        img = img[::-1]
+    return img.copy()
 
 
 def fake_features(payload: bytes, dim: int = 16) -> np.ndarray:

@@ -77,6 +77,40 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", best["lang"])
 
 
+# PII patterns, deliberately restricted to the regex subset with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB): character
+# classes, bounded repetition, \b word boundaries — no backreferences,
+# no lookaround. Order matters: emails before the bare-domain-ish word
+# rule would ever fire, phones before plain digit runs.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d{1,3}[-. ]\d{3}[-. ]\d{3,4}(?:[-. ]\d{3,4})?", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "<CARD>"),
+]
+
+
+def with_pii_redacted(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Redact common PII shapes (emails, phone numbers, IPv4 addresses,
+    card-style digit groups) — the scrub step every training-data
+    pipeline runs before packaging text. A chain of JVM-side
+    ``regexp_replace`` calls (whole-stage codegen, no UDF); patterns are
+    restricted to the Java-regex ∩ RE2 subset so the DuckDB oracle can
+    mirror them byte-for-byte. Adds ``out_col`` plus a ``pii_hits``
+    count of total redactions."""
+    col = F.col(text_col)
+    hits = F.lit(0)
+    for _, pat, _tok in PII_PATTERNS:
+        hits = hits + F.regexp_count(F.col(text_col), F.lit(pat))
+    for _, pat, tok in PII_PATTERNS:
+        col = F.regexp_replace(col, pat, tok)
+    return df.withColumn(out_col, col).withColumn(
+        "pii_hits", hits.cast("int")
+    )
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of case/whitespace-normalized text."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")

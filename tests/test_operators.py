@@ -129,6 +129,30 @@ def test_dedup_minhash_removes_dups(spark, docs_with_dups, docs):
     assert out.filter(F.col("doc_id") >= 100000).count() == 0
 
 
+def test_pii_redaction(spark):
+    from choetl_spark.operators import with_pii_redacted
+
+    rows = [
+        (1, "mail me at jo.doe+x@mail.example.org today"),
+        (2, "call +44-207 555 0199 or 555 123 4567"),
+        (3, "server at 192.168.1.17 port 80"),
+        (4, "card 4111 1111 1111 1111 exp 11/29"),
+        (5, "clean text, no pii at all"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r["id"]: (r["redacted"], r["pii_hits"])
+        for r in with_pii_redacted(df, "text").collect()
+    }
+    assert got[1] == ("mail me at <EMAIL> today", 1)
+    assert got[2] == ("call <PHONE> or <PHONE>", 2)
+    assert got[3] == ("server at <IP> port 80", 1)
+    assert got[4] == ("card <CARD> exp 11/29", 1)
+    assert got[5] == ("clean text, no pii at all", 0)
+    assert got[6] == (None, None)
+
+
 def _union_find_labels(n_nodes, edges):
     """Ground-truth component min-labels via a plain union-find."""
     parent = list(range(n_nodes))
@@ -263,11 +287,56 @@ def test_multimodal_plumbing(spark, docs):
     assert m["media_type"] == "text/html"
 
 
-def test_decode_image_is_stubbed():
+def _make_ppm(img: np.ndarray, comment: bool = False) -> bytes:
+    h, w, _ = img.shape
+    head = b"P6\n" + (b"# a comment\n" if comment else b"")
+    return head + f"{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def _make_bmp24(img: np.ndarray, top_down: bool = False) -> bytes:
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    bgr = img[:, :, ::-1]
+    data = bgr if top_down else bgr[::-1]
+    rows[:, : w * 3] = data.reshape(h, w * 3)
+    pix = rows.tobytes()
+    dib = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + (h if not top_down else -h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + len(pix).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    off = 14 + len(dib)
+    head = (
+        b"BM"
+        + (off + len(pix)).to_bytes(4, "little")
+        + b"\x00" * 4
+        + off.to_bytes(4, "little")
+    )
+    return head + dib + pix
+
+
+def test_decode_image_real_for_uncompressed_formats():
+    """PPM(P6) and 24-bit BMP decode to exact pixels with numpy alone —
+    odd width exercises BMP row padding, both row orders covered;
+    compressed formats stay gated behind NotImplementedError."""
     from choetl_spark.operators.multimodal import decode_image
 
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)  # odd width
+    assert np.array_equal(decode_image(_make_ppm(img)), img)
+    assert np.array_equal(decode_image(_make_ppm(img, comment=True)), img)
+    assert np.array_equal(decode_image(_make_bmp24(img)), img)
+    assert np.array_equal(decode_image(_make_bmp24(img, top_down=True)), img)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff")
+        decode_image(b"\xff\xd8\xff")  # JPEG magic
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n")
 
 
 def test_no_cartesian_in_lsh(spark, embs):
