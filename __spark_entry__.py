@@ -536,6 +536,18 @@ def q_simhash_documents(spark, sf_dir):
     )
 
 
+def q_repetition_documents(spark, sf_dir):
+    """Gopher-style repetition filters (duplicate-word and
+    duplicate-2-gram fractions) — JVM higher-order functions only; the
+    oracle mirrors the same list pipeline with DuckDB lambdas."""
+    from choetl_spark.operators import with_repetition_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_repetition_stats(docs).select(
+        "doc_id", "dup_word_frac", "dup_2gram_frac"
+    )
+
+
 def q_pii_redaction_documents(spark, sf_dir):
     """PII scrub (emails/phones/IPv4/card digit groups) over documents
     with deterministically planted PII — the redaction chain and hit
@@ -682,6 +694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_documents": q_minhash_pairs_documents,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "simhash_documents": q_simhash_documents,
+        "repetition_documents": q_repetition_documents,
         "pii_redaction_documents": q_pii_redaction_documents,
         "connected_components_graph": q_connected_components_graph,
         "multimodal_features": q_multimodal_features,
@@ -1139,6 +1152,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(strlen(text)) + 4 * count(*) AS BIGINT) FROM t
             UNION ALL SELECT 'lang', count(*),
                    CAST(sum(strlen(lang)) + 4 * count(*) AS BIGINT) FROM t
+        """,
+        "repetition_documents": r"""
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+              FROM documents
+            ), g AS (
+              SELECT doc_id, w,
+                     list_transform(
+                       generate_series(1, greatest(len(w) - 1, 1)),
+                       i -> concat_ws(' ', w[i], w[i + 1])
+                     ) AS grams
+              FROM t
+            )
+            SELECT doc_id,
+                   round(1.0 - len(list_distinct(w)) / greatest(len(w), 1),
+                         6) AS dup_word_frac,
+                   round(1.0 - len(list_distinct(grams))
+                             / greatest(len(grams), 1), 6) AS dup_2gram_frac
+            FROM g
         """,
         "pii_redaction_documents": _oracle_pii(),
         "connected_components_graph": """

@@ -35,5 +35,6 @@ from choetl_spark.operators.textstats import (  # noqa: F401
     with_lang_id,
     with_pii_redacted,
     with_quality_score,
+    with_repetition_stats,
     with_token_count,
 )

@@ -111,6 +111,38 @@ def with_pii_redacted(
     )
 
 
+def with_repetition_stats(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, public paper):
+    the fraction of duplicated words and duplicated word-2-grams per
+    document — the filters web-text pipelines use to drop boilerplate
+    and looping generations. All JVM higher-order functions (split /
+    transform / array_distinct), whole-stage codegen, no UDF; rounded to
+    6 places so the DuckDB oracle compares exactly."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_words = F.size(words)
+    dup_word = F.lit(1.0) - F.size(F.array_distinct(words)) / F.greatest(
+        n_words, F.lit(1)
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_words - 1, F.lit(1))),
+        # try_element_at: the single-word edge case indexes one past the
+        # end (ANSI mode makes plain element_at throw); concat_ws skips
+        # the resulting NULL, matching DuckDB's out-of-range semantics
+        lambda i: F.concat_ws(
+            " ", F.try_element_at(words, i), F.try_element_at(words, i + 1)
+        ),
+    )
+    n_grams = F.size(grams)
+    dup_2gram = F.lit(1.0) - F.size(F.array_distinct(grams)) / F.greatest(
+        n_grams, F.lit(1)
+    )
+    return df.withColumn(
+        "dup_word_frac", F.round(dup_word, 6)
+    ).withColumn("dup_2gram_frac", F.round(dup_2gram, 6))
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of case/whitespace-normalized text."""
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")

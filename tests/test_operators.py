@@ -129,6 +129,26 @@ def test_dedup_minhash_removes_dups(spark, docs_with_dups, docs):
     assert out.filter(F.col("doc_id") >= 100000).count() == 0
 
 
+def test_repetition_stats(spark):
+    from choetl_spark.operators import with_repetition_stats
+
+    rows = [
+        (1, "a a b"),
+        (2, "x"),
+        (3, "p q p q p q"),
+        (4, "all words unique here now"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r["id"]: (r["dup_word_frac"], r["dup_2gram_frac"])
+        for r in with_repetition_stats(df, "text").collect()
+    }
+    assert got[1] == (round(1 - 2 / 3, 6), 0.0)
+    assert got[2] == (0.0, 0.0)
+    assert got[3] == (round(1 - 2 / 6, 6), round(1 - 2 / 5, 6))
+    assert got[4] == (0.0, 0.0)
+
+
 def test_pii_redaction(spark):
     from choetl_spark.operators import with_pii_redacted
 
