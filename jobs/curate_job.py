@@ -1,0 +1,128 @@
+"""spark-submit entry point for the web-text CURATION pipeline.
+
+    spark-submit --py-files choetl_spark.zip jobs/curate_job.py \
+        --input  /path/to/documents.parquet \
+        --output /path/to/curated            (encoded chunks + ledger) \
+        [--id-col doc_id --text-col text] \
+        [--min-quality 0.3] [--max-dup-2gram 0.9] [--langs en,de] \
+        [--near-dedup] [--profile speed] [--partitions 256]
+
+The standard training-data sequence, every stage a scale-shaped
+operator from ``choetl_spark.operators``:
+
+    exact dedup (normalized fingerprint, keep lowest id)
+      -> optional MinHash-LSH near-dedup (banded candidates ->
+         connected components -> keep component min)
+      -> quality floor + Gopher repetition ceiling + optional lang-ID
+         allowlist (all JVM codegen expressions)
+      -> PII redaction (emails/phones/IPs/cards -> tokens)
+      -> resumable encode into the engine's chunk store (ledger commit,
+         re-running the same command after a crash skips completed
+         partitions)
+
+Prints ONE JSON line of per-stage row counts so the drop rate of every
+filter is observable (the curation analog of the reference writer's
+RowsWritten notification hooks).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def curate(spark, args) -> dict:
+    from pyspark.sql import functions as F
+
+    from choetl_spark.engine import EncodeConfig
+    from choetl_spark.ledger import encode_with_resume
+    from choetl_spark.operators import (
+        dedup_exact_normalized,
+        dedup_minhash,
+        with_lang_id,
+        with_pii_redacted,
+        with_quality_score,
+        with_repetition_stats,
+    )
+
+    id_col, text_col = args.id_col, args.text_col
+    df = spark.read.parquet(args.input)
+    counts = {"input": df.count()}
+
+    df = dedup_exact_normalized(df, text_col, id_col)
+    counts["after_exact_dedup"] = df.count()
+
+    if args.near_dedup:
+        df = dedup_minhash(
+            df, text_col, id_col,
+            n_hashes=args.minhash_hashes, bands=args.minhash_bands,
+            threshold=args.minhash_threshold,
+        )
+        counts["after_near_dedup"] = df.count()
+
+    df = with_quality_score(df, text_col)
+    df = with_repetition_stats(df, text_col)
+    df = df.filter(
+        (F.col("quality") >= args.min_quality)
+        & (F.col("dup_2gram_frac") <= args.max_dup_2gram)
+    )
+    if args.langs:
+        allowed = [s.strip() for s in args.langs.split(",") if s.strip()]
+        df = with_lang_id(df, text_col).filter(
+            F.col("lang_pred").isin(allowed)
+        )
+    counts["after_filters"] = df.count()
+
+    input_cols = spark.read.parquet(args.input).columns  # metadata only
+    df = with_pii_redacted(df, text_col)
+    # the redacted text REPLACES the raw text in the curated store
+    df = df.withColumn(text_col, F.col("redacted")).select(*input_cols)
+
+    cfg = EncodeConfig(
+        num_partitions=args.partitions,
+        chunk_rows=args.chunk_rows,
+        chunk_bytes=args.chunk_bytes,
+        key_col=id_col,
+        shuffle=args.shuffle,
+        optimize_for=args.profile,
+        partition_by_host=False,  # documents carry no url/host column
+    )
+    summary = encode_with_resume(spark, df, args.output, cfg)
+    counts["encoded_rows"] = counts["after_filters"]
+    return {"counts": counts, "encode": summary}
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--min-quality", type=float, default=0.3)
+    p.add_argument("--max-dup-2gram", type=float, default=0.9)
+    p.add_argument("--langs", default=None,
+                   help="comma allowlist of predicted langs; default all")
+    p.add_argument("--near-dedup", action="store_true")
+    p.add_argument("--minhash-hashes", type=int, default=64)
+    p.add_argument("--minhash-bands", type=int, default=16)
+    p.add_argument("--minhash-threshold", type=float, default=0.8)
+    p.add_argument("--partitions", type=int, default=256)
+    p.add_argument("--chunk-rows", type=int, default=65536)
+    p.add_argument("--chunk-bytes", type=int, default=8 << 20)
+    p.add_argument("--shuffle", default="salted", choices=["salted", "none"])
+    p.add_argument("--profile", default="speed",
+                   choices=["ratio", "balanced", "speed"])
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("choetl-curate").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    out = curate(spark, args)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -77,3 +77,60 @@ def test_spark_submit_pyfiles_encode_and_resume(spark, tmp_path):
     second = run()
     assert second["partitions_already_done"] == 4
     assert second["partitions_encoded_this_run"] == 0
+
+
+def test_curate_job_pipeline(spark, tmp_path):
+    """End-to-end curation pipeline (jobs/curate_job.py logic, in
+    session): exact dedup kills planted copies, filters apply, PII is
+    redacted in the curated store, and the encoded output decodes to
+    exactly the filtered row set."""
+    import importlib.util
+
+    from pyspark.sql import functions as F
+
+    spec = importlib.util.spec_from_file_location(
+        "curate_job", os.path.join(REPO, "jobs", "curate_job.py")
+    )
+    curate_job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(curate_job)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with_pii = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" contact bob@example.com")),
+        ).otherwise(F.col("text")),
+    )
+    planted = with_pii.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    src = str(tmp_path / "docs_in.parquet")
+    with_pii.unionByName(planted).write.parquet(src)
+    out = str(tmp_path / "curated")
+
+    import argparse
+
+    args = argparse.Namespace(
+        input=src, output=out, id_col="doc_id", text_col="text",
+        min_quality=0.1, max_dup_2gram=0.95, langs=None,
+        near_dedup=True, minhash_hashes=32, minhash_bands=8,
+        minhash_threshold=0.9, partitions=4, chunk_rows=256,
+        chunk_bytes=1 << 20, shuffle="salted", profile="speed",
+    )
+    result = curate_job.curate(spark, args)
+    c = result["counts"]
+    n_planted = planted.count()
+    assert c["after_exact_dedup"] == c["input"] - n_planted
+    assert c["after_near_dedup"] <= c["after_exact_dedup"]
+    assert 0 < c["after_filters"] <= c["after_near_dedup"]
+
+    from choetl_spark.engine import decode_dataframe
+    from choetl_spark.ledger import read_encoded, read_manifest
+
+    decoded = decode_dataframe(
+        read_encoded(spark, out), manifest=read_manifest(out)
+    )
+    assert decoded.count() == c["after_filters"]
+    assert decoded.filter(F.col("text").contains("@example.com")).count() == 0
+    assert decoded.filter(F.col("text").contains("<EMAIL>")).count() > 0
