@@ -120,27 +120,43 @@ def with_repetition_stats(
     and looping generations. All JVM higher-order functions (split /
     transform / array_distinct), whole-stage codegen, no UDF; rounded to
     6 places so the DuckDB oracle compares exactly."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # words/grams are STAGED as real columns before use: referencing the
+    # split() expression from inside the transform lambda would make
+    # codegen re-evaluate the whole split per element (no common
+    # subexpression elimination inside higher-order functions) —
+    # O(words^2 x text_len) per row, measured as a hang on 400-word
+    # pages. As attributes each is computed once per row.
+    staged = df.withColumn(
+        "_w", F.split(F.trim(F.col(text_col)), r"\s+")
+    )
+    words = F.col("_w")
     n_words = F.size(words)
+    staged = staged.withColumn(
+        "_g",
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_words - 1, F.lit(1))),
+            # try_element_at: the single-word edge case indexes one past
+            # the end (ANSI mode makes plain element_at throw);
+            # concat_ws skips the NULL, matching DuckDB out-of-range
+            lambda i: F.concat_ws(
+                " ",
+                F.try_element_at(words, i),
+                F.try_element_at(words, i + 1),
+            ),
+        ),
+    )
+    grams = F.col("_g")
     dup_word = F.lit(1.0) - F.size(F.array_distinct(words)) / F.greatest(
         n_words, F.lit(1)
     )
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n_words - 1, F.lit(1))),
-        # try_element_at: the single-word edge case indexes one past the
-        # end (ANSI mode makes plain element_at throw); concat_ws skips
-        # the resulting NULL, matching DuckDB's out-of-range semantics
-        lambda i: F.concat_ws(
-            " ", F.try_element_at(words, i), F.try_element_at(words, i + 1)
-        ),
+    dup_2gram = F.lit(1.0) - F.size(
+        F.array_distinct(grams)
+    ) / F.greatest(F.size(grams), F.lit(1))
+    return (
+        staged.withColumn("dup_word_frac", F.round(dup_word, 6))
+        .withColumn("dup_2gram_frac", F.round(dup_2gram, 6))
+        .drop("_w", "_g")
     )
-    n_grams = F.size(grams)
-    dup_2gram = F.lit(1.0) - F.size(F.array_distinct(grams)) / F.greatest(
-        n_grams, F.lit(1)
-    )
-    return df.withColumn(
-        "dup_word_frac", F.round(dup_word, 6)
-    ).withColumn("dup_2gram_frac", F.round(dup_2gram, 6))
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -90,6 +90,35 @@ def test_decode_plan_build_launches_no_spark_jobs(spark, pages):
     assert dec.count() == pages.count()
 
 
+def test_text_filter_ops_are_pure_codegen(spark, pages):
+    """PII redaction and repetition stats must stay JVM expression-only:
+    no exchange, no Python eval, one whole-stage codegen span over the
+    scan — the plan shape that lets them ride a 100 TB curation pass
+    for free."""
+    from choetl_spark.operators import with_pii_redacted, with_repetition_stats
+
+    df = with_repetition_stats(
+        with_pii_redacted(pages, "text"), "text"
+    ).select("url", "pii_hits", "dup_word_frac", "dup_2gram_frac")
+    plan = explain_str(df, "simple")
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    df.collect()
+    assert_wholestage_codegen(df)
+
+
+def test_winnowing_candidates_join_is_hash_not_nlj(spark):
+    """The fingerprint-set equality candidate join must execute as a
+    hash/sort-merge equi-join on the array key — never a broadcast
+    nested loop or cartesian (the all-pairs scale-killer)."""
+    import __spark_entry__ as e
+
+    q = e.q_winnowing_fingerprints(spark, "/root/testdata/sf0.001")
+    assert_no_cartesian(q)
+    plan = explain_str(q, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_chunk_prune_uses_broadcast_semi_join(spark, pages):
     from choetl_spark.engine import prune_partitions_by_stats
 
