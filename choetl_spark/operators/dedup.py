@@ -571,19 +571,23 @@ def ngram_jaccard_pairs(
             .dropDuplicates([id_col])
         )
         df = df.join(needed, id_col, "semi")
-    grams = df.select(
+    # words staged as a real column: a split() EXPRESSION referenced
+    # from inside the transform lambda is re-evaluated per gram (no CSE
+    # inside higher-order functions) — O(words^2 x len) per row; as an
+    # attribute it is computed once (same fix as with_repetition_stats)
+    words_df = df.select(
+        F.col(id_col),
+        F.split(F.col(text_col), r"\s+").alias("_words"),
+    )
+    w = F.col("_words")
+    grams = words_df.select(
         F.col(id_col),
         F.array_distinct(
             F.transform(
                 F.sequence(
-                    F.lit(0),
-                    F.greatest(
-                        F.size(F.split(F.col(text_col), r"\s+")) - n, F.lit(0)
-                    ),
+                    F.lit(0), F.greatest(F.size(w) - n, F.lit(0))
                 ),
-                lambda i: F.concat_ws(
-                    " ", F.slice(F.split(F.col(text_col), r"\s+"), i + 1, n)
-                ),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
             )
         ).alias("grams"),
     )
