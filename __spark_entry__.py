@@ -536,6 +536,18 @@ def q_simhash_documents(spark, sf_dir):
     )
 
 
+def q_html_extract_webpages(spark, sf_dir):
+    """HTML -> visible text extraction over the web-page table (the
+    north-rule invariant's own operation, Spark-native): script/style
+    subtree removal, tag strip, entity decode, whitespace collapse —
+    all JVM regexp chains mirrored byte-for-byte by the oracle."""
+    from choetl_spark.operators import with_html_text
+    from choetl_spark.synth import webpages_from_documents
+
+    pages = webpages_from_documents(spark, sf_dir)
+    return with_html_text(pages, "html").select("url", "extracted")
+
+
 def q_repetition_documents(spark, sf_dir):
     """Gopher-style repetition filters (duplicate-word and
     duplicate-2-gram fractions) — JVM higher-order functions only; the
@@ -694,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs_documents": q_minhash_pairs_documents,
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "simhash_documents": q_simhash_documents,
+        "html_extract_webpages": q_html_extract_webpages,
         "repetition_documents": q_repetition_documents,
         "pii_redaction_documents": q_pii_redaction_documents,
         "connected_components_graph": q_connected_components_graph,
@@ -848,6 +861,31 @@ def _oracle_embedding_neardup(
           FROM bk a JOIN bk b
             ON a.bkt = b.bkt AND a.vec_id < b.vec_id
         ) WHERE c6 >= {threshold}
+    """
+
+
+def _oracle_html_extract() -> str:
+    """Mirror of with_html_text's regexp chain (same order, 'g' flag —
+    DuckDB replaces only the first match by default)."""
+    expr = "html"
+    steps = [
+        (r"(?is)<script[^>]*>.*?</script>", " "),
+        (r"(?is)<style[^>]*>.*?</style>", " "),
+        (r"(?s)<[^>]+>", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "''"),  # SQL-escaped single quote
+        ("&amp;", "&"),
+        (r"\s+", " "),
+    ]
+    for pat, repl in steps:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return f"""
+        WITH t AS (
+          SELECT {_URL_SQL} AS url, {_HTML_SQL} AS html FROM documents
+        )
+        SELECT url, trim({expr}) AS extracted FROM t
     """
 
 
@@ -1153,6 +1191,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'lang', count(*),
                    CAST(sum(strlen(lang)) + 4 * count(*) AS BIGINT) FROM t
         """,
+        "html_extract_webpages": _oracle_html_extract(),
         "repetition_documents": r"""
             WITH t AS (
               SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

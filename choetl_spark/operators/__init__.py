@@ -33,6 +33,7 @@ from choetl_spark.operators.textstats import (  # noqa: F401
     winnowing_fingerprints,
     with_fingerprint,
     with_lang_id,
+    with_html_text,
     with_pii_redacted,
     with_quality_score,
     with_repetition_stats,

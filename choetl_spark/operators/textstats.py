@@ -77,6 +77,36 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", best["lang"])
 
 
+def with_html_text(
+    df: DataFrame, html_col: str = "html", out_col: str = "extracted"
+) -> DataFrame:
+    """Extract visible text from an HTML payload — THE canonical
+    web-corpus operation (the input table's ``text`` column is exactly
+    this, per url). Boilerplate regex pipeline, all JVM codegen:
+
+      1. drop <script>/<style> subtrees (non-greedy, dotall)
+      2. strip every remaining tag
+      3. decode the five core entities (&amp; last, so &amp;lt; does
+         not double-decode)
+      4. collapse whitespace, trim
+
+    Patterns stay in the Java-regex ∩ RE2 subset so the DuckDB oracle
+    mirrors the chain byte-for-byte. A production crawler would swap in
+    trafilatura/jusText here; this is the dependency-free scale shape.
+    ``html_col`` may be binary (cast to string as utf-8)."""
+    col = F.col(html_col).cast("string")
+    col = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
+    col = F.regexp_replace(col, r"(?is)<style[^>]*>.*?</style>", " ")
+    col = F.regexp_replace(col, r"(?s)<[^>]+>", " ")
+    for ent, ch in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+        ("&#39;", "'"), ("&amp;", "&"),
+    ):
+        col = F.regexp_replace(col, ent, ch)
+    col = F.trim(F.regexp_replace(col, r"\s+", " "))
+    return df.withColumn(out_col, col)
+
+
 # PII patterns, deliberately restricted to the regex subset with
 # identical semantics in Java regex (Spark) and RE2 (DuckDB): character
 # classes, bounded repetition, \b word boundaries — no backreferences,

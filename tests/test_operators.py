@@ -129,6 +129,40 @@ def test_dedup_minhash_removes_dups(spark, docs_with_dups, docs):
     assert out.filter(F.col("doc_id") >= 100000).count() == 0
 
 
+def test_html_text_extraction(spark):
+    from choetl_spark.operators import with_html_text
+
+    rows = [
+        (1, b"<html><head><title>T</title><script>var x=1; a<b;</script>"
+            b"<style>p { color: red }</style></head>"
+            b"<body><p>Hello  world</p><div>A &amp; B &lt;tag&gt;</div>"
+            b"</body></html>"),
+        (2, b"plain no tags"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, html binary")
+    got = {
+        r["id"]: r["extracted"]
+        for r in with_html_text(df, "html").collect()
+    }
+    assert got[1] == 'T Hello world A & B <tag>'
+    assert got[2] == "plain no tags"
+    assert got[3] is None
+    # invariant vs the synthetic corpus: extraction recovers the source
+    # text (plus the title token) for every page
+    from choetl_spark.synth import webpages
+
+    pages = webpages(spark, 50, partitions=2)
+    bad = (
+        with_html_text(pages, "html")
+        .filter(
+            ~F.col("extracted").endswith(F.col("text"))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
 def test_repetition_stats(spark):
     from choetl_spark.operators import with_repetition_stats
 
