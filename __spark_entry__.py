@@ -672,6 +672,145 @@ def q_roundtrip_text_identity(spark, sf_dir):
     return matched.agg(F.count("*").alias("n_match"))
 
 
+def _messy_urls(spark, sf_dir):
+    """Deterministic messy-URL corpus over documents: every doc_id
+    derives a URL exercising scheme case, userinfo, host case, default
+    and explicit ports, trailing slashes, tracking params, and
+    fragments. The DuckDB oracle builds the identical string from the
+    same CASE arithmetic, so the parse/canonicalize chain is compared
+    byte-for-byte."""
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    scheme = (
+        F.when(d % 3 == 0, F.lit("HTTPS"))
+        .when(d % 3 == 1, F.lit("http"))
+        .otherwise(F.lit("https"))
+    )
+    userinfo = F.when(d % 7 == 0, F.lit("user:pw@")).otherwise(F.lit(""))
+    host = F.concat(
+        F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit("-"),
+        F.col("lang"),
+        F.when(d % 2 == 0, F.lit(".Example.COM")).otherwise(F.lit(".org")),
+    )
+    port = (
+        F.when(d % 5 == 0, F.lit(":443"))
+        .when(d % 5 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(
+        F.lit("/p/"),
+        s(d),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    query = (
+        F.when(d % 3 == 0, F.concat(F.lit("?id="), s(d), F.lit("&utm_source=feed")))
+        .when(d % 3 == 1, F.lit("?utm_campaign=x"))
+        .otherwise(F.lit(""))
+    )
+    fragment = F.when(d % 2 == 1, F.concat(F.lit("#sec"), s(d % 6))).otherwise(
+        F.lit("")
+    )
+    return docs.select(
+        "doc_id",
+        "text",
+        F.concat(
+            scheme, F.lit("://"), userinfo, host, port, path, query, fragment
+        ).alias("url"),
+    )
+
+
+def q_url_normalize_webpages(spark, sf_dir):
+    """URL parse + canonicalization over the planted messy-URL corpus:
+    lowercased scheme/host, userinfo and default ports stripped,
+    fragment dropped, tracking params removed, trailing slash trimmed.
+    Pure regexp chain (Java-regex ∩ RE2, no replacement backrefs) —
+    the oracle mirrors it exactly."""
+    from choetl_spark.operators import with_url_canonical, with_url_parts
+
+    urls = _messy_urls(spark, sf_dir)
+    return with_url_canonical(with_url_parts(urls)).select(
+        "doc_id", "scheme", "host", "port", "registered_domain",
+        "path", "query", "url_canon",
+    )
+
+
+def q_domain_stats_webpages(spark, sf_dir):
+    """Registered-domain rollup over the messy-URL corpus — the
+    per-domain quota table of a web pipeline. countDistinct hosts +
+    length sums, one partial-aggregated groupBy on a tiny key space."""
+    from choetl_spark.operators import domain_stats
+
+    urls = _messy_urls(spark, sf_dir)
+    return domain_stats(urls, "url", "text").select(
+        "registered_domain",
+        F.col("n_pages").cast("long").alias("n_pages"),
+        F.col("n_hosts").cast("long").alias("n_hosts"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        "avg_chars",
+    )
+
+
+def q_dedup_lines_documents(spark, sf_dir):
+    """Line-level boilerplate removal (RefinedWeb-style): nav header,
+    copyright footer, and a planted every-10th-doc subscribe line are
+    shared across >max_docs documents and get stripped; each document's
+    own text line survives. The oracle rebuilds documents with the same
+    anti-join + ordered string_agg."""
+    from choetl_spark.operators import dedup_lines
+
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("NAV HOME SEARCH"),
+            F.col("text"),
+            F.when(F.col("doc_id") % 10 == 0, F.lit("subscribe to our newsletter")),
+            F.lit("COPYRIGHT 2026 EXAMPLE"),
+        ).alias("text"),
+    )
+    return dedup_lines(planted, max_docs=5)
+
+
+def q_decontaminate_documents(spark, sf_dir):
+    """Benchmark decontamination: the eval set is the first 12 words of
+    every 97th document; training docs sharing any 8-word gram with it
+    (the source docs and their exact duplicates) are flagged. Eval
+    grams broadcast; doc grams generated by codegen'd higher-order
+    functions."""
+    from choetl_spark.operators import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    evals = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 12)
+        ).alias("text")
+    )
+    return decontaminate(docs, evals, n=8).select(
+        "doc_id", "n_matched", "contaminated"
+    )
+
+
+def q_pack_shards_documents(spark, sf_dir):
+    """Token-budget shard packing: whitespace token counts, 8 parallel
+    writers (doc_id % 8), next-fit on a per-writer windowed cumulative
+    sum — no global sort, no single-task exchange. The oracle runs the
+    identical partitioned window in DuckDB."""
+    from choetl_spark.operators import pack_shards
+
+    docs = _read(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("tokens"),
+    )
+    return pack_shards(
+        with_tokens, "tokens", budget=2000, n_writers=8
+    ).select("doc_id", "tokens", "writer", "shard")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -707,6 +846,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_pairs": q_embedding_neardup_pairs,
         "simhash_documents": q_simhash_documents,
         "html_extract_webpages": q_html_extract_webpages,
+        "url_normalize_webpages": q_url_normalize_webpages,
+        "domain_stats_webpages": q_domain_stats_webpages,
+        "dedup_lines_documents": q_dedup_lines_documents,
+        "decontaminate_documents": q_decontaminate_documents,
+        "pack_shards_documents": q_pack_shards_documents,
         "repetition_documents": q_repetition_documents,
         "pii_redaction_documents": q_pii_redaction_documents,
         "connected_components_graph": q_connected_components_graph,
@@ -886,6 +1030,144 @@ def _oracle_html_extract() -> str:
           SELECT {_URL_SQL} AS url, {_HTML_SQL} AS html FROM documents
         )
         SELECT url, trim({expr}) AS extracted FROM t
+    """
+
+
+# messy-URL corpus: the byte-identical SQL twin of _messy_urls()
+_MESSY_URL_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'http' ELSE 'https' END"
+    " || '://' || "
+    "CASE WHEN doc_id % 7 = 0 THEN 'user:pw@' ELSE '' END || "
+    "CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END || source || '-' || lang"
+    " || CASE WHEN doc_id % 2 = 0 THEN '.Example.COM' ELSE '.org' END || "
+    "CASE doc_id % 5 WHEN 0 THEN ':443' WHEN 1 THEN ':8080' ELSE '' END || "
+    "'/p/' || CAST(doc_id AS VARCHAR) || "
+    "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END || "
+    "CASE doc_id % 3 WHEN 0 THEN '?id=' || CAST(doc_id AS VARCHAR) || "
+    "'&utm_source=feed' WHEN 1 THEN '?utm_campaign=x' ELSE '' END || "
+    "CASE WHEN doc_id % 2 = 1 THEN '#sec' || CAST(doc_id % 6 AS VARCHAR) "
+    "ELSE '' END"
+)
+
+
+def _url_parts_sql() -> dict[str, str]:
+    """SQL mirror of operators.weburl._parts — same regexes (Java ∩ RE2,
+    no replacement backrefs), same lowercasing, same no-match→'' rule."""
+    auth = "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)"
+    host_port = f"regexp_replace({auth}, '^[^@]*@', '')"
+    host = f"lower(regexp_replace({host_port}, ':[0-9]+$', ''))"
+    return {
+        "scheme": "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))",
+        "host": host,
+        "port": f"regexp_extract({host_port}, ':([0-9]+)$', 1)",
+        "path": "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)",
+        "qraw": "regexp_extract(url, '\\?([^#]*)', 1)",
+        "registered_domain": f"regexp_extract({host}, '([^.]+\\.[^.]+)$', 1)",
+    }
+
+
+def _oracle_url_normalize() -> str:
+    p = _url_parts_sql()
+    cols = ", ".join(f"{sql} AS {name}" for name, sql in p.items())
+    return f"""
+        WITH u AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
+        p AS (SELECT doc_id, url, {cols} FROM u),
+        c AS (SELECT *,
+          regexp_replace(regexp_replace(qraw,
+            '(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid)=[^&]*&?', '', 'g'),
+            '&+$', '') AS qc,
+          regexp_replace(path, '/+$', '') AS pc FROM p)
+        SELECT doc_id, scheme, host, port, registered_domain, path,
+          qraw AS "query",
+          scheme || '://' || host ||
+          CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+               OR (scheme = 'https' AND port = '443'))
+               THEN ':' || port ELSE '' END ||
+          CASE WHEN pc = '' THEN '/' ELSE pc END ||
+          CASE WHEN qc <> '' THEN '?' || qc ELSE '' END AS url_canon
+        FROM c
+    """
+
+
+def _oracle_domain_stats() -> str:
+    p = _url_parts_sql()
+    return f"""
+        WITH u AS (
+          SELECT doc_id, text, {_MESSY_URL_SQL} AS url FROM documents
+        ),
+        p AS (SELECT doc_id, text, {p['host']} AS host,
+              {p['registered_domain']} AS registered_domain FROM u)
+        SELECT registered_domain,
+               CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+               CAST(sum(strlen(text)) AS BIGINT) AS total_chars,
+               round(CAST(sum(strlen(text)) AS DOUBLE) / count(*), 4)
+                 AS avg_chars
+        FROM p GROUP BY registered_domain
+    """
+
+
+def _oracle_dedup_lines() -> str:
+    return """
+        WITH planted AS (
+          SELECT doc_id, concat_ws(chr(10), 'NAV HOME SEARCH', text,
+            CASE WHEN doc_id % 10 = 0 THEN 'subscribe to our newsletter' END,
+            'COPYRIGHT 2026 EXAMPLE') AS text
+          FROM documents),
+        l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM planted),
+        t AS (SELECT doc_id, unnest(
+                [{'pos': i, 'line': ls[i]} for i in
+                 generate_series(1, len(ls))], recursive := true)
+              FROM l),
+        boiler AS (SELECT line FROM t GROUP BY line
+                   HAVING count(DISTINCT doc_id) > 5),
+        kept AS (SELECT t.* FROM t ANTI JOIN boiler USING (line)),
+        reb AS (SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY pos) AS clean,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id)
+        SELECT l.doc_id, coalesce(reb.clean, '') AS text_clean,
+               CAST(len(l.ls) AS INT) AS n_lines,
+               CAST(len(l.ls) - coalesce(reb.n_kept, 0) AS INT) AS n_removed
+        FROM l LEFT JOIN reb ON l.doc_id = reb.doc_id
+    """
+
+
+def _oracle_decontaminate() -> str:
+    grams = (
+        "[array_to_string(ws[i:i+7], ' ') for i in "
+        "generate_series(1, greatest(len(ws) - 7, 0))]"
+    )
+    return f"""
+        WITH w AS (SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\\s+') AS ws
+                   FROM documents),
+        g AS (SELECT DISTINCT doc_id, unnest({grams}) AS gram FROM w),
+        ev AS (SELECT regexp_split_to_array(trim(
+                 array_to_string(ws[1:12], ' ')), '\\s+') AS ws
+               FROM w WHERE doc_id % 97 = 0),
+        eg AS (SELECT DISTINCT unnest({grams}) AS gram FROM ev),
+        m AS (SELECT doc_id, count(*) AS n
+              FROM g JOIN eg USING (gram) GROUP BY doc_id)
+        SELECT d.doc_id, CAST(coalesce(m.n, 0) AS INT) AS n_matched,
+               coalesce(m.n, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+    """
+
+
+def _oracle_pack_shards() -> str:
+    return """
+        WITH t AS (SELECT doc_id,
+            CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT)
+              AS tokens,
+            CAST(doc_id % 8 AS INT) AS writer
+          FROM documents)
+        SELECT doc_id, tokens, writer,
+          CAST(floor(coalesce(sum(tokens) OVER (
+            PARTITION BY writer ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / 2000.0) AS INT) AS shard
+        FROM t
     """
 
 
@@ -1192,6 +1474,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(strlen(lang)) + 4 * count(*) AS BIGINT) FROM t
         """,
         "html_extract_webpages": _oracle_html_extract(),
+        "url_normalize_webpages": _oracle_url_normalize(),
+        "domain_stats_webpages": _oracle_domain_stats(),
+        "dedup_lines_documents": _oracle_dedup_lines(),
+        "decontaminate_documents": _oracle_decontaminate(),
+        "pack_shards_documents": _oracle_pack_shards(),
         "repetition_documents": r"""
             WITH t AS (
               SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

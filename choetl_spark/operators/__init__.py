@@ -21,6 +21,16 @@ from choetl_spark.operators.dedup import (  # noqa: F401
     simhash_near_pairs,
     simhash_signatures,
 )
+from choetl_spark.operators.corpus import (  # noqa: F401
+    decontaminate,
+    dedup_lines,
+    pack_shards,
+)
+from choetl_spark.operators.weburl import (  # noqa: F401
+    domain_stats,
+    with_url_canonical,
+    with_url_parts,
+)
 from choetl_spark.operators.similarity import (  # noqa: F401
     cosine_topk,
     cosine_topk_ivf,

@@ -1,0 +1,175 @@
+"""Corpus-level curation operators a training-data pipeline runs between
+dedup and packaging: line-level boilerplate removal (RefinedWeb-style),
+benchmark decontamination by n-gram overlap, and token-budget shard
+packing. All composed from built-in DataFrame ops (codegen'd splits,
+higher-order functions, hash joins, per-writer windows) — no UDFs — and
+deliberately SQL-expressible so each has a DuckDB oracle.
+
+Scale shapes (100 TB):
+  - :func:`dedup_lines` — two shuffles: a line-key aggregation (partial
+    combine first, so the exchange carries distinct lines per partition,
+    not raw rows) and the per-doc rebuild groupBy. The boilerplate join
+    is a plain equi-join; AQE broadcasts it when the boilerplate set is
+    small (the common case — boilerplate is by definition high-frequency
+    and low-cardinality).
+  - :func:`decontaminate` — the eval-gram side is explicitly broadcast:
+    benchmark suites are millions of grams at most, never corpus-scale.
+    The doc side is a pure map (gram generation) + map-side semi-join.
+  - :func:`pack_shards` — windows partitioned by a writer key, so the
+    cumulative sums run per-writer in parallel; no global ordering, no
+    single-task exchange (the with_seq_no lesson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _word_grams(words, n: int):
+    """``n``-word shingles of a staged words-array column; empty array
+    (not a descending-sequence artifact) for docs shorter than ``n``."""
+    length = F.size(words)
+    return F.when(length < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), length - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 5,
+    sep: str = "\n",
+) -> DataFrame:
+    """Line-level boilerplate removal (the RefinedWeb / CCNet move,
+    Penedo et al. 2023, public paper): a line occurring in more than
+    ``max_docs`` distinct documents is boilerplate (nav menus, cookie
+    banners, copyright footers) and is dropped from EVERY document; the
+    survivors are re-joined in original order.
+
+    Returns ``(id_col, text_clean, n_lines, n_removed)`` — one row per
+    input document (documents whose every line was boilerplate come back
+    with ``text_clean = ''``).
+
+    Exact split/rebuild semantics (``split`` on ``sep``, join with
+    ``sep``) so the round trip is byte-identical when nothing is
+    removed. Duplicate lines inside one document count once toward the
+    document frequency but are each kept/removed together."""
+    lines = df.select(
+        id_col, F.posexplode(F.split(F.col(text_col), sep))
+    ).toDF(id_col, "pos", "line")
+    boiler = (
+        lines.groupBy("line")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") > max_docs)
+        .select("line")
+    )
+    kept = lines.join(boiler, "line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    n_lines = F.size(F.split(F.col(text_col), sep))
+    return (
+        df.select(id_col, text_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            n_lines.alias("n_lines"),
+            (n_lines - F.coalesce("_n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination by ``n``-word-gram overlap (the
+    GPT-3/PaLM appendix procedure, public): a training document sharing
+    any length-``n`` word shingle with the evaluation set is flagged.
+
+    Returns the input plus ``n_matched`` (distinct overlapping grams)
+    and ``contaminated``. The eval grams are distinct'd then broadcast —
+    eval suites are tiny next to the corpus; at a scale where they are
+    not, drop the hint and let AQE/shuffle-hash take over.
+
+    Tokenization is ``split(trim(text), '\\s+')`` — mirrored exactly by
+    the oracle's ``regexp_split_to_array``."""
+    words = lambda c: F.split(F.trim(F.col(c)), r"\s+")  # noqa: E731
+    doc_grams = (
+        df.select(id_col, words(text_col).alias("_w"))
+        .select(id_col, F.explode(_word_grams(F.col("_w"), n)).alias("gram"))
+        .distinct()
+    )
+    eval_grams = (
+        eval_df.select(words(eval_text_col).alias("_w"))
+        .select(F.explode(_word_grams(F.col("_w"), n)).alias("gram"))
+        .distinct()
+    )
+    matched = (
+        doc_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        df.join(matched, id_col, "left")
+        .withColumn("n_matched", F.coalesce("_n", F.lit(0)).cast("int"))
+        .withColumn("contaminated", F.col("n_matched") > 0)
+        .drop("_n")
+    )
+
+
+def pack_shards(
+    df: DataFrame,
+    weight_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    n_writers: int = 32,
+) -> DataFrame:
+    """Token-budget shard packing: assign each document to an output
+    shard so shards hold ~``budget`` total ``weight_col`` (next-fit on
+    the running sum — a document straddling a boundary opens the next
+    shard, the standard training-shard writer behavior).
+
+    The stream is first split across ``n_writers`` independent writers
+    (``id % n_writers`` here for oracle determinism; at 100 TB use
+    ``pmod(xxhash64(id), W)`` with W sized so each writer's stream fits
+    a task) and packed per-writer with a windowed cumulative sum — the
+    windows are partitioned, so this is embarrassingly parallel with no
+    global sort or single-task exchange.
+
+    Returns ``(id_col, weight_col, writer, shard)``; ``shard`` numbers
+    are per-writer (global shard id = ``writer * max_shards + shard``)."""
+    writer = (F.col(id_col) % n_writers).cast("int")
+    w = (
+        Window.partitionBy("writer")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(
+        F.sum(F.col(weight_col)).over(w), F.lit(0)
+    )
+    return (
+        df.select(id_col, weight_col)
+        .withColumn("writer", writer)
+        .withColumn(
+            "shard", F.floor(cum_before / F.lit(budget)).cast("int")
+        )
+    )

@@ -606,3 +606,136 @@ def test_kernel_byte_budget_slicing_identical():
     # row alignment preserved across slices
     ids = [i for p in pieces for i in p.column(0).to_pylist()]
     assert ids == list(range(200))
+
+
+# --- web-URL ops -----------------------------------------------------------
+
+
+def test_url_parts_and_canonical(spark):
+    from choetl_spark.operators import with_url_canonical, with_url_parts
+
+    urls = [
+        "HTTPS://u:pw@WWW.News.Example.COM:443/a/b/?id=7&utm_source=f#top",
+        "http://example.org:8080/path",
+        "https://blog.example.net/x/y?utm_campaign=z&gclid=123",
+        "https://example.com",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    parts = {
+        r["url"]: r.asDict() for r in with_url_parts(df).collect()
+    }
+    p0 = parts[urls[0]]
+    assert p0["scheme"] == "https"
+    assert p0["host"] == "www.news.example.com"  # userinfo+port gone
+    assert p0["port"] == "443"
+    assert p0["path"] == "/a/b/"
+    assert p0["query"] == "id=7&utm_source=f"
+    assert p0["registered_domain"] == "example.com"
+    p3 = parts[urls[3]]
+    assert p3["path"] == "" and p3["port"] == "" and p3["query"] == ""
+
+    canon = {
+        r["url"]: r["url_canon"]
+        for r in with_url_canonical(df).collect()
+    }
+    # default port + userinfo + fragment + utm param + trailing slash gone
+    assert canon[urls[0]] == "https://www.news.example.com/a/b?id=7"
+    assert canon[urls[1]] == "http://example.org:8080/path"  # non-default kept
+    assert canon[urls[2]] == "https://blog.example.net/x/y"  # query emptied
+    assert canon[urls[3]] == "https://example.com/"  # empty path -> /
+
+
+def test_domain_stats(spark):
+    from choetl_spark.operators import domain_stats
+
+    df = spark.createDataFrame(
+        [
+            ("https://a.example.com/1", "xx"),
+            ("https://b.example.com/2", "yyyy"),
+            ("https://other.org/3", "zzz"),
+        ],
+        "url string, text string",
+    )
+    rows = {
+        r["registered_domain"]: r.asDict()
+        for r in domain_stats(df).collect()
+    }
+    assert rows["example.com"]["n_pages"] == 2
+    assert rows["example.com"]["n_hosts"] == 2
+    assert rows["example.com"]["total_chars"] == 6
+    assert rows["other.org"]["n_pages"] == 1
+
+
+# --- corpus curation ops ---------------------------------------------------
+
+
+def test_dedup_lines_removes_boilerplate(spark):
+    from choetl_spark.operators import dedup_lines
+
+    # 8 docs share header/footer; each has one unique middle line;
+    # doc 7 is ALL boilerplate
+    rows = []
+    for i in range(8):
+        mid = f"unique line {i}" if i < 7 else "HEADER"
+        rows.append((i, f"HEADER\n{mid}\nFOOTER"))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r.asDict() for r in dedup_lines(df, max_docs=5).collect()}
+    assert len(out) == 8  # every input doc present
+    for i in range(7):
+        assert out[i]["text_clean"] == f"unique line {i}"
+        assert out[i]["n_lines"] == 3 and out[i]["n_removed"] == 2
+    assert out[7]["text_clean"] == "" and out[7]["n_removed"] == 3
+    # nothing removed when threshold exceeds corpus size
+    untouched = dedup_lines(df, max_docs=100).collect()
+    assert all(r["n_removed"] == 0 for r in untouched)
+    assert all(
+        r["text_clean"].count("\n") == 2 for r in untouched
+    )  # byte-identical rebuild
+
+
+def test_decontaminate_flags_eval_overlap(spark):
+    from choetl_spark.operators import decontaminate
+    from choetl_spark.plans import assert_broadcast_join
+
+    words = lambda k, n: " ".join(f"w{k}_{j}" for j in range(n))  # noqa: E731
+    train = spark.createDataFrame(
+        [
+            (0, words(0, 20)),                      # clean
+            (1, words(9, 10) + " " + words(1, 8)),  # contains eval 9 prefix
+            (2, words(2, 6)),                       # shorter than n -> clean
+        ],
+        "doc_id int, text string",
+    )
+    evals = spark.createDataFrame(
+        [(words(9, 12),)], "text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in decontaminate(train, evals).collect()}
+    assert not out[0]["contaminated"]
+    assert out[1]["contaminated"] and out[1]["n_matched"] == 3
+    assert not out[2]["contaminated"] and out[2]["n_matched"] == 0
+    assert_broadcast_join(decontaminate(train, evals))
+
+
+def test_pack_shards_next_fit(spark):
+    from choetl_spark.operators import pack_shards
+
+    df = spark.createDataFrame(
+        [(i, 60) for i in range(20)], "doc_id int, tokens int"
+    )
+    out = pack_shards(df, "tokens", budget=100, n_writers=4).collect()
+    assert len(out) == 20
+    by_doc = {r["doc_id"]: r for r in out}
+    # writer = doc_id % 4; within writer 0: docs 0,4,8,12,16 with
+    # cum_before 0,60,120,180,240 -> shards 0,0,1,1,2
+    for doc, shard in [(0, 0), (4, 0), (8, 1), (12, 1), (16, 2)]:
+        assert by_doc[doc]["writer"] == 0
+        assert by_doc[doc]["shard"] == shard
+    # every (writer, shard) holds at most ceil-ish budget: next-fit can
+    # straddle once, so the sum before the last doc is < budget
+    import collections
+
+    groups = collections.defaultdict(list)
+    for r in out:
+        groups[(r["writer"], r["shard"])].append(r["tokens"])
+    for toks in groups.values():
+        assert sum(toks[:-1]) < 100

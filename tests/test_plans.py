@@ -194,3 +194,32 @@ def test_embedding_neardup_default_has_no_allpairs_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     out.collect()  # and it runs
+
+
+def test_url_ops_are_pure_map(spark):
+    """URL parse/canonicalize must stay a zero-shuffle codegen'd map."""
+    from choetl_spark.operators import with_url_canonical, with_url_parts
+
+    df = spark.createDataFrame(
+        [("https://a.example.com/x?utm_source=1",)], "url string"
+    )
+    plan = explain_str(with_url_canonical(with_url_parts(df)), "simple")
+    assert "Exchange" not in plan, plan
+    assert_wholestage_codegen(with_url_parts(df))
+
+
+def test_corpus_ops_scale_shapes(spark):
+    """dedup_lines: equi-joins only; pack_shards: the window must hash-
+    partition on the writer key, never a global single-partition sort."""
+    from choetl_spark.operators import dedup_lines, pack_shards
+
+    df = spark.createDataFrame(
+        [(i, f"a\nb{i}\nc", 10 + i) for i in range(50)],
+        "doc_id int, text string, tokens int",
+    )
+    dl = dedup_lines(df)
+    assert_no_cartesian(dl)
+    packed = pack_shards(df, "tokens", budget=100, n_writers=4)
+    plan = explain_str(packed, "simple")
+    assert "Exchange hashpartitioning(writer" in plan, plan
+    assert "SinglePartition" not in plan, plan
