@@ -483,13 +483,19 @@ def q_minhash_pairs_documents(spark, sf_dir):
     )
 
     docs = _read(spark, sf_dir, "documents")
-    corpus = _planted_corpus(docs).repartition(8, "doc_id")
-    # no .persist(): the driver materializes this query once, and a
-    # session-lifetime pin would leak executor storage (ADVICE r2).
+    # localCheckpoint, not .persist(): the plan references corpus twice
+    # (gram verify) and sigs four times (band self-join + signature
+    # re-joins); eager RDD blocks stop the kernel re-running per
+    # reference, and — unlike CacheManager entries — ContextCleaner
+    # frees them once the query's reference drops, so no session
+    # storage leak (ADVICE r2).
+    corpus = _planted_corpus(docs).repartition(8, "doc_id").localCheckpoint()
     # the sig-sim >=0.9 prefilter is load-bearing: on this corpus of
     # highly-similar synthetic docs, raw band collisions are ~100x the
     # true pairs, and exact-Jaccard verify on all of them would dominate
-    sigs = minhash_signatures(corpus, "text", "doc_id", n_hashes=32)
+    sigs = minhash_signatures(
+        corpus, "text", "doc_id", n_hashes=32
+    ).localCheckpoint()
     cand = minhash_lsh_pairs(sigs, "doc_id", n_hashes=32, bands=8, threshold=0.9)
     # prune_to_pairs=False: the candidate subtree (LSH) is expensive
     # relative to one gram pass over this small corpus, and the gate
@@ -523,8 +529,9 @@ def q_simhash_documents(spark, sf_dir):
     from choetl_spark.operators import simhash_near_pairs, simhash_signatures
 
     docs = _read(spark, sf_dir, "documents")
-    corpus = _planted_corpus(docs).repartition(8, "doc_id")
-    sigs = simhash_signatures(corpus, "text", "doc_id")
+    # eager blocks, ContextCleaner-freed (see q_minhash_pairs_documents)
+    corpus = _planted_corpus(docs).repartition(8, "doc_id").localCheckpoint()
+    sigs = simhash_signatures(corpus, "text", "doc_id").localCheckpoint()
     pairs = simhash_near_pairs(sigs, "doc_id", max_hamming=3)
     ta = corpus.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
     tb = corpus.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))

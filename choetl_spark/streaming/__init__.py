@@ -34,6 +34,35 @@ from choetl_spark.ledger import encode_with_resume
 from choetl_spark.partitioning import plan_partitions
 
 
+def dedup_stream(
+    stream_df: DataFrame,
+    ts_col: str,
+    text_col: str = "text",
+    watermark: str = "10 minutes",
+    normalized: bool = True,
+) -> DataFrame:
+    """Streaming exact dedup for a document feed: fingerprint the text
+    (md5 of case/whitespace-normalized content, matching the batch
+    ``with_fingerprint``) and keep the first arrival per fingerprint
+    within the event-time watermark.
+
+    Built on ``dropDuplicatesWithinWatermark`` — Spark's state-store-
+    backed streaming dedup (RocksDB state store on a real cluster), so
+    state is bounded by the watermark horizon instead of growing
+    forever (the failure mode of plain ``dropDuplicates`` on a stream).
+    A crawl feed re-announcing pages within the horizon dedups here;
+    long-horizon dedup stays a batch job over the encoded store
+    (``operators.dedup_exact``)."""
+    norm = F.col(text_col)
+    if normalized:
+        norm = F.regexp_replace(F.lower(F.trim(norm)), r"\s+", " ")
+    return (
+        stream_df.withColumn("fingerprint", F.md5(norm))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
 def incremental_encode(
     spark: SparkSession,
     batch_df: DataFrame,

@@ -303,3 +303,48 @@ def test_bson_objectid_decodes_to_hex():
     raw = struct.pack("<i", len(body) + 5) + body + b"\x00"
     doc, _ = decode_document(memoryview(raw))
     assert doc["_id"] == oid.hex()
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """REAL streaming dedup: a file-source stream carrying exact and
+    whitespace-variant duplicates across two source files is drained
+    with availableNow through dropDuplicatesWithinWatermark; exactly
+    one row per normalized fingerprint survives."""
+    import datetime as dt
+
+    from choetl_spark.streaming import dedup_stream
+
+    src = tmp_path / "dedup_in"
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows1 = [
+        (1, base, "hello world"),
+        (2, base + dt.timedelta(seconds=10), "other doc"),
+    ]
+    rows2 = [
+        (3, base + dt.timedelta(seconds=20), "  Hello   WORLD "),  # dup of 1
+        (4, base + dt.timedelta(seconds=30), "third doc"),
+        (5, base + dt.timedelta(seconds=40), "other doc"),          # dup of 2
+    ]
+    schema = "doc_id long, ts timestamp, text string"
+    spark.createDataFrame(rows1, schema).write.parquet(str(src / "f1"))
+    spark.createDataFrame(rows2, schema).write.parquet(str(src / "f2"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    deduped = dedup_stream(stream, "ts", watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    got = spark.sql("select * from dedup_sink").collect()
+    # one survivor per fingerprint; first arrival (min doc_id) wins
+    assert sorted(r["doc_id"] for r in got) == [1, 2, 4]
+    assert len({r["fingerprint"] for r in got}) == 3
