@@ -11,11 +11,18 @@ The standard training-data sequence, every stage a scale-shaped
 operator from ``choetl_spark.operators``:
 
     exact dedup (normalized fingerprint, keep lowest id)
+      -> optional line-level boilerplate removal (--dedup-lines-max-docs:
+         lines shared by more docs than the threshold are stripped,
+         RefinedWeb-style)
       -> optional MinHash-LSH near-dedup (banded candidates ->
          connected components -> keep component min)
       -> quality floor + Gopher repetition ceiling + optional lang-ID
          allowlist (all JVM codegen expressions)
+      -> optional benchmark decontamination (--decontaminate PATH: drop
+         docs sharing any 8-word gram with the eval parquet)
       -> PII redaction (emails/phones/IPs/cards -> tokens)
+      -> optional token-budget shard assignment (--shard-budget: adds
+         writer/shard columns via per-writer next-fit packing)
       -> resumable encode into the engine's chunk store (ledger commit,
          re-running the same command after a crash skips completed
          partitions)
@@ -38,8 +45,11 @@ def curate(spark, args) -> dict:
     from choetl_spark.engine import EncodeConfig
     from choetl_spark.ledger import encode_with_resume
     from choetl_spark.operators import (
+        decontaminate,
         dedup_exact_normalized,
+        dedup_lines,
         dedup_minhash,
+        pack_shards,
         with_lang_id,
         with_pii_redacted,
         with_quality_score,
@@ -52,6 +62,18 @@ def curate(spark, args) -> dict:
 
     df = dedup_exact_normalized(df, text_col, id_col)
     counts["after_exact_dedup"] = df.count()
+
+    if args.dedup_lines_max_docs:
+        cleaned = dedup_lines(
+            df, id_col, text_col, max_docs=args.dedup_lines_max_docs
+        ).select(id_col, "text_clean")
+        df = (
+            df.drop(text_col)
+            .join(cleaned, id_col)
+            .withColumnRenamed("text_clean", text_col)
+            .filter(F.length(F.col(text_col)) > 0)
+        )
+        counts["after_line_dedup"] = df.count()
 
     if args.near_dedup:
         df = dedup_minhash(
@@ -74,10 +96,28 @@ def curate(spark, args) -> dict:
         )
     counts["after_filters"] = df.count()
 
+    if args.decontaminate:
+        evals = spark.read.parquet(args.decontaminate)
+        df = decontaminate(
+            df, evals, id_col, text_col, eval_text_col=text_col
+        ).filter(~F.col("contaminated")).drop("n_matched", "contaminated")
+        counts["after_decontaminate"] = df.count()
+
     input_cols = spark.read.parquet(args.input).columns  # metadata only
     df = with_pii_redacted(df, text_col)
     # the redacted text REPLACES the raw text in the curated store
     df = df.withColumn(text_col, F.col("redacted")).select(*input_cols)
+
+    if args.shard_budget:
+        tokens = df.select(
+            id_col,
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_tok"),
+        )
+        shards = pack_shards(
+            tokens, "_tok", budget=args.shard_budget,
+            id_col=id_col, n_writers=args.shard_writers,
+        ).select(id_col, "writer", "shard")
+        df = df.join(shards, id_col)
 
     cfg = EncodeConfig(
         num_partitions=args.partitions,
@@ -89,7 +129,7 @@ def curate(spark, args) -> dict:
         partition_by_host=False,  # documents carry no url/host column
     )
     summary = encode_with_resume(spark, df, args.output, cfg)
-    counts["encoded_rows"] = counts["after_filters"]
+    counts["encoded_rows"] = list(counts.values())[-1]
     return {"counts": counts, "encode": summary}
 
 
@@ -104,6 +144,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--langs", default=None,
                    help="comma allowlist of predicted langs; default all")
     p.add_argument("--near-dedup", action="store_true")
+    p.add_argument("--dedup-lines-max-docs", type=int, default=0,
+                   help="strip lines shared by more than N docs; 0=off")
+    p.add_argument("--decontaminate", default=None,
+                   help="parquet of eval docs; drop 8-gram overlaps")
+    p.add_argument("--shard-budget", type=int, default=0,
+                   help="tokens per training shard; 0=no shard columns")
+    p.add_argument("--shard-writers", type=int, default=32)
     p.add_argument("--minhash-hashes", type=int, default=64)
     p.add_argument("--minhash-bands", type=int, default=16)
     p.add_argument("--minhash-threshold", type=float, default=0.8)

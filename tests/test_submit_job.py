@@ -117,6 +117,8 @@ def test_curate_job_pipeline(spark, tmp_path):
         near_dedup=True, minhash_hashes=32, minhash_bands=8,
         minhash_threshold=0.9, partitions=4, chunk_rows=256,
         chunk_bytes=1 << 20, shuffle="salted", profile="speed",
+        dedup_lines_max_docs=0, decontaminate=None, shard_budget=0,
+        shard_writers=32,
     )
     result = curate_job.curate(spark, args)
     c = result["counts"]
@@ -134,3 +136,67 @@ def test_curate_job_pipeline(spark, tmp_path):
     assert decoded.count() == c["after_filters"]
     assert decoded.filter(F.col("text").contains("@example.com")).count() == 0
     assert decoded.filter(F.col("text").contains("<EMAIL>")).count() > 0
+
+
+def test_curate_job_full_web_stages(spark, tmp_path):
+    """The full web-curation variant: line-level boilerplate removal,
+    benchmark decontamination, and token-budget shard assignment all
+    active. Boilerplate header/footer lines vanish from the curated
+    text, decontaminated docs are dropped, and every surviving row
+    carries a (writer, shard) assignment."""
+    import argparse
+    import importlib.util
+
+    from pyspark.sql import functions as F
+
+    spec = importlib.util.spec_from_file_location(
+        "curate_job", os.path.join(REPO, "jobs", "curate_job.py")
+    )
+    curate_job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(curate_job)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    boiler = docs.withColumn(
+        "text",
+        F.concat_ws(
+            "\n", F.lit("COOKIE BANNER"), F.col("text"), F.lit("FOOTER")
+        ),
+    )
+    src = str(tmp_path / "docs_in.parquet")
+    boiler.write.parquet(src)
+    # eval set: prefixes of every 9th doc -> those docs get dropped
+    evals = docs.filter(F.col("doc_id") % 9 == 0).select(
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 12)
+        ).alias("text")
+    )
+    eval_p = str(tmp_path / "evals.parquet")
+    evals.write.parquet(eval_p)
+    out = str(tmp_path / "curated")
+
+    args = argparse.Namespace(
+        input=src, output=out, id_col="doc_id", text_col="text",
+        min_quality=0.0, max_dup_2gram=1.0, langs=None,
+        near_dedup=False, minhash_hashes=32, minhash_bands=8,
+        minhash_threshold=0.9, partitions=4, chunk_rows=256,
+        chunk_bytes=1 << 20, shuffle="salted", profile="speed",
+        dedup_lines_max_docs=5, decontaminate=eval_p, shard_budget=1000,
+        shard_writers=4,
+    )
+    result = curate_job.curate(spark, args)
+    c = result["counts"]
+    assert c["after_line_dedup"] <= c["after_exact_dedup"]
+    assert c["after_decontaminate"] < c["after_filters"]  # eval docs dropped
+
+    from choetl_spark.engine import decode_dataframe
+    from choetl_spark.ledger import read_encoded, read_manifest
+
+    decoded = decode_dataframe(
+        read_encoded(spark, out), manifest=read_manifest(out)
+    )
+    rows = decoded.collect()
+    assert len(rows) == c["after_decontaminate"]
+    for r in rows[:50]:
+        assert "COOKIE BANNER" not in r["text"] and "FOOTER" not in r["text"]
+    assert all(r["writer"] is not None and r["shard"] is not None
+               for r in rows[:50])
