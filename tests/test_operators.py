@@ -739,3 +739,44 @@ def test_pack_shards_next_fit(spark):
         groups[(r["writer"], r["shard"])].append(r["tokens"])
     for toks in groups.values():
         assert sum(toks[:-1]) < 100
+
+
+def test_url_canonical_idempotent(spark):
+    """canon(canon(u)) == canon(u) over adversarial URLs, and the canon
+    output re-parses to the same host/domain — the property that makes
+    canonical URLs safe as exact-dedup keys."""
+    from choetl_spark.operators import with_url_canonical, with_url_parts
+
+    urls = [
+        "https://example.com",
+        "https://example.com/",
+        "https://example.com//",
+        "HTTP://EXAMPLE.COM:80/#frag",
+        "https://a.b.example.com:443/x//y/?utm_source=a&utm_medium=b",
+        "https://e.com/x?utm_source=a",
+        "https://e.com/x?a=1&utm_source=b&c=2",
+        "https://e.com/x?utm_a=1&utm_b=2&gclid=3",
+        "http://u@h.example.net:8080/p?q=1#f",
+        "ftp://files.example.org/pub/",
+        "https://xn--bcher-kva.example/pfad",
+        "https://e.com/%7Euser/?fbclid=abc123",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = with_url_canonical(df, "url", "c1")
+    twice = with_url_canonical(once, "c1", "c2")
+    rows = twice.collect()
+    for r in rows:
+        assert r["c2"] == r["c1"], (r["url"], r["c1"], r["c2"])
+    # host/domain survive canonicalization
+    p_raw = with_url_parts(df).select("url", "host", "registered_domain")
+    p_canon = with_url_parts(once.select("url", F.col("c1").alias("u2")), "u2")
+    joined = p_raw.join(
+        p_canon.select(
+            "url",
+            F.col("host").alias("h2"),
+            F.col("registered_domain").alias("d2"),
+        ),
+        "url",
+    )
+    for r in joined.collect():
+        assert r["h2"] == r["host"] and r["d2"] == r["registered_domain"], r
