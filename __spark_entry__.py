@@ -803,9 +803,10 @@ def q_decontaminate_documents(spark, sf_dir):
 
 def q_pack_shards_documents(spark, sf_dir):
     """Token-budget shard packing: whitespace token counts, 8 parallel
-    writers (doc_id % 8), next-fit on a per-writer windowed cumulative
-    sum — no global sort, no single-task exchange. The oracle runs the
-    identical partitioned window in DuckDB."""
+    writers (doc_id % 8), cumulative-sum bucketing + dense per-writer
+    shard ids on partitioned windows — no global sort, no single-task
+    exchange. The oracle runs the identical partitioned windows in
+    DuckDB."""
     from choetl_spark.operators import pack_shards
 
     docs = _read(spark, sf_dir, "documents")
@@ -1068,7 +1069,12 @@ def _url_parts_sql() -> dict[str, str]:
         "host": host,
         "port": f"regexp_extract({host_port}, ':([0-9]+)$', 1)",
         "path": "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)",
-        "qraw": "regexp_extract(url, '\\?([^#]*)', 1)",
+        # query from the PRE-FRAGMENT text (mirror of weburl._parts):
+        # a '?' inside an SPA fragment must not resurrect as a query
+        "qraw": (
+            "regexp_extract(regexp_replace(url, '#.*', '', 'g'),"
+            " '\\?([^#]*)', 1)"
+        ),
         "registered_domain": f"regexp_extract({host}, '([^.]+\\.[^.]+)$', 1)",
     }
 
@@ -1080,18 +1086,21 @@ def _oracle_url_normalize() -> str:
         WITH u AS (SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents),
         p AS (SELECT doc_id, url, {cols} FROM u),
         c AS (SELECT *,
-          regexp_replace(regexp_replace(qraw,
-            '(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid)=[^&]*&?', '', 'g'),
+          regexp_replace(regexp_replace(regexp_replace('&' || qraw,
+            '&(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid)=[^&]*', '', 'g'),
+            '^&+', ''),
             '&+$', '') AS qc,
           regexp_replace(path, '/+$', '') AS pc FROM p)
         SELECT doc_id, scheme, host, port, registered_domain, path,
           qraw AS "query",
+          CASE WHEN scheme = '' THEN url ELSE
           scheme || '://' || host ||
           CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
                OR (scheme = 'https' AND port = '443'))
                THEN ':' || port ELSE '' END ||
           CASE WHEN pc = '' THEN '/' ELSE pc END ||
-          CASE WHEN qc <> '' THEN '?' || qc ELSE '' END AS url_canon
+          CASE WHEN qc <> '' THEN '?' || qc ELSE '' END
+          END AS url_canon
         FROM c
     """
 
@@ -1126,7 +1135,8 @@ def _oracle_dedup_lines() -> str:
                 [{'pos': i, 'line': ls[i]} for i in
                  generate_series(1, len(ls))], recursive := true)
               FROM l),
-        boiler AS (SELECT line FROM t GROUP BY line
+        boiler AS (SELECT line FROM t WHERE trim(line) <> ''
+                   GROUP BY line
                    HAVING count(DISTINCT doc_id) > 5),
         kept AS (SELECT t.* FROM t ANTI JOIN boiler USING (line)),
         reb AS (SELECT doc_id,
@@ -1149,12 +1159,12 @@ def _oracle_decontaminate() -> str:
         WITH w AS (SELECT doc_id,
                      regexp_split_to_array(trim(text), '\\s+') AS ws
                    FROM documents),
-        g AS (SELECT DISTINCT doc_id, unnest({grams}) AS gram FROM w),
+        g AS (SELECT doc_id, unnest({grams}) AS gram FROM w),
         ev AS (SELECT regexp_split_to_array(trim(
                  array_to_string(ws[1:12], ' ')), '\\s+') AS ws
                FROM w WHERE doc_id % 97 = 0),
         eg AS (SELECT DISTINCT unnest({grams}) AS gram FROM ev),
-        m AS (SELECT doc_id, count(*) AS n
+        m AS (SELECT doc_id, count(DISTINCT gram) AS n
               FROM g JOIN eg USING (gram) GROUP BY doc_id)
         SELECT d.doc_id, CAST(coalesce(m.n, 0) AS INT) AS n_matched,
                coalesce(m.n, 0) > 0 AS contaminated
@@ -1169,12 +1179,16 @@ def _oracle_pack_shards() -> str:
               AS tokens,
             CAST(doc_id % 8 AS INT) AS writer
           FROM documents)
+        , s AS (SELECT doc_id, tokens, writer,
+            floor(coalesce(sum(tokens) OVER (
+              PARTITION BY writer ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              / 2000.0) AS shard_raw
+          FROM t)
         SELECT doc_id, tokens, writer,
-          CAST(floor(coalesce(sum(tokens) OVER (
-            PARTITION BY writer ORDER BY doc_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-            / 2000.0) AS INT) AS shard
-        FROM t
+          CAST(dense_rank() OVER (
+            PARTITION BY writer ORDER BY shard_raw) - 1 AS INT) AS shard
+        FROM s
     """
 
 

@@ -22,6 +22,8 @@ Scale shapes (100 TB):
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -54,15 +56,23 @@ def dedup_lines(
     input document (documents whose every line was boilerplate come back
     with ``text_clean = ''``).
 
-    Exact split/rebuild semantics (``split`` on ``sep``, join with
-    ``sep``) so the round trip is byte-identical when nothing is
-    removed. Duplicate lines inside one document count once toward the
-    document frequency but are each kept/removed together."""
+    Exact split/rebuild semantics (``split`` on the LITERAL ``sep`` —
+    regex metachars are escaped before the split so any separator round
+    trips — join with ``sep``) so the rebuild is byte-identical when
+    nothing is removed. Duplicate lines inside one document count once
+    toward the document frequency but are each kept/removed together.
+    Blank / whitespace-only lines are never counted as boilerplate —
+    every multi-paragraph corpus shares ``''`` between paragraphs, and
+    stripping it corpus-wide would silently merge paragraphs (the
+    RefinedWeb implementations exclude empty lines for the same
+    reason)."""
+    sep_re = re.escape(sep)
     lines = df.select(
-        id_col, F.posexplode(F.split(F.col(text_col), sep))
+        id_col, F.posexplode(F.split(F.col(text_col), sep_re))
     ).toDF(id_col, "pos", "line")
     boiler = (
-        lines.groupBy("line")
+        lines.filter(F.trim("line") != "")
+        .groupBy("line")
         .agg(F.countDistinct(id_col).alias("n_docs"))
         .filter(F.col("n_docs") > max_docs)
         .select("line")
@@ -78,7 +88,7 @@ def dedup_lines(
         ).alias("text_clean"),
         F.count(F.lit(1)).alias("_n_kept"),
     )
-    n_lines = F.size(F.split(F.col(text_col), sep))
+    n_lines = F.size(F.split(F.col(text_col), sep_re))
     return (
         df.select(id_col, text_col)
         .join(rebuilt, id_col, "left")
@@ -110,13 +120,18 @@ def decontaminate(
     eval suites are tiny next to the corpus; at a scale where they are
     not, drop the hint and let AQE/shuffle-hash take over.
 
+    The corpus side is deliberately NOT distinct'd before the join —
+    that would shuffle every 8-gram of every training document just to
+    pre-dedup ahead of a tiny broadcast. Instead the raw gram stream
+    map-side-joins the broadcast eval set and only the survivors (a
+    benchmark-sized set) are shuffled for the per-doc
+    ``countDistinct`` — so the corpus never hits an exchange.
+
     Tokenization is ``split(trim(text), '\\s+')`` — mirrored exactly by
     the oracle's ``regexp_split_to_array``."""
     words = lambda c: F.split(F.trim(F.col(c)), r"\s+")  # noqa: E731
-    doc_grams = (
-        df.select(id_col, words(text_col).alias("_w"))
-        .select(id_col, F.explode(_word_grams(F.col("_w"), n)).alias("gram"))
-        .distinct()
+    doc_grams = df.select(id_col, words(text_col).alias("_w")).select(
+        id_col, F.explode(_word_grams(F.col("_w"), n)).alias("gram")
     )
     eval_grams = (
         eval_df.select(words(eval_text_col).alias("_w"))
@@ -126,7 +141,7 @@ def decontaminate(
     matched = (
         doc_grams.join(F.broadcast(eval_grams), "gram")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.countDistinct("gram").alias("_n"))
     )
     return (
         df.join(matched, id_col, "left")
@@ -144,16 +159,24 @@ def pack_shards(
     n_writers: int = 32,
 ) -> DataFrame:
     """Token-budget shard packing: assign each document to an output
-    shard so shards hold ~``budget`` total ``weight_col`` (next-fit on
-    the running sum — a document straddling a boundary opens the next
-    shard, the standard training-shard writer behavior).
+    shard so shards hold ~``budget`` total ``weight_col``. Boundary
+    semantics (cumulative-sum packing, NOT strict next-fit): a shard is
+    the run of documents whose running pre-sum falls in the same
+    ``budget`` bucket, so a document straddling a bucket boundary STAYS
+    in its shard, which overflows by less than that document's weight —
+    the writer-friendly behavior (bounded overflow, never an
+    over-budget open) at one windowed pass. Per-writer shard ids are
+    then made dense with a ``dense_rank`` so a single overweight
+    document cannot leave gaps in the shard numbering (downstream
+    writers iterate shard ids contiguously).
 
     The stream is first split across ``n_writers`` independent writers
     (``id % n_writers`` here for oracle determinism; at 100 TB use
     ``pmod(xxhash64(id), W)`` with W sized so each writer's stream fits
     a task) and packed per-writer with a windowed cumulative sum — the
     windows are partitioned, so this is embarrassingly parallel with no
-    global sort or single-task exchange.
+    global sort or single-task exchange (the dense-rank window shares
+    the same partitioning, so it adds a sort but no second shuffle).
 
     Returns ``(id_col, weight_col, writer, shard)``; ``shard`` numbers
     are per-writer (global shard id = ``writer * max_shards + shard``)."""
@@ -166,10 +189,13 @@ def pack_shards(
     cum_before = F.coalesce(
         F.sum(F.col(weight_col)).over(w), F.lit(0)
     )
+    dense = Window.partitionBy("writer").orderBy("_shard_raw")
     return (
         df.select(id_col, weight_col)
         .withColumn("writer", writer)
+        .withColumn("_shard_raw", F.floor(cum_before / F.lit(budget)))
         .withColumn(
-            "shard", F.floor(cum_before / F.lit(budget)).cast("int")
+            "shard", (F.dense_rank().over(dense) - 1).cast("int")
         )
+        .drop("_shard_raw")
     )

@@ -27,8 +27,11 @@ _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
 _QUERY_RE = r"\?([^#]*)"
 _DOMAIN_RE = r"([^.]+\.[^.]+)$"
 # tracking parameters dropped by canonicalization (the common public
-# list); the trailing &? glues the param separator to the removal
-_TRACKING_RE = r"(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid)=[^&]*&?"
+# list). Anchored at a '&' separator — the query is prefixed with '&'
+# before this runs, so every param (including the first) has one and
+# substrings of legit names ('myfbclid=1') can never match; no
+# replacement backreferences needed (RE2 parity).
+_TRACKING_RE = r"&(?:utm_[A-Za-z0-9_]+|fbclid|gclid|msclkid)=[^&]*"
 
 
 def _parts(url: Column) -> dict[str, Column]:
@@ -38,7 +41,11 @@ def _parts(url: Column) -> dict[str, Column]:
     host = F.lower(F.regexp_replace(host_port, r":[0-9]+$", ""))
     port = F.regexp_extract(host_port, r":([0-9]+)$", 1)
     path = F.regexp_extract(url, _PATH_RE, 1)
-    query = F.regexp_extract(url, _QUERY_RE, 1)
+    # query comes from the PRE-FRAGMENT text: a '?' inside an SPA-style
+    # fragment ('/p#/route?tab=2') must not resurrect as a query string
+    query = F.regexp_extract(
+        F.regexp_replace(url, r"#.*", ""), _QUERY_RE, 1
+    )
     return {
         "scheme": scheme,
         "host": host,
@@ -75,13 +82,23 @@ def with_url_canonical(
         ``gclid``, ``msclkid``); a now-empty query drops its ``?``
       - trailing slashes trimmed from the path; empty path → ``/``
 
+    Scheme-less input (no ``<scheme>://``) passes through VERBATIM —
+    every part extraction would come up empty and distinct URLs would
+    otherwise collapse onto one degenerate '://'-key, poisoning exact
+    dedup.
+
     Chain of codegen'd regexps + concat, no UDF, no backreferences."""
     p = _parts(F.col(url_col))
     keep_port = (p["port"] != "") & ~(
         ((p["scheme"] == "http") & (p["port"] == "80"))
         | ((p["scheme"] == "https") & (p["port"] == "443"))
     )
-    clean_q = F.regexp_replace(p["query"], _TRACKING_RE, "")
+    # '&'-prefix so _TRACKING_RE's separator anchor covers the first
+    # param too, then strip the leading '&'s left by removals
+    clean_q = F.regexp_replace(
+        F.concat(F.lit("&"), p["query"]), _TRACKING_RE, ""
+    )
+    clean_q = F.regexp_replace(clean_q, r"^&+", "")
     clean_q = F.regexp_replace(clean_q, r"&+$", "")
     path = F.regexp_replace(p["path"], r"/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
@@ -97,6 +114,7 @@ def with_url_canonical(
             F.lit("")
         ),
     )
+    canon = F.when(p["scheme"] == "", F.col(url_col)).otherwise(canon)
     return df.withColumn(out_col, canon)
 
 

@@ -53,12 +53,16 @@ def dedup_stream(
     A crawl feed re-announcing pages within the horizon dedups here;
     long-horizon dedup stays a batch job over the encoded store
     (``operators.dedup_exact``)."""
-    norm = F.col(text_col)
     if normalized:
-        norm = F.regexp_replace(F.lower(F.trim(norm)), r"\s+", " ")
+        # reuse the batch operator so streaming and batch dedup can
+        # never drift apart on the normalization formula
+        from choetl_spark.operators.textstats import with_fingerprint
+
+        keyed = with_fingerprint(stream_df, text_col)
+    else:
+        keyed = stream_df.withColumn("fingerprint", F.md5(F.col(text_col)))
     return (
-        stream_df.withColumn("fingerprint", F.md5(norm))
-        .withWatermark(ts_col, watermark)
+        keyed.withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )
 

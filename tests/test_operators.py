@@ -693,6 +693,34 @@ def test_dedup_lines_removes_boilerplate(spark):
     )  # byte-identical rebuild
 
 
+def test_dedup_lines_preserves_blank_lines_and_literal_sep(spark):
+    """Review-finding pins: (a) blank lines ('' from paragraph breaks)
+    are never boilerplate even when every doc has them — stripping them
+    corpus-wide would merge paragraphs; (b) a regex-metachar separator
+    is treated literally in both split and rebuild."""
+    from choetl_spark.operators import dedup_lines
+
+    rows = [(i, f"para a {i}\n\npara b {i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r.asDict() for r in dedup_lines(df, max_docs=3).collect()}
+    for i in range(10):
+        assert out[i]["text_clean"] == f"para a {i}\n\npara b {i}"
+        assert out[i]["n_removed"] == 0  # the shared '' line survived
+
+    # '|' would split between every character if treated as a regex
+    df2 = spark.createDataFrame(
+        [(0, "a|b|c"), (1, "a|x|c"), (2, "a|y|c")],
+        "doc_id int, text string",
+    )
+    out2 = {
+        r["doc_id"]: r.asDict()
+        for r in dedup_lines(df2, max_docs=2, sep="|").collect()
+    }
+    assert out2[0]["n_lines"] == 3
+    assert out2[0]["text_clean"] == "b"  # shared 'a'/'c' removed
+    assert out2[1]["text_clean"] == "x"
+
+
 def test_decontaminate_flags_eval_overlap(spark):
     from choetl_spark.operators import decontaminate
     from choetl_spark.plans import assert_broadcast_join
@@ -714,6 +742,24 @@ def test_decontaminate_flags_eval_overlap(spark):
     assert out[1]["contaminated"] and out[1]["n_matched"] == 3
     assert not out[2]["contaminated"] and out[2]["n_matched"] == 0
     assert_broadcast_join(decontaminate(train, evals))
+    # the corpus-gram side must reach the broadcast join WITHOUT an
+    # exchange (review-finding pin: no corpus-wide distinct pre-join).
+    # In the plan tree the streamed subtree prints between the
+    # BroadcastHashJoin line and its BroadcastExchange sibling.
+    plan = (
+        decontaminate(train, evals)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    start = next(i for i, l in enumerate(lines) if "BroadcastHashJoin" in l)
+    end = next(
+        i for i, l in enumerate(lines) if "BroadcastExchange" in l
+    )
+    assert start < end
+    streamed = lines[start + 1 : end]
+    assert not any("Exchange" in l for l in streamed), plan
 
 
 def test_pack_shards_next_fit(spark):
@@ -739,6 +785,55 @@ def test_pack_shards_next_fit(spark):
         groups[(r["writer"], r["shard"])].append(r["tokens"])
     for toks in groups.values():
         assert sum(toks[:-1]) < 100
+
+
+def test_pack_shards_dense_ids_with_overweight_doc(spark):
+    """A document heavier than the budget must not leave gaps in the
+    per-writer shard numbering (review-finding pin): weights 250,10,10
+    at budget 100 give raw buckets 0,2,2 — dense ids must be 0,1,1."""
+    from choetl_spark.operators import pack_shards
+
+    df = spark.createDataFrame(
+        [(0, 250), (4, 10), (8, 10)], "doc_id int, tokens int"
+    )
+    out = sorted(
+        pack_shards(df, "tokens", budget=100, n_writers=4).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert [r["writer"] for r in out] == [0, 0, 0]
+    assert [r["shard"] for r in out] == [0, 1, 1]
+
+
+def test_url_canonical_edge_cases(spark):
+    """Regression pins for three review findings: a '?' inside an
+    SPA-style fragment must not resurrect as a query; tracking-param
+    removal must not match substrings of legit param names; scheme-less
+    input passes through verbatim instead of collapsing to ':///'."""
+    from choetl_spark.operators import with_url_canonical, with_url_parts
+
+    urls = [
+        "https://e.com/p#/route?tab=2",       # '?' only inside fragment
+        "https://e.com/p?a=1#x?b=2",          # real query + '?' in frag
+        "https://e.com/x?myfbclid=1&a=2",     # substring of fbclid
+        "https://e.com/x?camgclid=xyz",       # substring of gclid
+        "https://e.com/x?xutm_foo=1&b=2",     # substring of utm_
+        "example.com/a",                      # scheme-less
+        "other.org/b",                        # scheme-less, distinct
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    canon = {
+        r["url"]: r["url_canon"] for r in with_url_canonical(df).collect()
+    }
+    assert canon[urls[0]] == "https://e.com/p"  # fragment fully dropped
+    assert canon[urls[1]] == "https://e.com/p?a=1"
+    assert canon[urls[2]] == "https://e.com/x?myfbclid=1&a=2"
+    assert canon[urls[3]] == "https://e.com/x?camgclid=xyz"
+    assert canon[urls[4]] == "https://e.com/x?xutm_foo=1&b=2"
+    assert canon[urls[5]] == "example.com/a"  # verbatim pass-through
+    assert canon[urls[6]] == "other.org/b"    # ...so no key collision
+    parts = {r["url"]: r.asDict() for r in with_url_parts(df).collect()}
+    assert parts[urls[0]]["query"] == ""  # fragment '?' not a query
+    assert parts[urls[1]]["query"] == "a=1"
 
 
 def test_url_canonical_idempotent(spark):

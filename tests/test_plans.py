@@ -223,3 +223,6 @@ def test_corpus_ops_scale_shapes(spark):
     plan = explain_str(packed, "simple")
     assert "Exchange hashpartitioning(writer" in plan, plan
     assert "SinglePartition" not in plan, plan
+    # the dense-rank renumber window must REUSE the writer partitioning
+    # (adds a sort, never a second shuffle)
+    assert plan.count("Exchange") == 1, plan
