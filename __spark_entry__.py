@@ -819,6 +819,67 @@ def q_pack_shards_documents(spark, sf_dir):
     ).select("doc_id", "tokens", "writer", "shard")
 
 
+def q_sample_mixture_documents(spark, sf_dir):
+    """Deterministic training-mix sampling: per-source keep rates over
+    the documents pool via the bounded Knuth multiplicative hash
+    (cross-engine-safe integer arithmetic — DuckDB raises on BIGINT
+    overflow where Spark wraps, so the hash input is bounded first).
+    Pure map, zero shuffle; oracle recomputes the hash op-for-op."""
+    from choetl_spark.operators import sample_mixture
+
+    docs = _read(spark, sf_dir, "documents")
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+    return sample_mixture(docs, rates, default_rate=0.1).select(
+        "doc_id", "source"
+    )
+
+
+def q_split_documents(spark, sf_dir):
+    """Deterministic train/val/test assignment by id hash — membership
+    is a pure function of (doc_id, seed), so documents never migrate
+    between splits as the corpus grows."""
+    from choetl_spark.operators import with_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return with_split(docs, val_frac=0.05, test_frac=0.05).select(
+        "doc_id", "split"
+    )
+
+
+def q_cap_per_domain_documents(spark, sf_dir):
+    """Per-registered-domain page quota over the messy-URL corpus: at
+    most 20 pages per domain, preferring longer documents (doc length
+    as the quality proxy), doc_id as the deterministic tiebreak. The
+    two-phase top-k prefilters per input partition before the single
+    shuffle; the oracle runs the equivalent one-window row_number."""
+    from choetl_spark.operators import cap_per_domain
+
+    urls = _messy_urls(spark, sf_dir).withColumn(
+        "q", F.length("text").cast("long")
+    )
+    return cap_per_domain(urls, k=20, order_col="q").select(
+        "doc_id", "registered_domain", "q"
+    )
+
+
+def q_dedup_against_documents(spark, sf_dir):
+    """Incremental dedup of an incoming batch against a reference
+    store: every third document is planted into the reference with
+    whitespace mangling (normalized-equal, byte-different; whitespace
+    only, so no Java-vs-DuckDB case-folding edge can split the
+    engines), so exactly the doc_id % 3 != 0 survivors remain.
+    Anti-join on md5 fingerprints — only keys cross the wire."""
+    from choetl_spark.operators import dedup_against
+
+    docs = _read(spark, sf_dir, "documents")
+    reference = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.concat(
+            F.lit("  "), F.regexp_replace("text", " ", "   "), F.lit(" ")
+        ).alias("text")
+    )
+    return dedup_against(docs, reference).select("doc_id", "source")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -859,6 +920,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines_documents": q_dedup_lines_documents,
         "decontaminate_documents": q_decontaminate_documents,
         "pack_shards_documents": q_pack_shards_documents,
+        "sample_mixture_documents": q_sample_mixture_documents,
+        "split_documents": q_split_documents,
+        "cap_per_domain_documents": q_cap_per_domain_documents,
+        "dedup_against_documents": q_dedup_against_documents,
         "repetition_documents": q_repetition_documents,
         "pii_redaction_documents": q_pii_redaction_documents,
         "connected_components_graph": q_connected_components_graph,
@@ -1192,6 +1257,61 @@ def _oracle_pack_shards() -> str:
     """
 
 
+def _bucket_sql(seed: int) -> str:
+    """SQL twin of operators.sampling._bucket — bounded Knuth hash
+    whose intermediates stay inside int64 in both engines."""
+    return f"((doc_id % 1000003) * 2654435761 + {int(seed)}) % 1000003"
+
+
+def _oracle_sample_mixture() -> str:
+    return f"""
+        SELECT doc_id, source FROM documents
+        WHERE {_bucket_sql(0)} < CASE source
+          WHEN 'src0' THEN 1.0 * 1000003
+          WHEN 'src1' THEN 0.5 * 1000003
+          WHEN 'src2' THEN 0.25 * 1000003
+          ELSE 0.1 * 1000003 END
+    """
+
+
+def _oracle_split() -> str:
+    b = _bucket_sql(17)
+    return f"""
+        SELECT doc_id,
+          CASE WHEN {b} < 0.05 * 1000003 THEN 'val'
+               WHEN {b} < 0.10 * 1000003 THEN 'test'
+               ELSE 'train' END AS split
+        FROM documents
+    """
+
+
+def _oracle_cap_per_domain() -> str:
+    p = _url_parts_sql()
+    return f"""
+        WITH u AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS q,
+                          {_MESSY_URL_SQL} AS url FROM documents),
+        p AS (SELECT doc_id, q,
+              {p['registered_domain']} AS registered_domain FROM u),
+        r AS (SELECT *, row_number() OVER (
+                PARTITION BY registered_domain
+                ORDER BY q DESC, doc_id ASC) AS rn FROM p)
+        SELECT doc_id, registered_domain, q FROM r WHERE rn <= 20
+    """
+
+
+def _oracle_dedup_against() -> str:
+    norm = "md5(regexp_replace(lower(trim({t})), '\\s+', ' ', 'g'))"
+    ref_text = (
+        "'  ' || regexp_replace(text, ' ', '   ', 'g') || ' '"
+    )
+    return f"""
+        WITH seen AS (SELECT DISTINCT {norm.format(t=ref_text)} AS fp
+                      FROM documents WHERE doc_id % 3 = 0)
+        SELECT d.doc_id, d.source FROM documents d
+        ANTI JOIN seen ON {norm.format(t='d.text')} = seen.fp
+    """
+
+
 def _oracle_pii() -> str:
     """Generated from PII_PATTERNS so the oracle can never drift from
     the Spark-side chain: counts on the planted original, replacements
@@ -1495,6 +1615,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(strlen(lang)) + 4 * count(*) AS BIGINT) FROM t
         """,
         "html_extract_webpages": _oracle_html_extract(),
+        "sample_mixture_documents": _oracle_sample_mixture(),
+        "split_documents": _oracle_split(),
+        "cap_per_domain_documents": _oracle_cap_per_domain(),
+        "dedup_against_documents": _oracle_dedup_against(),
         "url_normalize_webpages": _oracle_url_normalize(),
         "domain_stats_webpages": _oracle_domain_stats(),
         "dedup_lines_documents": _oracle_dedup_lines(),

@@ -8,6 +8,7 @@ from choetl_spark.operators.relational import (  # noqa: F401
     with_seq_no,
 )
 from choetl_spark.operators.dedup import (  # noqa: F401
+    dedup_against,
     dedup_embedding_cosine,
     dedup_exact,
     dedup_exact_normalized,
@@ -25,6 +26,11 @@ from choetl_spark.operators.corpus import (  # noqa: F401
     decontaminate,
     dedup_lines,
     pack_shards,
+)
+from choetl_spark.operators.sampling import (  # noqa: F401
+    cap_per_domain,
+    sample_mixture,
+    with_split,
 )
 from choetl_spark.operators.weburl import (  # noqa: F401
     domain_stats,

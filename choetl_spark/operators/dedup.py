@@ -42,6 +42,44 @@ def dedup_exact_normalized(
     return dedup_exact(df.withColumn("_fp", norm), ["_fp"], id_col).drop("_fp")
 
 
+def dedup_against(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+    normalized: bool = True,
+) -> DataFrame:
+    """Incremental exact dedup: drop incoming documents whose
+    (normalized) text fingerprint already exists in a reference corpus
+    — the batch-vs-store step a continuously-ingesting pipeline runs
+    before adding a new crawl snapshot to an existing encoded store
+    (intra-batch duplicates are ``dedup_exact``'s job, not this one's;
+    run both).
+
+    Shape: fingerprint both sides (pure maps) + a LEFT ANTI join on the
+    fingerprint. The reference side is NOT forced to broadcast — a
+    store of 10^10 fingerprints is bigger than any driver — so AQE
+    picks broadcast when the reference is small and a shuffled hash
+    join otherwise; either way only md5 keys cross the wire, never the
+    reference text (the anti-join prunes its other columns). Uses the
+    same normalization as ``with_fingerprint``/``dedup_stream``, so
+    batch, incremental, and streaming dedup agree on what "duplicate"
+    means."""
+    from choetl_spark.operators.textstats import with_fingerprint
+
+    ref_text_col = ref_text_col or text_col
+
+    def _keyed(frame: DataFrame, col: str) -> DataFrame:
+        if normalized:
+            return with_fingerprint(frame, col).withColumnRenamed(
+                "fingerprint", "_fp"
+            )
+        return frame.withColumn("_fp", F.md5(F.col(col)))
+
+    seen = _keyed(reference, ref_text_col).select("_fp").distinct()
+    return _keyed(df, text_col).join(seen, "_fp", "left_anti").drop("_fp")
+
+
 # ---------------------------------------------------------------------------
 # minhash + LSH
 # ---------------------------------------------------------------------------

@@ -875,3 +875,100 @@ def test_url_canonical_idempotent(spark):
     )
     for r in joined.collect():
         assert r["h2"] == r["host"] and r["d2"] == r["registered_domain"], r
+
+
+# --- deterministic sampling / mixing ---------------------------------------
+
+
+def test_sample_mixture_deterministic_and_monotone(spark):
+    from choetl_spark.operators import sample_mixture
+
+    df = spark.createDataFrame(
+        [(i, "web" if i % 2 == 0 else "wiki") for i in range(4000)],
+        "doc_id long, source string",
+    )
+    rates = {"web": 0.3, "wiki": 1.0}
+    kept = sample_mixture(df, rates).collect()
+    kept_ids = sorted(r["doc_id"] for r in kept)
+    # deterministic: identical run -> identical rows
+    again = sorted(r["doc_id"] for r in sample_mixture(df, rates).collect())
+    assert kept_ids == again
+    by_src = {"web": 0, "wiki": 0}
+    for r in kept:
+        by_src[r["source"]] += 1
+    assert by_src["wiki"] == 2000  # rate 1.0 keeps everything
+    assert 0.2 < by_src["web"] / 2000 < 0.4  # ~30% realized
+    # raising a rate keeps a SUPERSET (iterative mixture search)
+    more = {
+        r["doc_id"]
+        for r in sample_mixture(df, {"web": 0.6, "wiki": 1.0}).collect()
+    }
+    assert set(kept_ids) <= more
+    # unknown source -> default_rate 0 drops it
+    df2 = spark.createDataFrame([(1, "logs")], "doc_id long, source string")
+    assert sample_mixture(df2, rates).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sample_mixture(df, {"web": 1.5})
+
+
+def test_with_split_stable_under_growth(spark):
+    from choetl_spark.operators import with_split
+
+    small = spark.createDataFrame(
+        [(i,) for i in range(1000)], "doc_id long"
+    )
+    big = spark.createDataFrame([(i,) for i in range(3000)], "doc_id long")
+    s1 = {r["doc_id"]: r["split"] for r in with_split(small, val_frac=0.1).collect()}
+    s2 = {r["doc_id"]: r["split"] for r in with_split(big, val_frac=0.1).collect()}
+    # membership is a pure function of id: growing the corpus never
+    # migrates an existing doc between splits
+    assert all(s2[i] == s1[i] for i in s1)
+    frac_val = sum(v == "val" for v in s2.values()) / 3000
+    assert 0.06 < frac_val < 0.14
+    three = with_split(big, val_frac=0.1, test_frac=0.1).collect()
+    assert {r["split"] for r in three} == {"train", "val", "test"}
+
+
+def test_cap_per_domain_quota_and_ordering(spark):
+    from choetl_spark.operators import cap_per_domain
+
+    rows = []
+    for i in range(30):  # hot domain: 30 pages, quality = doc_id
+        rows.append((i, f"https://h{i % 3}.example.com/p/{i}", float(i)))
+    rows.append((100, "https://one.other.org/x", 5.0))  # 1-page domain
+    df = spark.createDataFrame(rows, "doc_id long, url string, q double")
+    out = cap_per_domain(df, k=4, order_col="q").collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["registered_domain"], []).append(r)
+    assert len(by_dom["example.com"]) == 4
+    # prefers highest quality, deterministic
+    assert sorted(r["doc_id"] for r in by_dom["example.com"]) == [26, 27, 28, 29]
+    assert len(by_dom["other.org"]) == 1
+
+
+def test_dedup_against_reference_store(spark):
+    from choetl_spark.operators import dedup_against
+
+    ref = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "old news")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "hello world"),   # normalized dup of ref 1
+            (11, "fresh page"),
+            (12, "OLD NEWS"),      # normalized dup of ref 2
+            (13, "another fresh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(r["doc_id"] for r in dedup_against(batch, ref).collect())
+    assert out == [11, 13]
+    # exact (non-normalized) mode keeps the case-different ones
+    raw = sorted(
+        r["doc_id"]
+        for r in dedup_against(batch, ref, normalized=False).collect()
+    )
+    assert raw == [10, 11, 12, 13]

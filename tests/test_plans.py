@@ -226,3 +226,44 @@ def test_corpus_ops_scale_shapes(spark):
     # the dense-rank renumber window must REUSE the writer partitioning
     # (adds a sort, never a second shuffle)
     assert plan.count("Exchange") == 1, plan
+
+
+def test_sampling_ops_scale_shapes(spark):
+    """sample_mixture / with_split: zero-shuffle codegen maps.
+    cap_per_domain: ONE exchange, with Catalyst's rank-limit pushdown
+    (WindowGroupLimit Partial) bounding per-task output to k rows per
+    domain BEFORE the shuffle."""
+    from choetl_spark.operators import (
+        cap_per_domain,
+        sample_mixture,
+        with_split,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "web", f"https://h{i % 3}.example.com/p/{i}", float(i))
+         for i in range(100)],
+        "doc_id long, source string, url string, q double",
+    )
+    mix = sample_mixture(df, {"web": 0.5})
+    assert "Exchange" not in explain_str(mix, "simple")
+    split = with_split(df)
+    assert "Exchange" not in explain_str(split, "simple")
+
+    capped = cap_per_domain(df, k=4, order_col="q")
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    pre_exchange = plan.split("Exchange")[1]
+    assert "WindowGroupLimit" in pre_exchange, plan
+    assert "Partial" in pre_exchange, plan
+
+
+def test_dedup_against_plan(spark):
+    """dedup_against: anti-join on fingerprints only — the reference
+    text column must be pruned before any exchange/broadcast."""
+    from choetl_spark.operators import dedup_against
+
+    ref = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    batch = spark.createDataFrame([(2, "b")], "doc_id long, text string")
+    out = dedup_against(batch, ref)
+    plan = explain_str(out, "formatted")
+    assert "LeftAnti" in plan, plan
