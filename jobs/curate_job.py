@@ -11,6 +11,9 @@ The standard training-data sequence, every stage a scale-shaped
 operator from ``choetl_spark.operators``:
 
     exact dedup (normalized fingerprint, keep lowest id)
+      -> optional incremental dedup against a prior store
+         (--dedup-against PATH: anti-join on normalized fingerprints,
+         the batch-vs-store step of a continuously-ingesting pipeline)
       -> optional line-level boilerplate removal (--dedup-lines-max-docs:
          lines shared by more docs than the threshold are stripped,
          RefinedWeb-style)
@@ -18,9 +21,16 @@ operator from ``choetl_spark.operators``:
          connected components -> keep component min)
       -> quality floor + Gopher repetition ceiling + optional lang-ID
          allowlist (all JVM codegen expressions)
+      -> optional per-domain page quota (--max-per-domain K: keep the K
+         highest-quality pages per registered domain; needs --url-col)
       -> optional benchmark decontamination (--decontaminate PATH: drop
          docs sharing any 8-word gram with the eval parquet)
+      -> optional deterministic mixture sampling (--mixture
+         "web=0.3,wiki=1.0" over --source-col: per-source keep rates by
+         id hash, reproducible across reruns/resume)
       -> PII redaction (emails/phones/IPs/cards -> tokens)
+      -> optional train/val/test split column (--val-frac/--test-frac:
+         hash-based, documents never migrate as the corpus grows)
       -> optional token-budget shard assignment (--shard-budget: adds
          writer/shard columns via per-writer next-fit packing)
       -> resumable encode into the engine's chunk store (ledger commit,
@@ -45,15 +55,19 @@ def curate(spark, args) -> dict:
     from choetl_spark.engine import EncodeConfig
     from choetl_spark.ledger import encode_with_resume
     from choetl_spark.operators import (
+        cap_per_domain,
         decontaminate,
+        dedup_against,
         dedup_exact_normalized,
         dedup_lines,
         dedup_minhash,
         pack_shards,
+        sample_mixture,
         with_lang_id,
         with_pii_redacted,
         with_quality_score,
         with_repetition_stats,
+        with_split,
     )
 
     id_col, text_col = args.id_col, args.text_col
@@ -62,6 +76,11 @@ def curate(spark, args) -> dict:
 
     df = dedup_exact_normalized(df, text_col, id_col)
     counts["after_exact_dedup"] = df.count()
+
+    if args.dedup_against:
+        reference = spark.read.parquet(args.dedup_against)
+        df = dedup_against(df, reference, text_col)
+        counts["after_dedup_against"] = df.count()
 
     if args.dedup_lines_max_docs:
         cleaned = dedup_lines(
@@ -96,6 +115,15 @@ def curate(spark, args) -> dict:
         )
     counts["after_filters"] = df.count()
 
+    if args.max_per_domain:
+        # quality is still a live column here — use it as the keep
+        # preference so the quota retains each domain's best pages
+        df = cap_per_domain(
+            df, k=args.max_per_domain, url_col=args.url_col,
+            id_col=id_col, order_col="quality",
+        ).drop("registered_domain")
+        counts["after_domain_cap"] = df.count()
+
     if args.decontaminate:
         evals = spark.read.parquet(args.decontaminate)
         df = decontaminate(
@@ -103,10 +131,26 @@ def curate(spark, args) -> dict:
         ).filter(~F.col("contaminated")).drop("n_matched", "contaminated")
         counts["after_decontaminate"] = df.count()
 
+    if args.mixture:
+        rates = {}
+        for part in args.mixture.split(","):
+            src, _, rate = part.strip().partition("=")
+            rates[src] = float(rate)
+        df = sample_mixture(
+            df, rates, source_col=args.source_col, id_col=id_col,
+            default_rate=args.mixture_default,
+        )
+        counts["after_mixture"] = df.count()
+
     input_cols = spark.read.parquet(args.input).columns  # metadata only
     df = with_pii_redacted(df, text_col)
     # the redacted text REPLACES the raw text in the curated store
     df = df.withColumn(text_col, F.col("redacted")).select(*input_cols)
+
+    if args.val_frac or args.test_frac:
+        df = with_split(
+            df, id_col, val_frac=args.val_frac, test_frac=args.test_frac
+        )
 
     if args.shard_budget:
         tokens = df.select(
@@ -133,7 +177,7 @@ def curate(spark, args) -> dict:
     return {"counts": counts, "encode": summary}
 
 
-def main(argv: list[str] | None = None) -> int:
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
@@ -144,10 +188,24 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--langs", default=None,
                    help="comma allowlist of predicted langs; default all")
     p.add_argument("--near-dedup", action="store_true")
+    p.add_argument("--dedup-against", default=None,
+                   help="parquet of a prior curated store; drop incoming "
+                        "docs whose normalized text already exists there")
     p.add_argument("--dedup-lines-max-docs", type=int, default=0,
                    help="strip lines shared by more than N docs; 0=off")
+    p.add_argument("--max-per-domain", type=int, default=0,
+                   help="keep at most K highest-quality pages per "
+                        "registered domain; 0=off (needs --url-col)")
+    p.add_argument("--url-col", default="url")
     p.add_argument("--decontaminate", default=None,
                    help="parquet of eval docs; drop 8-gram overlaps")
+    p.add_argument("--mixture", default=None,
+                   help='per-source keep rates, e.g. "web=0.3,wiki=1.0"')
+    p.add_argument("--mixture-default", type=float, default=0.0,
+                   help="keep rate for sources absent from --mixture")
+    p.add_argument("--source-col", default="source")
+    p.add_argument("--val-frac", type=float, default=0.0)
+    p.add_argument("--test-frac", type=float, default=0.0)
     p.add_argument("--shard-budget", type=int, default=0,
                    help="tokens per training shard; 0=no shard columns")
     p.add_argument("--shard-writers", type=int, default=32)
@@ -160,7 +218,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--shuffle", default="salted", choices=["salted", "none"])
     p.add_argument("--profile", default="speed",
                    choices=["ratio", "balanced", "speed"])
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
 
     from pyspark.sql import SparkSession
 

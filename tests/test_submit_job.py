@@ -109,17 +109,13 @@ def test_curate_job_pipeline(spark, tmp_path):
     with_pii.unionByName(planted).write.parquet(src)
     out = str(tmp_path / "curated")
 
-    import argparse
-
-    args = argparse.Namespace(
-        input=src, output=out, id_col="doc_id", text_col="text",
-        min_quality=0.1, max_dup_2gram=0.95, langs=None,
-        near_dedup=True, minhash_hashes=32, minhash_bands=8,
-        minhash_threshold=0.9, partitions=4, chunk_rows=256,
-        chunk_bytes=1 << 20, shuffle="salted", profile="speed",
-        dedup_lines_max_docs=0, decontaminate=None, shard_budget=0,
-        shard_writers=32,
-    )
+    args = curate_job.build_parser().parse_args([
+        "--input", src, "--output", out, "--min-quality", "0.1",
+        "--max-dup-2gram", "0.95", "--near-dedup",
+        "--minhash-hashes", "32", "--minhash-bands", "8",
+        "--minhash-threshold", "0.9", "--partitions", "4",
+        "--chunk-rows", "256", "--chunk-bytes", str(1 << 20),
+    ])
     result = curate_job.curate(spark, args)
     c = result["counts"]
     n_planted = planted.count()
@@ -144,7 +140,6 @@ def test_curate_job_full_web_stages(spark, tmp_path):
     active. Boilerplate header/footer lines vanish from the curated
     text, decontaminated docs are dropped, and every surviving row
     carries a (writer, shard) assignment."""
-    import argparse
     import importlib.util
 
     from pyspark.sql import functions as F
@@ -174,15 +169,13 @@ def test_curate_job_full_web_stages(spark, tmp_path):
     evals.write.parquet(eval_p)
     out = str(tmp_path / "curated")
 
-    args = argparse.Namespace(
-        input=src, output=out, id_col="doc_id", text_col="text",
-        min_quality=0.0, max_dup_2gram=1.0, langs=None,
-        near_dedup=False, minhash_hashes=32, minhash_bands=8,
-        minhash_threshold=0.9, partitions=4, chunk_rows=256,
-        chunk_bytes=1 << 20, shuffle="salted", profile="speed",
-        dedup_lines_max_docs=5, decontaminate=eval_p, shard_budget=1000,
-        shard_writers=4,
-    )
+    args = curate_job.build_parser().parse_args([
+        "--input", src, "--output", out, "--min-quality", "0.0",
+        "--max-dup-2gram", "1.0", "--dedup-lines-max-docs", "5",
+        "--decontaminate", eval_p, "--shard-budget", "1000",
+        "--shard-writers", "4", "--partitions", "4",
+        "--chunk-rows", "256", "--chunk-bytes", str(1 << 20),
+    ])
     result = curate_job.curate(spark, args)
     c = result["counts"]
     assert c["after_line_dedup"] <= c["after_exact_dedup"]
@@ -200,3 +193,81 @@ def test_curate_job_full_web_stages(spark, tmp_path):
         assert "COOKIE BANNER" not in r["text"] and "FOOTER" not in r["text"]
     assert all(r["writer"] is not None and r["shard"] is not None
                for r in rows[:50])
+
+
+def test_curate_job_sampling_stages(spark, tmp_path):
+    """The ingestion/sampling variant: incremental dedup against a
+    prior store drops exactly the planted already-seen docs, the
+    per-domain quota holds, mixture sampling keeps per-source subsets,
+    and every curated row carries a deterministic split assignment."""
+    import importlib.util
+
+    from pyspark.sql import functions as F
+
+    spec = importlib.util.spec_from_file_location(
+        "curate_job", os.path.join(REPO, "jobs", "curate_job.py")
+    )
+    curate_job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(curate_job)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).withColumn(
+        "url",
+        F.concat(
+            F.lit("https://h"), F.col("doc_id") % 5,
+            F.lit(".example.com/p/"), F.col("doc_id"),
+        ),
+    )
+    src = str(tmp_path / "docs_in.parquet")
+    docs.write.parquet(src)
+    # prior store: every 4th doc, whitespace-mangled (normalized-equal)
+    store = docs.filter(F.col("doc_id") % 4 == 0).select(
+        F.concat(F.lit(" "), F.regexp_replace("text", " ", "  ")).alias(
+            "text"
+        )
+    )
+    store_p = str(tmp_path / "store.parquet")
+    store.write.parquet(store_p)
+    out = str(tmp_path / "curated")
+
+    args = curate_job.build_parser().parse_args([
+        "--input", src, "--output", out, "--min-quality", "0.0",
+        "--max-dup-2gram", "1.0", "--dedup-against", store_p,
+        "--max-per-domain", "60", "--mixture", "src0=1.0,src1=0.5",
+        "--mixture-default", "0.25", "--val-frac", "0.1",
+        "--test-frac", "0.1", "--partitions", "4",
+        "--chunk-rows", "256", "--chunk-bytes", str(1 << 20),
+    ])
+    result = curate_job.curate(spark, args)
+    c = result["counts"]
+    n_seen = docs.filter(F.col("doc_id") % 4 == 0).count()
+    assert c["after_dedup_against"] == c["after_exact_dedup"] - n_seen
+    assert c["after_domain_cap"] <= min(c["after_filters"], 5 * 60)
+    assert c["after_mixture"] < c["after_domain_cap"]
+
+    from choetl_spark.engine import decode_dataframe
+    from choetl_spark.ledger import read_encoded, read_manifest
+
+    decoded = decode_dataframe(
+        read_encoded(spark, out), manifest=read_manifest(out)
+    )
+    rows = decoded.collect()
+    assert len(rows) == c["after_mixture"] > 0
+    # every survivor satisfies the mixture bucket rule and carries the
+    # exactly-expected deterministic split (recomputed in pure Python)
+    MOD, KNUTH = 1000003, 2654435761
+    rates = {"src0": 1.0, "src1": 0.5}
+
+    def bucket(i: int, seed: int) -> int:
+        return ((i % MOD) * KNUTH + seed) % MOD
+
+    for r in rows:
+        assert bucket(r["doc_id"], 0) < rates.get(r["source"], 0.25) * MOD
+        b = bucket(r["doc_id"], 17)
+        expect = (
+            "val" if b < 0.1 * MOD
+            else "test" if b < 0.2 * MOD
+            else "train"
+        )
+        assert r["split"] == expect, (r["doc_id"], r["split"], expect)
