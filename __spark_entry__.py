@@ -880,6 +880,32 @@ def q_dedup_against_documents(spark, sf_dir):
     return dedup_against(docs, reference).select("doc_id", "source")
 
 
+def q_top_ngrams_documents(spark, sf_dir):
+    """Global top-50 word bigrams over the documents corpus (the
+    vocabulary census a tokenizer-training pass starts from): map-side
+    partial count -> one exchange on the gram key -> TakeOrdered top-k.
+    Deterministic tiebreak (count desc, gram asc) on both engines, so
+    the rank-50 boundary selects identical rows."""
+    from choetl_spark.operators import top_ngrams
+
+    docs = _read(spark, sf_dir, "documents")
+    return top_ngrams(docs, "text", n=2, k=50)
+
+
+def q_semantic_dedup_embeddings(spark, sf_dir):
+    """SemDeDup survivors over the embeddings table: seeded anchor
+    clusters (externally replicable from literals), within-cluster
+    cosine >= 0.3 pairs, lowest id of each pair wins. The oracle
+    re-derives cluster assignment, pairwise cosine, and the anti-join
+    entirely in SQL."""
+    from choetl_spark.operators import dedup_semantic
+    from choetl_spark.operators.similarity import ivf_anchor_centroids
+
+    embs = _read(spark, sf_dir, "embeddings")
+    cents = ivf_anchor_centroids(_EMB_DIM, n_clusters=8, seed=42)
+    return dedup_semantic(embs, 0.3, centroids=cents).select("vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -924,6 +950,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_documents": q_split_documents,
         "cap_per_domain_documents": q_cap_per_domain_documents,
         "dedup_against_documents": q_dedup_against_documents,
+        "top_ngrams_documents": q_top_ngrams_documents,
+        "semantic_dedup_embeddings": q_semantic_dedup_embeddings,
         "repetition_documents": q_repetition_documents,
         "pii_redaction_documents": q_pii_redaction_documents,
         "connected_components_graph": q_connected_components_graph,
@@ -1312,6 +1340,51 @@ def _oracle_dedup_against() -> str:
     """
 
 
+def _oracle_top_ngrams(k: int = 50) -> str:
+    # ws[i:i+1] is the 2-element slice (DuckDB slices are end-inclusive)
+    grams = (
+        "[array_to_string(ws[i:i+1], ' ') for i in "
+        "generate_series(1, greatest(len(ws) - 1, 0))]"
+    )
+    return f"""
+        WITH w AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS ws
+                   FROM documents),
+        g AS (SELECT unnest({grams}) AS gram FROM w)
+        SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g
+        GROUP BY gram ORDER BY cnt DESC, gram ASC LIMIT {k}
+    """
+
+
+def _oracle_semantic_dedup(threshold: float = 0.3, n_clusters: int = 8) -> str:
+    """Replicates dedup_semantic with anchor centroids: argmax-dot
+    cluster assignment (numpy tie rule: strictly-greater keeps the
+    earlier index), within-cluster pairwise cosine (rounded to 6, like
+    the Spark filter), losers = higher id of any pair, anti-joined."""
+    from choetl_spark.operators.similarity import ivf_anchor_centroids
+
+    cents = ivf_anchor_centroids(_EMB_DIM, n_clusters, seed=42)
+    dots = ", ".join(
+        f"{_sql_dot('v', c)} AS d{i}" for i, c in enumerate(cents)
+    )
+    cl = "CAST(0 AS INTEGER)"
+    best = "d0"
+    for i in range(1, n_clusters):
+        cl = f"(CASE WHEN d{i} > {best} THEN {i} ELSE {cl} END)"
+        best = f"greatest({best}, d{i})"
+    cos = _sql_cosine("x.v", "b.v")
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+        d AS (SELECT vec_id, v, {dots} FROM e),
+        a AS (SELECT vec_id, v, {cl} AS cl FROM d),
+        losers AS (SELECT DISTINCT b.vec_id FROM a x JOIN a b
+                   ON x.cl = b.cl AND x.vec_id < b.vec_id
+                   WHERE round({cos}, 6) >= {threshold})
+        SELECT vec_id FROM a
+        WHERE vec_id NOT IN (SELECT vec_id FROM losers)
+    """
+
+
 def _oracle_pii() -> str:
     """Generated from PII_PATTERNS so the oracle can never drift from
     the Spark-side chain: counts on the planted original, replacements
@@ -1619,6 +1692,8 @@ def oracle_sql() -> dict[str, str]:
         "split_documents": _oracle_split(),
         "cap_per_domain_documents": _oracle_cap_per_domain(),
         "dedup_against_documents": _oracle_dedup_against(),
+        "top_ngrams_documents": _oracle_top_ngrams(),
+        "semantic_dedup_embeddings": _oracle_semantic_dedup(),
         "url_normalize_webpages": _oracle_url_normalize(),
         "domain_stats_webpages": _oracle_domain_stats(),
         "dedup_lines_documents": _oracle_dedup_lines(),

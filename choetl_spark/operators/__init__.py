@@ -12,6 +12,8 @@ from choetl_spark.operators.dedup import (  # noqa: F401
     dedup_embedding_cosine,
     dedup_exact,
     dedup_exact_normalized,
+    dedup_semantic,
+    semantic_neardup_pairs,
     connected_components,
     dedup_minhash,
     embedding_neardup_pairs,
@@ -26,6 +28,7 @@ from choetl_spark.operators.corpus import (  # noqa: F401
     decontaminate,
     dedup_lines,
     pack_shards,
+    top_ngrams,
 )
 from choetl_spark.operators.sampling import (  # noqa: F401
     cap_per_domain,

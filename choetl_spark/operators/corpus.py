@@ -18,6 +18,11 @@ Scale shapes (100 TB):
   - :func:`pack_shards` — windows partitioned by a writer key, so the
     cumulative sums run per-writer in parallel; no global ordering, no
     single-task exchange (the with_seq_no lesson).
+  - :func:`top_ngrams` — one exchange on the gram key, AFTER a map-side
+    partial count collapses the heavy-tailed head (the top grams are by
+    definition high-frequency, so most of the volume combines before
+    the shuffle); the global top-k is a TakeOrderedAndProject, never a
+    full sort.
 """
 
 from __future__ import annotations
@@ -199,3 +204,34 @@ def pack_shards(
         )
         .drop("_shard_raw")
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    k: int = 100,
+    min_count: int = 1,
+) -> DataFrame:
+    """Global top-``k`` word ``n``-grams by corpus frequency — the
+    vocabulary census a tokenizer-training (BPE/WordPiece) or
+    boilerplate-analysis pass starts from.
+
+    Tokenization is ``split(trim(text), '\\s+')``, the same contract as
+    :func:`decontaminate`, so gram spaces line up across operators (and
+    the DuckDB oracle mirrors it with ``regexp_split_to_array``).
+
+    Returns ``(gram, cnt)`` ordered by count descending, gram ascending
+    (deterministic tiebreak). ``min_count`` prunes the long tail before
+    the ordering when only the head matters.
+
+    Reference analog: the per-column scan-stats census of
+    `/root/reference/src/ChoETL/ChoRecordReader.cs:141-287` (sample ->
+    vote -> commit), aimed at corpus vocabulary instead of field types.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = df.select(F.explode(_word_grams(words, n)).alias("gram"))
+    counted = grams.groupBy("gram").agg(F.count("*").alias("cnt"))
+    if min_count > 1:
+        counted = counted.filter(F.col("cnt") >= min_count)
+    return counted.orderBy(F.desc("cnt"), F.asc("gram")).limit(k)

@@ -724,6 +724,87 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    centroids,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id_a, id_b, cluster, cosine) pairs with cosine >= threshold
+    WITHIN the same coarse cluster — the candidate stage of SemDeDup
+    (Abbas et al. 2023, public): cluster the embedding space, then
+    compare pairs only inside a cluster, so the quadratic term is
+    bounded per cluster instead of global. Cross-cluster near-dups are
+    missed by design (recall < 1) — the paper's trade, and the same
+    shape as the LSH-bucketed path in :func:`embedding_neardup_pairs`
+    (cluster id plays the role of the bucket key; at 10^12 docs scale
+    ``n_clusters`` with the corpus so clusters stay task-sized).
+
+    ``centroids`` is a (n_clusters, dim) array — k-means-trained
+    (:func:`~choetl_spark.operators.similarity.ivf_train_centroids`)
+    for recall, or seeded anchors
+    (:func:`~choetl_spark.operators.similarity.ivf_anchor_centroids`)
+    when an external system must replicate the assignment.
+
+    Reference analog: ChoETL has no embedding ops; this extends the
+    candidate->verify dedup discipline of the minhash path to the
+    embedding modality."""
+    from choetl_spark.operators.similarity import cosine_sim_col, with_ivf_cluster
+
+    base = with_ivf_cluster(
+        df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        ),
+        centroids,
+        "_v",
+        "_cl",
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = (F.col("a._cl") == F.col("b._cl")) & (
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    )
+    sim = cosine_sim_col(F.col("a._v"), F.col("b._v"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._cl").alias("cluster"),
+            F.round(sim, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def dedup_semantic(
+    df: DataFrame,
+    threshold: float,
+    centroids=None,
+    n_clusters: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup: drop rows whose embedding is cosine-near a lower-id
+    row in the same coarse cluster. ``centroids=None`` trains k-means
+    on a sample (:func:`ivf_train_centroids`) — pass explicit centroids
+    (e.g. seeded anchors) for externally-replicable assignment. The
+    keep-rule is deterministic (lowest id in each near-dup pair wins),
+    mirroring :func:`dedup_embedding_cosine`."""
+    if centroids is None:
+        from choetl_spark.operators.similarity import ivf_train_centroids
+
+        centroids = ivf_train_centroids(
+            df, n_clusters=n_clusters, vec_col=vec_col, seed=seed
+        )
+    pairs = semantic_neardup_pairs(
+        df, threshold, centroids, vec_col=vec_col, id_col=id_col
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 def dedup_embedding_cosine(
     df: DataFrame,
     threshold: float,

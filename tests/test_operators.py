@@ -972,3 +972,66 @@ def test_dedup_against_reference_store(spark):
         for r in dedup_against(batch, ref, normalized=False).collect()
     )
     assert raw == [10, 11, 12, 13]
+
+
+def test_top_ngrams_counts_and_ordering(spark):
+    from choetl_spark.operators import top_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "the quick red fox"),
+            (3, "the quick brown dog"),
+            (4, "one"),  # shorter than n -> contributes nothing
+            (5, "  the quick   brown fox "),  # messy whitespace
+        ],
+        "doc_id long, text string",
+    )
+    out = top_ngrams(df, n=2, k=3).collect()
+    assert [(r["gram"], r["cnt"]) for r in out] == [
+        ("the quick", 4),
+        ("quick brown", 3),
+        ("brown fox", 2),
+    ]
+    # min_count prunes the tail before the top-k
+    pruned = top_ngrams(df, n=2, k=100, min_count=3).collect()
+    assert {r["gram"] for r in pruned} == {"the quick", "quick brown"}
+    # ties broken by gram ascending (deterministic)
+    tie = spark.createDataFrame(
+        [(1, "b b"), (2, "a a")], "doc_id long, text string"
+    )
+    t = top_ngrams(tie, n=2, k=2).collect()
+    assert [r["gram"] for r in t] == ["a a", "b b"]
+
+
+def test_dedup_semantic_drops_planted_near_dups(spark):
+    import numpy as np
+
+    from choetl_spark.operators import dedup_semantic, semantic_neardup_pairs
+    from choetl_spark.operators.similarity import ivf_anchor_centroids
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((40, 16)).astype(float)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    # plant near-identical copies of vecs 0..4 under ids 100..104
+    for i in range(5):
+        noisy = vecs[i] + 1e-6 * rng.standard_normal(16)
+        rows.append((100 + i, [float(x) for x in noisy]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_anchor_centroids(16, n_clusters=4, seed=42)
+
+    pairs = semantic_neardup_pairs(df, 0.999, cents).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert {(i, 100 + i) for i in range(5)} <= found
+    # same-cluster invariant: every pair's members share an assignment
+    assert all(r["cosine"] >= 0.999 for r in pairs)
+
+    out = dedup_semantic(df, 0.999, centroids=cents)
+    kept = sorted(r["vec_id"] for r in out.collect())
+    # lowest id of each planted pair survives, the copy does not
+    assert set(range(40)) <= set(kept)
+    assert not ({100 + i for i in range(5)} & set(kept))
+    # k-means-trained default path (centroids=None) also kills them
+    out2 = dedup_semantic(df, 0.999, n_clusters=4)
+    kept2 = {r["vec_id"] for r in out2.collect()}
+    assert not ({100 + i for i in range(5)} & kept2)

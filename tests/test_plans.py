@@ -267,3 +267,36 @@ def test_dedup_against_plan(spark):
     out = dedup_against(batch, ref)
     plan = explain_str(out, "formatted")
     assert "LeftAnti" in plan, plan
+
+
+def test_top_ngrams_plan(spark):
+    """top_ngrams: partial count BEFORE the one exchange (map-side
+    combine of the heavy-tailed head), global top-k as
+    TakeOrderedAndProject — never a full sort."""
+    from choetl_spark.operators import top_ngrams
+
+    df = spark.createDataFrame(
+        [(i, "a b c d") for i in range(100)], "doc_id long, text string"
+    )
+    out = top_ngrams(df, n=2, k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    pre = plan.split("Exchange")[1]  # below the exchange = map side
+    assert "partial_count" in pre or "HashAggregate" in pre, plan
+
+
+def test_semantic_neardup_plan_is_cluster_equijoin(spark):
+    """semantic_neardup_pairs: candidates only via the cluster-id
+    equi-join — no cartesian product, no nested-loop join."""
+    from choetl_spark.operators import semantic_neardup_pairs
+    from choetl_spark.operators.similarity import ivf_anchor_centroids
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_neardup_pairs(df, 0.9, ivf_anchor_centroids(2, 4))
+    plan = explain_str(out, "formatted")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
