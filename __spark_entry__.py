@@ -1209,8 +1209,8 @@ def _oracle_domain_stats() -> str:
         SELECT registered_domain,
                CAST(count(*) AS BIGINT) AS n_pages,
                CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
-               CAST(sum(strlen(text)) AS BIGINT) AS total_chars,
-               round(CAST(sum(strlen(text)) AS DOUBLE) / count(*), 4)
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               round(CAST(sum(length(text)) AS DOUBLE) / count(*), 4)
                  AS avg_chars
         FROM p GROUP BY registered_domain
     """
@@ -1287,8 +1287,14 @@ def _oracle_pack_shards() -> str:
 
 def _bucket_sql(seed: int) -> str:
     """SQL twin of operators.sampling._bucket — bounded Knuth hash
-    whose intermediates stay inside int64 in both engines."""
-    return f"((doc_id % 1000003) * 2654435761 + {int(seed)}) % 1000003"
+    whose intermediates stay inside int64 in both engines. The inner
+    pmod (``% M + M) % M``) mirrors Spark's F.pmod for negative ids;
+    with a non-negative operand the outer plain ``%`` is already a
+    pmod."""
+    return (
+        f"(((doc_id % 1000003 + 1000003) % 1000003)"
+        f" * 2654435761 + {int(seed)}) % 1000003"
+    )
 
 
 def _oracle_sample_mixture() -> str:
@@ -1316,7 +1322,7 @@ def _oracle_split() -> str:
 def _oracle_cap_per_domain() -> str:
     p = _url_parts_sql()
     return f"""
-        WITH u AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS q,
+        WITH u AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS q,
                           {_MESSY_URL_SQL} AS url FROM documents),
         p AS (SELECT doc_id, q,
               {p['registered_domain']} AS registered_domain FROM u),

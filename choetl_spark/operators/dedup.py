@@ -48,6 +48,7 @@ def dedup_against(
     text_col: str = "text",
     ref_text_col: str | None = None,
     normalized: bool = True,
+    ref_fingerprint_col: str | None = None,
 ) -> DataFrame:
     """Incremental exact dedup: drop incoming documents whose
     (normalized) text fingerprint already exists in a reference corpus
@@ -64,20 +65,35 @@ def dedup_against(
     reference text (the anti-join prunes its other columns). Uses the
     same normalization as ``with_fingerprint``/``dedup_stream``, so
     batch, incremental, and streaming dedup agree on what "duplicate"
-    means."""
-    from choetl_spark.operators.textstats import with_fingerprint
+    means.
+
+    ``ref_fingerprint_col`` names a PRE-COMPUTED fingerprint column on
+    the reference side (e.g. the encoded store's ledger fingerprints) —
+    the key-only join: the store ships 16-byte keys and needs no text
+    column at all. The fingerprints must have been produced by the same
+    ``normalized`` convention or the join is vacuously empty.
+
+    The staging key lives in a private ``_fp`` column, computed as an
+    expression (never via ``with_fingerprint``) so a user column named
+    ``fingerprint`` on either side passes through untouched."""
+    from choetl_spark.operators.textstats import fingerprint_expr
 
     ref_text_col = ref_text_col or text_col
 
-    def _keyed(frame: DataFrame, col: str) -> DataFrame:
-        if normalized:
-            return with_fingerprint(frame, col).withColumnRenamed(
-                "fingerprint", "_fp"
-            )
-        return frame.withColumn("_fp", F.md5(F.col(col)))
+    def _fp(col: str):
+        return fingerprint_expr(col) if normalized else F.md5(F.col(col))
 
-    seen = _keyed(reference, ref_text_col).select("_fp").distinct()
-    return _keyed(df, text_col).join(seen, "_fp", "left_anti").drop("_fp")
+    if ref_fingerprint_col is not None:
+        seen = reference.select(
+            F.col(ref_fingerprint_col).alias("_fp")
+        ).distinct()
+    else:
+        seen = reference.select(_fp(ref_text_col).alias("_fp")).distinct()
+    return (
+        df.withColumn("_fp", _fp(text_col))
+        .join(seen, "_fp", "left_anti")
+        .drop("_fp")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -8,15 +8,22 @@ identically in Spark and DuckDB (the oracle recomputes it op-for-op).
 
 The hash is a bounded Knuth multiplicative hash::
 
-    bucket(id) = ((id mod 1000003) * 2654435761 + seed) mod 1000003
+    bucket(id) = pmod(pmod(id, 1000003) * 2654435761 + seed, 1000003)
 
 ``1000003`` is prime (so the multiplicative step permutes the residues)
 and small enough that the product stays far inside int64 in BOTH
 engines — DuckDB raises on BIGINT overflow while Spark wraps silently,
 so an unbounded ``id * K`` hash would diverge cross-engine exactly when
-it overflows. Buckets are compared against ``rate * 1000003``; the
-realized rate converges on the requested one at corpus scale (error
-O(1/1000003) from threshold rounding).
+it overflows. ``pmod`` (floor-mod, always non-negative) rather than
+``%``, because Spark/DuckDB ``%`` follows the dividend's sign: ids are
+often signed 64-bit hashes (``xxhash64(url)``), and a truncating inner
+mod would put every negative id in a negative bucket — below every
+threshold, i.e. kept at ANY rate. The SQL mirror is
+``((id % M + M) % M * K + seed) % M`` (inner pmod makes the outer
+operand non-negative, so plain ``%`` suffices there). Buckets are
+compared against ``rate * 1000003``; the realized rate converges on the
+requested one at corpus scale (error O(1/1000003) from threshold
+rounding).
 
 Scale shapes (100 TB):
   - :func:`sample_mixture` / :func:`with_split` — pure codegen'd maps,
@@ -38,9 +45,12 @@ _KNUTH = 2654435761
 
 
 def _bucket(id_col: Column, seed: int) -> Column:
-    """Deterministic bucket in [0, _MOD) — see module docstring for the
-    cross-engine overflow contract."""
-    return ((id_col % _MOD) * F.lit(_KNUTH) + F.lit(int(seed))) % _MOD
+    """Deterministic bucket in [0, _MOD) for ANY int64 id (negative
+    included) — see module docstring for the cross-engine contract."""
+    return F.pmod(
+        F.pmod(id_col, F.lit(_MOD)) * F.lit(_KNUTH) + F.lit(int(seed)),
+        F.lit(_MOD),
+    )
 
 
 def sample_mixture(
@@ -60,6 +70,10 @@ def sample_mixture(
     resume — and re-running with a RAISED rate keeps a superset of the
     previous sample (buckets are fixed; only the threshold moves),
     which is what an iterative mixture search needs."""
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(
+            f"default_rate must be in [0,1], got {default_rate}"
+        )
     thresh = F.lit(float(default_rate) * _MOD)
     for src, rate in sorted(rates.items()):
         if not 0.0 <= rate <= 1.0:
@@ -114,16 +128,18 @@ def cap_per_domain(
     hand-rolling a two-phase prefilter here measured strictly worse —
     it adds a second exchange).
 
-    Adds ``registered_domain``; drops the rank column."""
-    from choetl_spark.operators.weburl import with_url_parts
+    Adds ``registered_domain`` (only — pre-existing scheme/host/port/
+    path/query metadata columns on the input are left untouched);
+    drops the rank column."""
+    from choetl_spark.operators.weburl import _parts
 
     order = (
         [F.col(order_col).desc(), F.col(id_col).asc()]
         if order_col is not None
         else [F.col(id_col).asc()]
     )
-    parts = with_url_parts(df, url_col).drop(
-        "scheme", "host", "port", "path", "query"
+    parts = df.withColumn(
+        "registered_domain", _parts(F.col(url_col))["registered_domain"]
     )
     final = Window.partitionBy("registered_domain").orderBy(*order)
     return (

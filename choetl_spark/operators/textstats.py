@@ -189,10 +189,17 @@ def with_repetition_stats(
     )
 
 
+def fingerprint_expr(text_col: str):
+    """md5-of-normalized-text Column expression — the ONE definition of
+    "duplicate" shared by batch (:func:`with_fingerprint`), incremental
+    (``dedup_against``), and streaming (``dedup_stream``) dedup."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return F.md5(norm)
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of case/whitespace-normalized text."""
-    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
-    return df.withColumn("fingerprint", F.md5(norm))
+    return df.withColumn("fingerprint", fingerprint_expr(text_col))
 
 
 def winnowing_fingerprints(

@@ -134,8 +134,20 @@ def curate(spark, args) -> dict:
     if args.mixture:
         rates = {}
         for part in args.mixture.split(","):
-            src, _, rate = part.strip().partition("=")
-            rates[src] = float(rate)
+            part = part.strip()
+            if not part:
+                continue  # tolerate trailing/double commas
+            src, eq, rate = part.partition("=")
+            if not eq or not src:
+                raise SystemExit(
+                    f"--mixture: expected 'source=rate', got {part!r}"
+                )
+            try:
+                rates[src] = float(rate)
+            except ValueError:
+                raise SystemExit(
+                    f"--mixture: bad rate for {src!r}: {rate!r}"
+                ) from None
         df = sample_mixture(
             df, rates, source_col=args.source_col, id_col=id_col,
             default_rate=args.mixture_default,

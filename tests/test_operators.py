@@ -1035,3 +1035,74 @@ def test_dedup_semantic_drops_planted_near_dups(spark):
     out2 = dedup_semantic(df, 0.999, n_clusters=4)
     kept2 = {r["vec_id"] for r in out2.collect()}
     assert not ({100 + i for i in range(5)} & kept2)
+
+
+def test_sampling_hash_handles_negative_ids(spark):
+    """ids are often signed 64-bit hashes (xxhash64(url)): the bucket
+    must be non-negative for them, rates must bind, and the operator
+    must agree with the pure-Python floor-mod recompute."""
+    from choetl_spark.operators import sample_mixture, with_split
+
+    ids = [-(2**62) - 7, -1000003, -12345, -1, 0, 1, 12345, 2**62 + 7]
+    df = spark.createDataFrame(
+        [(i, "web") for i in ids], "doc_id long, source string"
+    )
+    # rate 0 drops EVERYTHING, negative ids included (the truncating-%
+    # bug kept 100% of negative ids at any rate)
+    assert sample_mixture(df, {"web": 0.0}).count() == 0
+    assert sample_mixture(df, {"web": 1.0}).count() == len(ids)
+
+    MOD, K = 1000003, 2654435761
+    kept = {
+        r["doc_id"] for r in sample_mixture(df, {"web": 0.5}).collect()
+    }
+    expect = {i for i in ids if ((i % MOD) * K) % MOD < 0.5 * MOD}
+    assert kept == expect  # Python % is floor-mod, same as F.pmod
+
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in with_split(df, val_frac=0.25).collect()
+    }
+    for i in ids:
+        b = ((i % MOD) * K + 17) % MOD
+        assert splits[i] == ("val" if b < 0.25 * MOD else "train"), i
+
+
+def test_cap_per_domain_preserves_metadata_columns(spark):
+    """An input carrying its own host/path metadata columns must pass
+    through untouched (cap_per_domain adds only registered_domain)."""
+    from choetl_spark.operators import cap_per_domain
+
+    df = spark.createDataFrame(
+        [(1, "https://a.example.com/x", "my-host", "my-path", 1.0),
+         (2, "https://b.other.org/y", "h2", "p2", 2.0)],
+        "doc_id long, url string, host string, path string, q double",
+    )
+    out = cap_per_domain(df, k=5, order_col="q")
+    assert set(out.columns) == {
+        "doc_id", "url", "host", "path", "q", "registered_domain"
+    }
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["host"] == "my-host" and rows[1]["path"] == "my-path"
+    assert rows[1]["registered_domain"] == "example.com"
+
+
+def test_dedup_against_precomputed_fingerprints_and_passthrough(spark):
+    """Key-only store join: the reference side can be just fingerprint
+    keys (no text), and a user 'fingerprint' column on the batch rides
+    through untouched."""
+    from pyspark.sql import functions as F
+
+    from choetl_spark.operators import dedup_against
+    from choetl_spark.operators.textstats import fingerprint_expr
+
+    batch = spark.createDataFrame(
+        [(10, "hello  world", "user-fp-a"), (11, "fresh page", "user-fp-b")],
+        "doc_id long, text string, fingerprint string",
+    )
+    store = spark.createDataFrame(
+        [("Hello World",)], "text string"
+    ).select(fingerprint_expr("text").alias("fp"))
+    out = dedup_against(batch, store, ref_fingerprint_col="fp").collect()
+    assert [r["doc_id"] for r in out] == [11]
+    assert out[0]["fingerprint"] == "user-fp-b"  # untouched passthrough

@@ -259,14 +259,25 @@ def test_sampling_ops_scale_shapes(spark):
 
 def test_dedup_against_plan(spark):
     """dedup_against: anti-join on fingerprints only — the reference
-    text column must be pruned before any exchange/broadcast."""
+    side must be column-pruned to the single md5 key BEFORE any
+    exchange/broadcast (pinned on the optimized plan: the anti-join's
+    right child aggregates/projects exactly one _fp column; the
+    reference's doc_id/text never reach the join)."""
+    import re
+
     from choetl_spark.operators import dedup_against
 
     ref = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     batch = spark.createDataFrame([(2, "b")], "doc_id long, text string")
     out = dedup_against(batch, ref)
-    plan = explain_str(out, "formatted")
-    assert "LeftAnti" in plan, plan
+    opt = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in opt, opt
+    # right (reference) side: a one-column Aggregate over a one-column
+    # Project of md5(...) — nothing else survives to shuffle/broadcast
+    assert re.search(
+        r"Aggregate \[_fp#\d+\], \[_fp#\d+\]", opt
+    ), opt
+    assert re.search(r"Project \[md5\([^\n]*\) AS _fp#\d+\]\n", opt), opt
 
 
 def test_top_ngrams_plan(spark):
