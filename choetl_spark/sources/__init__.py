@@ -889,3 +889,11 @@ def write_manifold(
         part = df.select(line.alias("value"))
         rendered = part if rendered is None else rendered.unionAll(part)
     rendered.write.mode("overwrite").text(path)
+
+
+# Executable SQLite staging bridge (reference ChoETL.Sqlite parity) —
+# real database file via stdlib sqlite3; see sqlite_py module docstring.
+from choetl_spark.sources.sqlite_py import (  # noqa: E402,F401
+    read_sqlite,
+    stage_sqlite,
+)

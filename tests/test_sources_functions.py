@@ -672,3 +672,68 @@ def test_read_text_gated_skipuntil_dowhile(spark, tmp_path):
         spark, str(tmp_path / "a.log"), skip_until="line = 'END'"
     )
     assert [r["line"] for r in sorted(tail.collect(), key=lambda r: r["pos"])][:2] == ["END", "trailing"]
+
+
+def test_stage_sqlite_roundtrip_all_types(spark, tmp_path):
+    """Real SQLite staging (reference StageOnSQLite,
+    ChoETL.Sqlite/ChoETLSqlite.cs:24-59): every Spark primitive plus
+    array/decimal round-trips through the database file, including
+    int64 beyond 2**53 (TEXT/REAL coercion would corrupt it), NaN->NULL,
+    and microsecond timestamps."""
+    import datetime
+    import decimal
+
+    from choetl_spark.sources import read_sqlite, stage_sqlite
+
+    ddl = (
+        "id bigint, s string, f double, b boolean, ts timestamp, "
+        "bin binary, tags array<string>, d decimal(10,2), big bigint"
+    )
+    df = spark.createDataFrame(
+        [
+            (
+                1, "a", 3.5, True,
+                datetime.datetime(2024, 1, 2, 3, 4, 5, 123456),
+                b"\x00\xff", ["x", "y"],
+                decimal.Decimal("12.34"), -(2**62) - 7,
+            ),
+            (2, None, float("nan"), None, None, None, None, None, 2**62 + 7),
+        ],
+        ddl,
+    )
+    db = str(tmp_path / "stage.db")
+    stage_sqlite(df, db, "docs")
+    back = read_sqlite(spark, db, table="docs", num_partitions=3, schema=ddl)
+    assert back.schema == df.schema
+    rows = {r["id"]: r for r in back.collect()}
+    assert rows[1]["big"] == -(2**62) - 7 and rows[2]["big"] == 2**62 + 7
+    assert rows[1]["ts"] == datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)
+    assert rows[1]["bin"] == b"\x00\xff" and rows[1]["tags"] == ["x", "y"]
+    assert rows[1]["d"] == decimal.Decimal("12.34")
+    assert rows[2]["f"] is None  # NaN stored as NULL
+    # append mode stacks; overwrite replaces
+    stage_sqlite(df, db, "docs", mode="append")
+    assert read_sqlite(spark, db, table="docs").count() == 4
+    stage_sqlite(df, db, "docs", mode="overwrite")
+    assert read_sqlite(spark, db, table="docs").count() == 2
+
+
+def test_read_sqlite_partitioned_scan_and_query(spark, tmp_path):
+    """The distributed read really splits the table into rowid ranges
+    (one task per range, no overlap/loss), and query= runs arbitrary
+    SQL like the reference's StageOnSQLite(conditions) overload
+    (ChoETL.Sqlite/ChoETLSqlite.cs:46-60)."""
+    from choetl_spark.sources import read_sqlite, stage_sqlite
+
+    df = spark.range(0, 1000).selectExpr("id", "id * 2 AS v")
+    db = str(tmp_path / "part.db")
+    stage_sqlite(df, db, "t")
+    back = read_sqlite(spark, db, table="t", num_partitions=4)
+    assert back.rdd.getNumPartitions() == 4
+    got = {r["id"] for r in back.collect()}
+    assert got == set(range(1000))  # no range overlap, no loss
+    agg = read_sqlite(
+        spark, db,
+        query="SELECT count(*) AS n, sum(v) AS s FROM t WHERE id < 10",
+    ).collect()[0]
+    assert agg["n"] == 10 and agg["s"] == 90
