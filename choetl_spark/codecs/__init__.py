@@ -16,11 +16,13 @@ from choetl_spark.codecs import zstd as _zstd
 from choetl_spark.codecs.base import apply_nulls, split_nulls
 from choetl_spark.codecs.core import (
     decode_bitpack,
+    decode_delta,
     decode_dict,
     decode_foref,
     decode_plain,
     decode_rle,
     encode_bitpack,
+    encode_delta,
     encode_dict,
     encode_foref,
     encode_plain,
@@ -32,6 +34,7 @@ from choetl_spark.codecs.worddict import decode_worddict, encode_worddict
 _ENCODERS = {
     "plain": encode_plain,
     "bitpack": encode_bitpack,
+    "delta": encode_delta,
     "foref": encode_foref,
     "rle": encode_rle,
     "dict": encode_dict,
@@ -42,6 +45,7 @@ _ENCODERS = {
 _DECODERS = {
     "plain": decode_plain,
     "bitpack": decode_bitpack,
+    "delta": decode_delta,
     "foref": decode_foref,
     "rle": decode_rle,
     "dict": decode_dict,

@@ -1,4 +1,4 @@
-"""Core lightweight codecs: plain, bitpack, frame-of-reference, RLE, dict.
+"""Core lightweight codecs: plain, bitpack, frame-of-reference, delta, RLE, dict.
 
 All operate on null-free arrays (nulls are split off in
 ``choetl_spark.codecs``'s top-level encode). Pure NumPy/Arrow — no Spark
@@ -171,6 +171,70 @@ def encode_foref(arr: pa.Array) -> tuple[bytes, dict]:
 def decode_foref(payload: bytes, meta: dict) -> pa.Array:
     deltas = unpack_uints(payload, meta["n"], meta["width"])
     vals = deltas.astype(np.int64) + np.int64(meta["ref"])
+    return from_int_view(vals, meta["dtype"])
+
+
+# ---------------------------------------------------------------------------
+# delta (zigzag successive differences, bitpacked) — the encoding for
+# locally-sorted / clustered int-like columns (crawl timestamps,
+# monotonically assigned ids): consecutive values differ by far less
+# than their frame-of-reference span, so the packed width collapses.
+# ---------------------------------------------------------------------------
+
+
+def _zigzag(d: np.ndarray) -> np.ndarray:
+    """int64 -> uint64 zigzag (0,-1,1,-2,... -> 0,1,2,3,...)."""
+    u = np.ascontiguousarray(d).view(np.uint64)
+    return (u << np.uint64(1)) ^ (d >> np.int64(63)).view(np.uint64)
+
+
+def _unzigzag(zz: np.ndarray) -> np.ndarray:
+    return ((zz >> np.uint64(1)) ^ (np.uint64(0) - (zz & np.uint64(1)))).view(
+        np.int64
+    )
+
+
+def encode_delta(arr: pa.Array) -> tuple[bytes, dict]:
+    """first value + frame-of-reference over zigzag(diff), bitpacked —
+    a constant stride (regular timestamps, dense ids) packs at width 0.
+    Correct for ANY int64 sequence: numpy diff/cumsum are
+    two's-complement wrapping, and zigzag is a bijection on the wrapped
+    domain, so decode reproduces the input even across int64 overflow
+    in the differences."""
+    vals = int_view(arr)
+    first = int(vals[0]) if len(vals) else 0
+    with np.errstate(over="ignore"):
+        zz = _zigzag(np.diff(vals)) if len(vals) > 1 else np.zeros(
+            0, dtype=np.uint64
+        )
+    zref = int(zz.min()) if len(zz) else 0
+    rel = zz - np.uint64(zref)  # zz >= zref: stays in uint64, no wrap
+    w = bit_width(int(rel.max())) if len(rel) else 0
+    payload = pack_uints(rel, w)
+    meta = {
+        "codec": "delta",
+        "dtype": type_to_str(arr.type),
+        "n": len(arr),
+        "first": first,
+        "zref": zref,
+        "width": w,
+    }
+    return payload, meta
+
+
+def decode_delta(payload: bytes, meta: dict) -> pa.Array:
+    n = meta["n"]
+    if n == 0:
+        return from_int_view(np.zeros(0, dtype=np.int64), meta["dtype"])
+    zz = unpack_uints(payload, n - 1, meta["width"]) + np.uint64(
+        meta["zref"]
+    )
+    deltas = _unzigzag(zz)
+    vals = np.empty(n, dtype=np.int64)
+    vals[0] = meta["first"]
+    with np.errstate(over="ignore"):
+        np.cumsum(deltas, out=vals[1:])
+        vals[1:] += np.int64(meta["first"])
     return from_int_view(vals, meta["dtype"])
 
 

@@ -25,6 +25,7 @@ _DECODE_COST = {
     "plain": 0,
     "bitpack": 1,
     "foref": 1,
+    "delta": 2,  # unzigzag + cumsum on top of the unpack
     "rle": 2,
     "dict": 3,
     "worddict": 3,
@@ -46,6 +47,11 @@ def estimate_sizes(arr: pa.Array, st: ChunkStats) -> dict[str, float]:
                 est["bitpack"] = n * w / 8 + 16
             span_w = bit_width(st.max_val - st.min_val)
             est["foref"] = n * span_w / 8 + 24
+            if st.delta_width is not None:
+                # sample-derived width; the true pack width can exceed it
+                # on a lucky prefix, so demand a strict win over foref
+                # (the +8 constant keeps exact ties on foref's side)
+                est["delta"] = n * st.delta_width / 8 + 32
             val_w = bit_width(max(st.max_val - st.min_val, 1))
             est["rle"] = n_runs * (val_w + bit_width(int(n))) / 8 + 32
         if ndv < n / 2:

@@ -35,6 +35,7 @@ class ChunkStats:
     mean_run_len: float = 1.0
     min_val: int | None = None
     max_val: int | None = None
+    delta_width: int | None = None
     avg_len: float = 0.0
     byte_entropy: float = 8.0
     ascii_frac: float = 0.0
@@ -95,6 +96,18 @@ def compute_stats(arr: pa.Array, level: str = "full") -> ChunkStats:
         v = int_view(sample)
         st.ndv = extrapolate_ndv(int(len(np.unique(v))))
         st.mean_run_len = _mean_run_len_int(v)
+        if len(v) > 1:
+            # zigzag width of successive differences on the sample — the
+            # delta-codec size driver (locally sorted/clustered columns:
+            # crawl timestamps, assigned ids). Sample-based like NDV; the
+            # encoder packs at the TRUE width, so a lucky prefix can only
+            # mis-rank, never corrupt.
+            from choetl_spark.codecs.base import bit_width
+            from choetl_spark.codecs.core import _zigzag
+
+            with np.errstate(over="ignore"):
+                zz = _zigzag(np.diff(v))
+            st.delta_width = bit_width(int(zz.max() - zz.min()))
     elif pa.types.is_floating(t):
         v = np.asarray(sample)
         bits = v.view(np.int64 if v.dtype == np.float64 else np.int32)

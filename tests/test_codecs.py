@@ -35,7 +35,7 @@ def roundtrip(arr: pa.Array, codec: str, **kw) -> pa.Array:
 # fixed-width codecs
 # ---------------------------------------------------------------------------
 
-INT_CODECS = ["plain", "foref", "rle", "dict"]
+INT_CODECS = ["plain", "foref", "rle", "dict", "delta"]
 
 
 @pytest.mark.parametrize("codec", INT_CODECS + ["bitpack"])
@@ -91,7 +91,7 @@ def test_timestamp_roundtrip():
         [0, 1_600_000_000_000_000, None, 1_600_000_001_000_000, -(10**15)],
         type=pa.timestamp("us"),
     )
-    for codec in ["plain", "foref", "rle", "dict"]:
+    for codec in ["plain", "foref", "rle", "dict", "delta"]:
         roundtrip(arr, codec)
 
 
@@ -216,8 +216,16 @@ def test_selector_low_ndv_string_picks_dict():
 
 
 def test_selector_sorted_ints_picks_narrow():
+    # consecutive values: zigzag deltas are all 2 (width 2) vs a 12-bit
+    # foref span — delta is the strictly-narrower pick
     arr = pa.array(list(range(100000, 104000)), type=pa.int64())
     codec, _ = choose_codec(arr)
+    assert codec == "delta"
+    # random wide-range ints: no local structure, delta loses to the
+    # frame-of-reference/bitpack family
+    rng = np.random.default_rng(7)
+    wide = pa.array(rng.integers(0, 2**40, 4000))
+    codec, _ = choose_codec(wide)
     assert codec in ("foref", "bitpack")
 
 
@@ -395,3 +403,41 @@ def test_selector_speed_profile_skips_tokenizer_codecs():
     # low-NDV strings still dictionary-encode under speed
     lo = pa.array(["en", "de"] * 500)
     assert choose_codec(lo, optimize_for="speed")[0] == "dict"
+
+
+def test_delta_wraparound_extremes():
+    """Differences that overflow int64 (min<->max jumps) round-trip:
+    numpy diff/cumsum wrap in two's complement and zigzag is a bijection
+    on the wrapped domain."""
+    arr = pa.array(
+        [-(2**63), 2**63 - 1, 0, -1, 2**63 - 1, -(2**63)], type=pa.int64()
+    )
+    roundtrip(arr, "delta")
+
+
+@given(
+    hst.lists(
+        hst.one_of(hst.none(), hst.integers(-(2**63), 2**63 - 1)),
+        max_size=300,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_delta_full_int64_property(vals):
+    roundtrip(pa.array(vals, type=pa.int64()), "delta")
+
+
+def test_delta_sorted_timestamps_collapse():
+    """A constant-stride timestamp column packs to (near) nothing, and
+    the auto selector actually chooses delta for it."""
+    import numpy as np
+
+    ts = pa.array(
+        (np.arange(20000) * 60_000_000 + 1_700_000_000_000_000).astype(
+            np.int64
+        )
+    ).cast(pa.timestamp("us"))
+    payload, meta = encode_array(ts, codec="delta")
+    assert len(payload) < 64  # constant stride -> width-0 pack + first
+    assert decode_array(payload, meta).equals(ts)
+    codec, _ = choose_codec(ts)
+    assert codec == "delta"
