@@ -387,6 +387,89 @@ def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
     return raw.mapInArrow(kernel, "file string, pos bigint, line string")
 
 
+def _lines_with_group(
+    spark: SparkSession, path: str, marker_regex: str
+) -> DataFrame:
+    """(file, pos, rec_id, line) over the streaming line source:
+    ``rec_id`` is the cumulative count of marker-matching lines up to
+    and including this line within its file (0 = before the first
+    marker). Same partition-offset recipe as :func:`read_text_lines`,
+    with the census additionally summing marker hits per (split, file)
+    — the marker flag itself is evaluated JVM-side (``rlike``), the
+    kernel only does offset arithmetic. No single-task window; the
+    data never shuffles here (grouping by rec_id afterwards is the
+    caller's one shuffle)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    raw = spark.read.text(path).select(
+        F.input_file_name().alias("file"),
+        "value",
+        F.col("value").rlike(marker_regex).cast("int").alias("_hit"),
+    )
+    counts = (
+        raw.select(F.spark_partition_id().alias("_pid"), "file", "_hit")
+        .groupBy("_pid", "file")
+        .agg(F.count("*").alias("n"), F.sum("_hit").alias("h"))
+        .collect()
+    )
+    pos_off: dict[tuple[int, str], int] = {}
+    rec_off: dict[tuple[int, str], int] = {}
+    per_file_n: dict[str, int] = {}
+    per_file_h: dict[str, int] = {}
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        key = (r["_pid"], r["file"])
+        pos_off[key] = per_file_n.get(r["file"], 0)
+        rec_off[key] = per_file_h.get(r["file"], 0)
+        per_file_n[r["file"]] = pos_off[key] + r["n"]
+        per_file_h[r["file"]] = rec_off[key] + int(r["h"])
+
+    def kernel(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        seen_n: dict[str, int] = {}
+        seen_h: dict[str, int] = {}
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            d = pc.dictionary_encode(batch.column(0))
+            idx = np.asarray(d.indices)
+            names = d.dictionary.to_pylist()
+            hits = np.asarray(batch.column(2)).astype(np.int64)
+            bounds = (
+                [0]
+                + (np.flatnonzero(idx[1:] != idx[:-1]) + 1).tolist()
+                + [n]
+            )
+            pos = np.empty(n, dtype=np.int64)
+            rec = np.empty(n, dtype=np.int64)
+            for i in range(len(bounds) - 1):
+                s, e = bounds[i], bounds[i + 1]
+                f = names[idx[s]]
+                base = pos_off.get((pid, f), 0) + seen_n.get(f, 0)
+                pos[s:e] = base + np.arange(e - s, dtype=np.int64)
+                seen_n[f] = seen_n.get(f, 0) + (e - s)
+                hbase = rec_off.get((pid, f), 0) + seen_h.get(f, 0)
+                rec[s:e] = hbase + np.cumsum(hits[s:e])
+                seen_h[f] = seen_h.get(f, 0) + int(hits[s:e].sum())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pa.array(pos, type=pa.int64()),
+                    pa.array(rec, type=pa.int64()),
+                    batch.column(1),
+                ],
+                names=["file", "pos", "rec_id", "line"],
+            )
+
+    return raw.mapInArrow(
+        kernel, "file string, pos bigint, rec_id bigint, line string"
+    )
+
+
 def _framed_lines(
     spark: SparkSession,
     path: str,
@@ -522,39 +605,10 @@ def _xml_field_pattern(spec: str) -> tuple[str, int]:
     return "(?s)" + pat, 2
 
 
-def read_xml(
-    spark: SparkSession,
-    path: str,
-    row_tag: str,
-    fields: list[str],
-    max_file_bytes: int | None = 256 << 20,
-) -> DataFrame:
-    """ChoXmlReader analog (reference src/ChoETL/File/Xml/ChoXmlReader.cs:
-    22,651-655): whole-file read, split on <row_tag> boundaries, per-field
-    extraction — all declarative (explode + regexp_extract), no UDFs, no
-    spark-xml dependency (spark-xml remains the full-fidelity cluster
-    path for namespaces/XPath predicates).
-
-    Field specs (the XPath-node-selection subset the reference tests
-    exercise):
-      - ``"name"``       — child element text; attributes on the element
-        and CDATA-wrapped text are handled
-      - ``"a/b/c"``      — nested element text, any depth
-      - ``"@attr"``      — attribute of the row element itself
-      - ``"a/b/@attr"``  — attribute of a nested element
-    Tags/attrs may contain regex metacharacters (dotted or namespaced
-    names like ``ns:item``) — everything is re.escape'd. Unsupported
-    specs raise instead of silently matching nothing.
-    """
-    _guard_wholetext(spark, path, max_file_bytes)
-    import re as _re
-
-    tag = _re.escape(row_tag)
-    whole = spark.read.text(path, wholetext=True)
-    # keep the remainder of the opening tag (attributes) in each record
-    records = whole.select(
-        F.explode(F.split(F.col("value"), f"<{tag}(?=[\\s>/])")).alias("rec")
-    ).filter(F.col("rec").contains(f"</{row_tag}>"))
+def _xml_select(records: DataFrame, fields: list[str]) -> DataFrame:
+    """Shared per-record field extraction over a ``rec`` column whose
+    value is one record's text starting right AFTER the ``<row_tag``
+    open token (so row-element attributes sit before the first '>')."""
     cols = []
     for spec in fields:
         out_name = spec.replace("@", "").replace("/", "_")
@@ -569,6 +623,85 @@ def read_xml(
             )
         cols.append(col.alias(out_name))
     return records.select(*cols)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    fields: list[str],
+    max_file_bytes: int | None = 256 << 20,
+    framing: str = "wholetext",
+) -> DataFrame:
+    """ChoXmlReader analog (reference src/ChoETL/File/Xml/ChoXmlReader.cs:
+    22,651-655): split on <row_tag> boundaries, per-field extraction —
+    all declarative (explode/group + regexp_extract), no UDFs, no
+    spark-xml dependency (spark-xml remains the full-fidelity cluster
+    path for namespaces/XPath predicates).
+
+    Field specs (the XPath-node-selection subset the reference tests
+    exercise):
+      - ``"name"``       — child element text; attributes on the element
+        and CDATA-wrapped text are handled
+      - ``"a/b/c"``      — nested element text, any depth
+      - ``"@attr"``      — attribute of the row element itself
+      - ``"a/b/@attr"``  — attribute of a nested element
+    Tags/attrs may contain regex metacharacters (dotted or namespaced
+    names like ``ns:item``) — everything is re.escape'd. Unsupported
+    specs raise instead of silently matching nothing.
+
+    ``framing="wholetext"`` (default): one string per file, size-capped
+    by ``max_file_bytes``; handles records packed on a single line.
+    ``framing="lines"`` STREAMS arbitrarily large files through the
+    splittable text source (the reference's pull-based line reader
+    shape, src/ChoETL/Common/ChoExtensions.cs:808): each ``<row_tag``
+    open token must start its own line (leading whitespace ok — the
+    machine-generated-XML convention); lines are assigned to records by
+    a cumulative open-tag count (partition-offset recipe, no
+    single-task window) and regrouped with ONE shuffle on
+    (file, record).
+    """
+    import re as _re
+
+    tag = _re.escape(row_tag)
+    open_token = f"<{tag}(?=[\\s>/])"
+    if framing == "lines":
+        lines = _lines_with_group(spark, path, f"^\\s*{open_token}")
+        rec = (
+            lines.filter(F.col("rec_id") >= 1)  # prologue before 1st row
+            .groupBy("file", "rec_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "line"))
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    "\n",
+                ).alias("rec")
+            )
+            # match the wholetext record shape: drop through the open
+            # token so attributes precede the first '>'
+            .select(
+                F.regexp_replace(
+                    "rec", f"^\\s*{open_token}", ""
+                ).alias("rec")
+            )
+        )
+    elif framing == "wholetext":
+        _guard_wholetext(spark, path, max_file_bytes)
+        whole = spark.read.text(path, wholetext=True)
+        # keep the remainder of the opening tag (attributes) per record
+        rec = whole.select(
+            F.explode(F.split(F.col("value"), open_token)).alias("rec")
+        )
+    else:
+        raise ValueError(
+            f"framing must be 'wholetext' or 'lines': {framing!r}"
+        )
+    records = rec.filter(F.col("rec").contains(f"</{row_tag}>"))
+    return _xml_select(records, fields)
 
 
 def read_xml_flat(

@@ -737,3 +737,47 @@ def test_read_sqlite_partitioned_scan_and_query(spark, tmp_path):
         query="SELECT count(*) AS n, sum(v) AS s FROM t WHERE id < 10",
     ).collect()[0]
     assert agg["n"] == 10 and agg["s"] == 90
+
+
+def test_read_xml_lines_framing_streams_and_matches_wholetext(spark, tmp_path):
+    """framing='lines' (streaming text source, no wholetext string):
+    same records as the wholetext path on multi-file input, and the
+    rec_id reconstruction survives one file being forced across MANY
+    splits (the arbitrarily-large-single-file scale path the reference
+    streams via its pull-based line reader, ChoExtensions.cs:808)."""
+    from choetl_spark.sources import read_xml
+
+    def rec(i):
+        return (
+            f'  <row id="{i}">\n    <name>user {i}</name>\n'
+            f"    <addr><city>c{i % 7}</city></addr>\n"
+            f"    <note><![CDATA[n<{i}>]]></note>\n  </row>\n"
+        )
+
+    big = '<?xml version="1.0"?>\n<root>\n' + "".join(
+        rec(i) for i in range(300)
+    ) + "</root>\n"
+    (tmp_path / "big.xml").write_text(big)
+    (tmp_path / "small.xml").write_text(
+        '<root>\n<row id="900">\n<name>tail</name>\n'
+        "<addr><city>z</city></addr>\n<note>t</note>\n</row>\n</root>\n"
+    )
+    fields = ["@id", "name", "addr/city", "note"]
+    expected = sorted(
+        tuple(r)
+        for r in read_xml(
+            spark, str(tmp_path / "*.xml"), "row", fields
+        ).collect()
+    )
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+    try:
+        out = read_xml(
+            spark, str(tmp_path / "*.xml"), "row", fields, framing="lines"
+        )
+        got = sorted(tuple(r) for r in out.collect())
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert len(got) == 301
+    assert got == expected
+    assert ("17", "user 17", "c3", "n<17>") in got
