@@ -784,19 +784,27 @@ def read_yaml(
     yaml_path: str | None = None,
     multi_doc: bool = True,
     max_file_bytes: int | None = 256 << 20,
+    framing: str = "wholetext",
 ) -> DataFrame:
     """ChoYamlReader analog (reference src/ChoETL.Yaml/ChoYamlReader.cs:21):
     YAML documents -> records. Distributed per FILE (wholetext read, one
-    ``yaml.safe_load_all`` per file in an Arrow-batched kernel — YAML has
-    no record-splittable framing, so per-file is the natural parallel
-    unit); documents re-serialize to JSON and land via ``from_json``
-    (explicit ``schema``) or Spark's JSON schema inference.
+    ``yaml.safe_load_all`` per file in an Arrow-batched kernel), with
+    documents re-serialized to JSON landing via ``from_json`` (explicit
+    ``schema``) or Spark's JSON schema inference.
+
+    ``framing="lines"`` STREAMS arbitrarily large multi-doc files: the
+    YAML spec pins the document separator ``---`` to column 0, so lines
+    group into documents by a cumulative separator count (same
+    partition-offset recipe as :func:`read_xml`'s lines framing — no
+    wholetext string, one shuffle on (file, document)), and the same
+    parse kernel runs per DOCUMENT instead of per file. Caveat: a
+    literal block scalar whose body line starts with ``--- `` at column
+    0 would be mis-split; use wholetext for such files.
 
     ``yaml_path`` is the YamlPath-lite subtree selector: a dotted path
     (``a.b``) descended in each document before emission; a list at the
     end fans out one record per element.
     """
-    _guard_wholetext(spark, path, max_file_bytes)
     import json as _json
 
     import pyarrow as pa
@@ -834,9 +842,32 @@ def read_yaml(
                 [pa.array(out, type=pa.string())], names=["json"]
             )
 
-    jsons = spark.read.text(path, wholetext=True).mapInArrow(
-        kernel, "json string"
-    )
+    if framing == "lines":
+        # one chunk per DOCUMENT (doc 0 = content before any '---')
+        contents = (
+            _lines_with_group(spark, path, r"^---(\s|$)")
+            .groupBy("file", "rec_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "line"))
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    "\n",
+                ).alias("value")
+            )
+            .select("value")
+        )
+    elif framing == "wholetext":
+        _guard_wholetext(spark, path, max_file_bytes)
+        contents = spark.read.text(path, wholetext=True)
+    else:
+        raise ValueError(
+            f"framing must be 'wholetext' or 'lines': {framing!r}"
+        )
+    jsons = contents.mapInArrow(kernel, "json string")
     if schema:
         return jsons.select(
             F.from_json("json", schema).alias("r")

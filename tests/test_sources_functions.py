@@ -781,3 +781,37 @@ def test_read_xml_lines_framing_streams_and_matches_wholetext(spark, tmp_path):
     assert len(got) == 301
     assert got == expected
     assert ("17", "user 17", "c3", "n<17>") in got
+
+
+def test_read_yaml_lines_framing_matches_wholetext(spark, tmp_path):
+    """framing='lines' parses per DOCUMENT over the streaming text
+    source (YAML pins '---' to column 0) and agrees with the wholetext
+    path even when one file is forced across many splits."""
+    from choetl_spark.sources import read_yaml
+
+    big = "first: doc0\nn: -1\n" + "".join(
+        f"---\nfirst: u{i}\nn: {i}\n" for i in range(200)
+    )
+    (tmp_path / "big.yaml").write_text(big)
+    (tmp_path / "b.yaml").write_text("---\nfirst: tail\nn: 999\n")
+    ddl = "first string, n long"
+    expected = sorted(
+        tuple(r)
+        for r in read_yaml(
+            spark, str(tmp_path / "*.yaml"), schema=ddl
+        ).collect()
+    )
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+    try:
+        got = sorted(
+            tuple(r)
+            for r in read_yaml(
+                spark, str(tmp_path / "*.yaml"), schema=ddl,
+                framing="lines",
+            ).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert len(got) == 202 and got == expected
+    assert ("doc0", -1) in got and ("tail", 999) in got
