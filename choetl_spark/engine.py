@@ -618,17 +618,33 @@ def prune_partitions_by_stats(
     (the reference relies on Parquet.Net for this; our chunk stats carry
     min/max explicitly). Row alignment is preserved because pruning is at
     partition granularity.
+
+    Int-like columns prune on ``min_val``/``max_val``; string columns
+    (str ``lo``/``hi``) on the 64-char ``min_str``/``max_str`` zone map
+    — byte-wise UTF-8 order on both sides, matching Spark/Arrow string
+    comparison, with a truncated max treated as unbounded above (its
+    prefix under-estimates the true bound).
     """
-    target = enc_df.filter(F.col("column") == column).withColumn(
-        "_s", F.from_json("stats", "min_val long, max_val long")
-    )
-    keep = (
-        target.filter(
-            (F.col("_s.max_val") >= F.lit(lo)) & (F.col("_s.min_val") <= F.lit(hi))
+    if isinstance(lo, str) or isinstance(hi, str):
+        target = enc_df.filter(F.col("column") == column).withColumn(
+            "_s",
+            F.from_json(
+                "stats",
+                "min_str string, max_str string, max_str_trunc boolean",
+            ),
         )
-        .select("part_id")
-        .distinct()
-    )
+        pred = (
+            (F.col("_s.max_str") >= F.lit(lo))
+            | F.coalesce(F.col("_s.max_str_trunc"), F.lit(False))
+        ) & (F.col("_s.min_str") <= F.lit(hi))
+    else:
+        target = enc_df.filter(F.col("column") == column).withColumn(
+            "_s", F.from_json("stats", "min_val long, max_val long")
+        )
+        pred = (F.col("_s.max_val") >= F.lit(lo)) & (
+            F.col("_s.min_val") <= F.lit(hi)
+        )
+    keep = target.filter(pred).select("part_id").distinct()
     return enc_df.join(F.broadcast(keep), "part_id", "semi")
 
 

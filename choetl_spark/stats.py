@@ -36,6 +36,11 @@ class ChunkStats:
     min_val: int | None = None
     max_val: int | None = None
     delta_width: int | None = None
+    # string zone map (64-char bounds; a truncated max is flagged so the
+    # pruner treats it as unbounded above — a prefix UNDER-estimates)
+    min_str: str | None = None
+    max_str: str | None = None
+    max_str_trunc: bool = False
     avg_len: float = 0.0
     byte_entropy: float = 8.0
     ascii_frac: float = 0.0
@@ -77,6 +82,19 @@ def compute_stats(arr: pa.Array, level: str = "full") -> ChunkStats:
         lo, hi = mm["min"], mm["max"]
         st.min_val = int(lo.as_py()) if lo.is_valid else None
         st.max_val = int(hi.as_py()) if hi.is_valid else None
+    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+        # string zone map over the FULL chunk (same pre-sample discipline
+        # as the int min/max above: prune_partitions_by_stats must see
+        # real extremes). min truncates safely (a prefix only lowers the
+        # bound); a truncated max is flagged unbounded-above.
+        mm = pa.compute.min_max(arr)
+        lo, hi = mm["min"], mm["max"]
+        if lo.is_valid:
+            st.min_str = lo.as_py()[:64]
+        if hi.is_valid:
+            full = hi.as_py()
+            st.max_str = full[:64]
+            st.max_str_trunc = len(full) > 64
     sample_rows = _SAMPLE_ROWS if level == "full" else 512
     sample = arr.slice(0, min(n, sample_rows))
     sample = sample.drop_null() if sample.null_count else sample

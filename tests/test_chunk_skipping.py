@@ -45,3 +45,34 @@ def test_prune_keeps_matching_rows(spark, enc):
 def test_prune_drops_out_of_range(spark, enc):
     pruned = prune_partitions_by_stats(enc, "warc_ts", 0, 1)  # epoch ~1970
     assert pruned.count() == 0
+
+
+def test_prune_string_zone_map(spark, enc):
+    """String predicates prune on the 64-char min_str/max_str zone map:
+    a url-range query keeps every matching row, an impossible range
+    drops everything, and a truncated max never causes a false skip."""
+    full = decode_dataframe(enc, columns=["url"]).cache()
+    lo, hi = "https://www.host0", "https://www.host1￿"
+    pruned = prune_partitions_by_stats(enc, "url", lo, hi)
+    dec = decode_dataframe(pruned, columns=["url"])
+    in_range = (F.col("url") >= lo) & (F.col("url") <= hi)
+    assert dec.filter(in_range).count() == full.filter(in_range).count()
+    # impossible range: nothing sorts above "~" (0x7E) in these urls
+    assert prune_partitions_by_stats(enc, "url", "~~~", "~~~~").count() == 0
+
+
+def test_prune_string_truncated_max_is_unbounded(spark):
+    """A >64-char max is stored truncated + flagged; a predicate above
+    the truncated prefix must still KEEP the partition (the full value
+    may match even though its prefix sorts below lo)."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(k=i, s="prefix-" + "x" * 100 + f"-{i}") for i in range(64)]
+    ).repartition(2)
+    cfg = EncodeConfig(shuffle="none", key_col="k")
+    e = encode_dataframe(df, cfg)
+    # lo sorts ABOVE the 64-char truncated prefix but BELOW the full
+    # values — a pruner trusting the truncated max would false-skip
+    lo = "prefix-" + "x" * 57 + "y"
+    assert prune_partitions_by_stats(e, "s", lo, "q").count() > 0
