@@ -1287,13 +1287,13 @@ def _oracle_pack_shards() -> str:
 
 def _bucket_sql(seed: int) -> str:
     """SQL twin of operators.sampling._bucket — bounded Knuth hash
-    whose intermediates stay inside int64 in both engines. The inner
-    pmod (``% M + M) % M``) mirrors Spark's F.pmod for negative ids;
-    with a non-negative operand the outer plain ``%`` is already a
-    pmod."""
+    whose intermediates stay inside int64 in both engines. BOTH mods
+    are spelled as pmod (``(x % M + M) % M``) to mirror Spark's F.pmod:
+    the inner for negative ids, the outer for negative seeds (a plain
+    ``%`` follows the dividend's sign in both engines)."""
     return (
-        f"(((doc_id % 1000003 + 1000003) % 1000003)"
-        f" * 2654435761 + {int(seed)}) % 1000003"
+        f"((((doc_id % 1000003 + 1000003) % 1000003)"
+        f" * 2654435761 + {int(seed)}) % 1000003 + 1000003) % 1000003"
     )
 
 

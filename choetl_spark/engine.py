@@ -637,6 +637,12 @@ def prune_partitions_by_stats(
             (F.col("_s.max_str") >= F.lit(lo))
             | F.coalesce(F.col("_s.max_str_trunc"), F.lit(False))
         ) & (F.col("_s.min_str") <= F.lit(hi))
+        # chunks without a string zone map (stores encoded before the
+        # zone map existed, or all-null chunks) must be KEPT: pruning is
+        # an optimization and a null predicate would silently drop them
+        pred = pred | (
+            F.col("_s.min_str").isNull() & F.col("_s.max_str").isNull()
+        )
     else:
         target = enc_df.filter(F.col("column") == column).withColumn(
             "_s", F.from_json("stats", "min_val long, max_val long")

@@ -470,6 +470,22 @@ def _lines_with_group(
     )
 
 
+def _regroup_lines(lines: DataFrame, out_col: str = "rec") -> DataFrame:
+    """Rebuild one string per (file, rec_id) group from
+    :func:`_lines_with_group` output, lines re-joined in ``pos`` order —
+    the single shuffle of the lines-framing readers (groups are
+    record/document-sized)."""
+    return lines.groupBy("file", "rec_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias(out_col)
+    )
+
+
 def _framed_lines(
     spark: SparkSession,
     path: str,
@@ -667,27 +683,12 @@ def read_xml(
     open_token = f"<{tag}(?=[\\s>/])"
     if framing == "lines":
         lines = _lines_with_group(spark, path, f"^\\s*{open_token}")
-        rec = (
+        rec = _regroup_lines(
             lines.filter(F.col("rec_id") >= 1)  # prologue before 1st row
-            .groupBy("file", "rec_id")
-            .agg(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "line"))
-                        ),
-                        lambda s: s["line"],
-                    ),
-                    "\n",
-                ).alias("rec")
-            )
+        ).select(
             # match the wholetext record shape: drop through the open
             # token so attributes precede the first '>'
-            .select(
-                F.regexp_replace(
-                    "rec", f"^\\s*{open_token}", ""
-                ).alias("rec")
-            )
+            F.regexp_replace("rec", f"^\\s*{open_token}", "").alias("rec")
         )
     elif framing == "wholetext":
         _guard_wholetext(spark, path, max_file_bytes)
@@ -843,23 +844,19 @@ def read_yaml(
             )
 
     if framing == "lines":
-        # one chunk per DOCUMENT (doc 0 = content before any '---')
-        contents = (
-            _lines_with_group(spark, path, r"^---(\s|$)")
-            .groupBy("file", "rec_id")
-            .agg(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "line"))
-                        ),
-                        lambda s: s["line"],
-                    ),
-                    "\n",
-                ).alias("value")
+        if not multi_doc:
+            # wholetext + multi_doc=False raises ComposerError on a
+            # multi-doc file; lines framing splits on '---' first and
+            # would silently accept it — refuse the contradiction
+            raise ValueError(
+                "framing='lines' splits on '---' document markers and "
+                "implies multi_doc=True; use wholetext to enforce "
+                "single-document files"
             )
-            .select("value")
-        )
+        # one chunk per DOCUMENT (doc 0 = content before any '---')
+        contents = _regroup_lines(
+            _lines_with_group(spark, path, r"^---(\s|$)"), "value"
+        ).select("value")
     elif framing == "wholetext":
         _guard_wholetext(spark, path, max_file_bytes)
         contents = spark.read.text(path, wholetext=True)

@@ -44,6 +44,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+def _ident(name: str) -> str:
+    """Double-quoted SQLite identifier with embedded quotes doubled —
+    Spark permits quotes in column names (backticked), so interpolating
+    them raw would break the statement (or inject)."""
+    return '"' + name.replace('"', '""') + '"'
+
+
 _SQLITE_TYPE = {
     "tinyint": "INTEGER",
     "smallint": "INTEGER",
@@ -115,10 +122,10 @@ def stage_sqlite(
     storable = _to_storable(df)
     fields = df.schema.fields
     decls = ", ".join(
-        f'"{f.name}" {_sqlite_decl(f)}' for f in fields
+        f"{_ident(f.name)} {_sqlite_decl(f)}" for f in fields
     )
     placeholders = ", ".join("?" for _ in fields)
-    names = ", ".join(f'"{f.name}"' for f in fields)
+    names = ", ".join(_ident(f.name) for f in fields)
     insert = f'INSERT INTO "{table}" ({names}) VALUES ({placeholders})'
 
     con = sqlite3.connect(db_path)
@@ -148,6 +155,19 @@ def stage_sqlite(
         con.close()
 
 
+def _storage_primitive(dt: T.DataType) -> str:
+    """The sqlite3-cursor primitive a declared Spark type arrives as
+    (mirrors :func:`_to_storable`'s write mapping)."""
+    s = dt.simpleString()
+    if s in ("tinyint", "smallint", "int", "bigint", "boolean"):
+        return "long"
+    if s in ("float", "double"):
+        return "double"
+    if s == "binary":
+        return "binary"
+    return "string"  # timestamp/date/decimal/array/map/struct ride TEXT
+
+
 def _probe(db_path: str, table: str) -> list[tuple[str, str]]:
     """(name, spark_primitive_ddl) per column via PRAGMA table_info."""
     con = sqlite3.connect(f"file:{db_path}?mode=ro", uri=True)
@@ -172,6 +192,22 @@ def _probe(db_path: str, table: str) -> list[tuple[str, str]]:
     return out
 
 
+def _coerce(v, t: str):
+    """Per-value cell coercion for SQLite's loose type affinity: a
+    TEXT-declared column may hold ints, an INTEGER-declared one integral
+    floats. Lossless conversions only; anything else surfaces as the
+    Arrow type error it is."""
+    if v is None:
+        return None
+    if isinstance(v, memoryview):
+        return bytes(v)
+    if t == "string" and not isinstance(v, str):
+        return str(v)
+    if t == "long" and isinstance(v, float) and v.is_integer():
+        return int(v)
+    return v
+
+
 def read_sqlite(
     spark: SparkSession,
     db_path: str,
@@ -185,7 +221,10 @@ def read_sqlite(
     readers) and pulls its own contiguous ``rowid`` range, the
     stdlib-sqlite3 equivalent of Spark-JDBC partitioned reads
     (:func:`read_jdbc`). ``query=`` runs arbitrary SQL in a single
-    task (no rowid to range-partition an arbitrary query by).
+    task (no rowid to range-partition an arbitrary query by); without
+    ``schema=`` the driver additionally executes the query once to
+    probe column names/types, so pass ``schema=`` for expensive
+    queries.
 
     ``schema`` (Spark DDL, e.g. ``"id bigint, ts timestamp, tags
     array<string>"``) restores non-primitive types the TEXT storage
@@ -216,10 +255,10 @@ def read_sqlite(
             for i in range(n_parts)
             if lo + i * step <= hi
         ] or [(0, -1)]
-        names = ", ".join(f'"{n}"' for n, _ in cols)
+        names = ", ".join(_ident(n) for n, _ in cols)
         sql = f'SELECT {names} FROM "{table}" WHERE rowid BETWEEN ? AND ?'
     else:
-        cols = None  # discovered from the cursor inside the task
+        cols = None  # resolved from schema= or a driver-side probe below
         ranges = [(0, 0)]
         sql = query  # type: ignore[assignment]
 
@@ -227,17 +266,29 @@ def read_sqlite(
         len(ranges)
     )
 
-    if cols is None:
-        # single-task arbitrary query: probe column names/types from one
-        # driver-side execution of LIMIT 0 + a sampled row
+    if cols is None and schema is not None:
+        # schema given: storage primitives derive from it — NO probe,
+        # the query runs exactly once (in the task)
+        cols = [
+            (f.name, _storage_primitive(f.dataType))
+            for f in T.StructType.fromDDL(schema).fields
+        ]
+    elif cols is None:
+        # no schema: probe names from the prepared statement and types
+        # from the first rows' values (first non-null per column; 100-row
+        # sample so a leading NULL doesn't mistype the column). NOTE this
+        # executes the query driver-side IN ADDITION to the task's run —
+        # pass schema= to skip the probe for expensive queries.
         con = sqlite3.connect(f"file:{db_path}?mode=ro", uri=True)
         try:
-            cur = con.execute(f"SELECT * FROM ({sql}) LIMIT 1")
-            sample = cur.fetchone()
+            cur = con.execute(sql)
+            rows = cur.fetchmany(100)
             cols = []
             for i, d in enumerate(cur.description):
-                v = sample[i] if sample is not None else None
-                if isinstance(v, bool) or isinstance(v, int):
+                v = next(
+                    (r[i] for r in rows if r[i] is not None), None
+                )
+                if isinstance(v, (bool, int)):
                     t = "long"
                 elif isinstance(v, float):
                     t = "double"
@@ -287,11 +338,7 @@ def read_sqlite(
                         arrays = [
                             pa.array(
                                 [
-                                    (
-                                        bytes(r[i])
-                                        if isinstance(r[i], memoryview)
-                                        else r[i]
-                                    )
+                                    _coerce(r[i], col_types[i])
                                     for r in rows
                                 ],
                                 type=out_schema.field(i).type,

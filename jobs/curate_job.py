@@ -138,6 +138,9 @@ def curate(spark, args) -> dict:
             if not part:
                 continue  # tolerate trailing/double commas
             src, eq, rate = part.partition("=")
+            # strip around '=' too: 'web = 0.3' must key as 'web', not
+            # 'web ' (a silently-never-matching source gets default_rate)
+            src, rate = src.strip(), rate.strip()
             if not eq or not src:
                 raise SystemExit(
                     f"--mixture: expected 'source=rate', got {part!r}"

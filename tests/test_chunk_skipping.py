@@ -76,3 +76,17 @@ def test_prune_string_truncated_max_is_unbounded(spark):
     # values — a pruner trusting the truncated max would false-skip
     lo = "prefix-" + "x" * 57 + "y"
     assert prune_partitions_by_stats(e, "s", lo, "q").count() > 0
+
+
+def test_prune_string_missing_zone_map_keeps_partitions(spark, enc):
+    """Stores encoded before the string zone map existed have no
+    min_str/max_str in their stats JSON — pruning must KEEP those
+    partitions (it is an optimization), not null-filter them away."""
+    legacy = enc.withColumn(
+        "stats", F.lit('{"min_val": null, "max_val": null}')
+    )
+    pruned = prune_partitions_by_stats(legacy, "url", "a", "b")
+    assert (
+        pruned.select("part_id").distinct().count()
+        == enc.select("part_id").distinct().count()
+    )

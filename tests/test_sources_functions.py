@@ -815,3 +815,64 @@ def test_read_yaml_lines_framing_matches_wholetext(spark, tmp_path):
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
     assert len(got) == 202 and got == expected
     assert ("doc0", -1) in got and ("tail", 999) in got
+
+
+def test_read_sqlite_query_leading_null_and_schema_probe_skip(spark, tmp_path):
+    """Query-mode typing survives a NULL in the first rows (type comes
+    from the first NON-null value), and schema= skips the probe while
+    restoring declared types."""
+    import sqlite3
+
+    from choetl_spark.sources import read_sqlite
+
+    db = str(tmp_path / "q.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (k INTEGER, v INTEGER)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [(0, None), (1, None), (2, 42), (3, 7)],
+    )
+    con.commit()
+    con.close()
+    out = read_sqlite(spark, db, query="SELECT v FROM t ORDER BY k")
+    assert [r["v"] for r in out.collect()] == [None, None, 42, 7]
+    out2 = read_sqlite(
+        spark, db, query="SELECT k, v FROM t ORDER BY k",
+        schema="k bigint, v bigint",
+    )
+    assert out2.schema.simpleString() == "struct<k:bigint,v:bigint>"
+    assert [r["v"] for r in out2.collect()] == [None, None, 42, 7]
+
+
+def test_read_sqlite_foreign_affinity_coercion(spark, tmp_path):
+    """SQLite type affinity lets a TEXT column hold ints and an INTEGER
+    column hold integral floats; reads coerce losslessly instead of
+    crashing with an Arrow type error."""
+    import sqlite3
+
+    from choetl_spark.sources import read_sqlite
+
+    db = str(tmp_path / "f.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (s TEXT, n INTEGER)")
+    con.execute("INSERT INTO t VALUES (123, 4.0)")  # affinity abuse
+    con.execute("INSERT INTO t VALUES ('abc', 5)")
+    con.commit()
+    con.close()
+    rows = sorted(
+        tuple(r) for r in read_sqlite(spark, db, table="t").collect()
+    )
+    assert rows == [("123", 4), ("abc", 5)]
+
+
+def test_read_yaml_lines_rejects_single_doc_mode(spark, tmp_path):
+    import pytest as _pytest
+
+    from choetl_spark.sources import read_yaml
+
+    (tmp_path / "x.yaml").write_text("a: 1\n")
+    with _pytest.raises(ValueError, match="multi_doc"):
+        read_yaml(
+            spark, str(tmp_path / "x.yaml"), multi_doc=False,
+            framing="lines",
+        )
