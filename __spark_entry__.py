@@ -679,6 +679,39 @@ def q_roundtrip_text_identity(spark, sf_dir):
     return matched.agg(F.count("*").alias("n_match"))
 
 
+def q_prune_urlrange(spark, sf_dir):
+    """String zone-map partition pruning, end-to-end (SURVEY §step-2
+    stats / Parquet row-group-skip analog): encode the documents-derived
+    web pages, prune the encoded store to a url range via the 64-char
+    min_str/max_str chunk stats, decode ONLY the url column, filter
+    exactly. The oracle applies the same range to the same url
+    expression in DuckDB — if pruning ever drops a partition containing
+    a matching row, the row sets diverge and the gate fails."""
+    from choetl_spark.engine import (
+        EncodeConfig,
+        column_manifest,
+        decode_dataframe,
+        encode_dataframe,
+        prune_partitions_by_stats,
+    )
+    from choetl_spark.synth import webpages_from_documents
+
+    pages = webpages_from_documents(spark, sf_dir)
+    cfg = EncodeConfig(
+        num_partitions=8, chunk_rows=4096, chunk_bytes=4 << 20,
+        deterministic=True,
+    )
+    enc = encode_dataframe(pages, cfg)
+    lo, hi = "https://src1", "https://src1~"  # src1 + src10..src19
+    pruned = prune_partitions_by_stats(enc, "url", lo, hi)
+    dec = decode_dataframe(
+        pruned, columns=["url"], manifest=column_manifest(pages, cfg)
+    )
+    return dec.filter(
+        (F.col("url") >= lo) & (F.col("url") <= hi)
+    ).select("url")
+
+
 def _messy_urls(spark, sf_dir):
     """Deterministic messy-URL corpus over documents: every doc_id
     derives a URL exercising scheme case, userinfo, host case, default
@@ -958,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "encode_summary": q_encode_summary,
         "roundtrip_text_identity": q_roundtrip_text_identity,
+        "prune_urlrange": q_prune_urlrange,
     }
 
 
@@ -1762,5 +1796,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "roundtrip_text_identity": """
             SELECT count(*) AS n_match FROM documents
+        """,
+        "prune_urlrange": f"""
+            WITH t AS (SELECT {_URL_SQL} AS url FROM documents)
+            SELECT url FROM t
+            WHERE url >= 'https://src1' AND url <= 'https://src1~'
         """,
     }
