@@ -712,6 +712,42 @@ def q_prune_urlrange(spark, sf_dir):
     ).select("url")
 
 
+def q_prune_bloom_url(spark, sf_dir):
+    """Per-chunk Bloom point-lookup pruning, end-to-end: encode with
+    blooms on url, prune the store to ONE url, decode only url, filter
+    exactly. False positives only widen the pruned set (the exact
+    filter removes them), false negatives would drop the row and fail
+    the oracle — so the gate pins the no-false-negative contract."""
+    from choetl_spark.engine import (
+        EncodeConfig,
+        column_manifest,
+        decode_dataframe,
+        encode_dataframe,
+        prune_partitions_by_bloom,
+    )
+    from choetl_spark.synth import webpages_from_documents
+
+    pages = webpages_from_documents(spark, sf_dir)
+    cfg = EncodeConfig(
+        num_partitions=8, chunk_rows=4096, chunk_bytes=4 << 20,
+        deterministic=True, bloom_columns=("url",),
+    )
+    enc = encode_dataframe(pages, cfg)
+    # deterministic target at any SF: doc 77's url (one bounded collect)
+    r = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == 77)
+        .select("source", "lang")
+        .collect()[0]
+    )
+    target = f"https://{r['source']}.example.com/{r['lang']}/77"
+    pruned = prune_partitions_by_bloom(enc, "url", target)
+    dec = decode_dataframe(
+        pruned, columns=["url"], manifest=column_manifest(pages, cfg)
+    )
+    return dec.filter(F.col("url") == target).select("url")
+
+
 def _messy_urls(spark, sf_dir):
     """Deterministic messy-URL corpus over documents: every doc_id
     derives a URL exercising scheme case, userinfo, host case, default
@@ -992,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_summary": q_encode_summary,
         "roundtrip_text_identity": q_roundtrip_text_identity,
         "prune_urlrange": q_prune_urlrange,
+        "prune_bloom_url": q_prune_bloom_url,
     }
 
 
@@ -1801,5 +1838,9 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (SELECT {_URL_SQL} AS url FROM documents)
             SELECT url FROM t
             WHERE url >= 'https://src1' AND url <= 'https://src1~'
+        """,
+        "prune_bloom_url": f"""
+            WITH t AS (SELECT doc_id, {_URL_SQL} AS url FROM documents)
+            SELECT url FROM t WHERE doc_id = 77
         """,
     }

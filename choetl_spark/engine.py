@@ -115,6 +115,12 @@ class EncodeConfig:
     # BENCH/BASELINE.md. "ratio" additionally keeps fsst/zstd-3
     # everywhere the sample trial shows any win.
     optimize_for: str = "speed"
+    # opt-in per-chunk Bloom filters (stats JSON, ~1-2 bytes/row) on
+    # high-cardinality string/binary columns: point-lookup pruning via
+    # prune_partitions_by_bloom — the equality complement of the
+    # min/max zone maps (a random url sits inside almost every chunk's
+    # [min, max], but hits ~0 blooms).
+    bloom_columns: tuple = ()
 
 
 # ---------------------------------------------------------------------------
@@ -242,7 +248,17 @@ def _encode_piece(
         out["pre_zstd_bytes"].append(pre)
         out["payload"].append(payload)
         out["meta"].append(json.dumps(meta, separators=(",", ":")))
-        out["stats"].append(json.dumps(st.to_dict(), separators=(",", ":")))
+        st_dict = st.to_dict()
+        if name in cfg.bloom_columns and (
+            pa.types.is_string(sl.type)
+            or pa.types.is_large_string(sl.type)
+            or pa.types.is_binary(sl.type)
+            or pa.types.is_large_binary(sl.type)
+        ):
+            from choetl_spark.bloom import bloom_build
+
+            st_dict["bloom"] = bloom_build(sl)
+        out["stats"].append(json.dumps(st_dict, separators=(",", ":")))
         row_base[name] += ln
         seq_base[name] += 1
 
@@ -651,6 +667,44 @@ def prune_partitions_by_stats(
             F.col("_s.min_val") <= F.lit(hi)
         )
     keep = target.filter(pred).select("part_id").distinct()
+    return enc_df.join(F.broadcast(keep), "part_id", "semi")
+
+
+def prune_partitions_by_bloom(
+    enc_df: DataFrame, column: str, value
+) -> DataFrame:
+    """Point-lookup pruning: drop partitions where EVERY chunk's Bloom
+    filter rules ``value`` out (encode with
+    ``EncodeConfig(bloom_columns=(column,))`` to build them). Chunks
+    without a bloom (legacy stores, all-null chunks, bloom not enabled)
+    are kept — like the zone-map pruner, this can only over-keep.
+
+    The membership test is a pandas UDF over the chunk-METADATA rows
+    (one stats string per chunk), never the payload — at 10^12 docs the
+    chunk table is ~10^7 rows of metadata, so a Python-side probe there
+    is noise next to the payload scan it avoids.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from choetl_spark.bloom import bloom_maybe_contains
+
+    # lambda form: `from __future__ import annotations` stringifies
+    # type hints, which breaks pandas_udf signature inference
+    _maybe = pandas_udf(
+        lambda stats: stats.map(
+            lambda s: bloom_maybe_contains(
+                json.loads(s).get("bloom"), value
+            )
+        ),
+        "boolean",
+    )
+
+    keep = (
+        enc_df.filter(F.col("column") == column)
+        .filter(_maybe(F.col("stats")))
+        .select("part_id")
+        .distinct()
+    )
     return enc_df.join(F.broadcast(keep), "part_id", "semi")
 
 

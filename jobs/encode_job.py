@@ -37,6 +37,12 @@ def main(argv: list[str] | None = None) -> int:
         "(default choice at large scale when the input is already "
         "file-partitioned)",
     )
+    p.add_argument(
+        "--bloom-columns", default=None,
+        help="comma list of string columns to build per-chunk Bloom "
+        "filters for (point-lookup pruning via "
+        "prune_partitions_by_bloom; ~1-2 bytes/row of stats metadata)",
+    )
     p.add_argument("--run-id", default=None)
     args = p.parse_args(argv)
 
@@ -60,6 +66,9 @@ def main(argv: list[str] | None = None) -> int:
         partition_by_host=not args.no_host_partitioning,
         shuffle=args.shuffle,
         optimize_for=args.profile,
+        bloom_columns=tuple(
+            c.strip() for c in args.bloom_columns.split(",") if c.strip()
+        ) if args.bloom_columns else (),
     )
     summary = encode_with_resume(spark, df, args.output, cfg, run_id=args.run_id)
     report = compression_report(read_encoded(spark, args.output)).collect()

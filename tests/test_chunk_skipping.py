@@ -90,3 +90,33 @@ def test_prune_string_missing_zone_map_keeps_partitions(spark, enc):
         pruned.select("part_id").distinct().count()
         == enc.select("part_id").distinct().count()
     )
+
+
+def test_bloom_point_lookup_pruning(spark):
+    """Opt-in per-chunk Blooms prune equality probes the zone map
+    can't: a present url keeps (at least) its own partition and the
+    decoded result still contains it; an absent url prunes most
+    partitions; legacy stats without blooms keep everything."""
+    from choetl_spark.engine import prune_partitions_by_bloom
+    from choetl_spark.synth import webpages
+
+    pages = webpages(spark, 1200, partitions=5)
+    cfg = EncodeConfig(
+        num_partitions=6, chunk_rows=128, bloom_columns=("url",)
+    )
+    e = encode_dataframe(pages, cfg).cache()
+    n_parts = e.select("part_id").distinct().count()
+    target = pages.select("url").limit(1).collect()[0][0]
+
+    hit = prune_partitions_by_bloom(e, "url", target)
+    dec = decode_dataframe(hit, columns=["url"])
+    assert dec.filter(F.col("url") == target).count() == 1
+
+    miss = prune_partitions_by_bloom(
+        e, "url", "https://definitely.absent.example/nope"
+    )
+    assert miss.select("part_id").distinct().count() < n_parts
+
+    legacy = e.withColumn("stats", F.lit('{"min_val": null}'))
+    kept = prune_partitions_by_bloom(legacy, "url", "anything")
+    assert kept.select("part_id").distinct().count() == n_parts

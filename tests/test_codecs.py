@@ -441,3 +441,44 @@ def test_delta_sorted_timestamps_collapse():
     assert decode_array(payload, meta).equals(ts)
     codec, _ = choose_codec(ts)
     assert codec == "delta"
+
+
+# ---------------------------------------------------------------------------
+# bloom filters (pure NumPy; engine wiring tested in test_chunk_skipping)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_scalar_vector_hash_agree():
+    from choetl_spark.bloom import (
+        _hash_value,
+        _row_hashes,
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    vals = [f"https://h{i}.example.com/p/{i}" for i in range(3000)] + [
+        "", "x", "日本語/パス"
+    ]
+    arr = pa.array(vals)
+    h1, h2 = _row_hashes(arr)
+    for i in (0, 1, 2999, 3000, 3001, 3002):
+        s1, s2 = _hash_value(vals[i])
+        assert (s1, s2) == (int(h1[i]), int(h2[i])), vals[i]
+    b = bloom_build(arr)
+    assert all(bloom_maybe_contains(b, v) for v in vals)
+    fp = sum(
+        bloom_maybe_contains(b, f"absent-key-{i}") for i in range(5000)
+    )
+    assert fp / 5000 < 0.05
+    # missing bloom answers True (never over-skip); all-null builds None
+    assert bloom_maybe_contains(None, "z")
+    assert bloom_build(pa.array([None], type=pa.string())) is None
+
+
+@given(hst.lists(hst.binary(max_size=40), min_size=1, max_size=200))
+@settings(max_examples=40, deadline=None)
+def test_bloom_membership_property(vals):
+    from choetl_spark.bloom import bloom_build, bloom_maybe_contains
+
+    b = bloom_build(pa.array(vals, type=pa.binary()))
+    assert all(bloom_maybe_contains(b, v) for v in vals)
