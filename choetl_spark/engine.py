@@ -641,6 +641,22 @@ def prune_partitions_by_stats(
     comparison, with a truncated max treated as unbounded above (its
     prefix under-estimates the true bound).
     """
+    import datetime as _dt
+
+    def _to_micros(v):
+        # timestamp zone maps are int64 MICROS since epoch (stats casts
+        # the chunk to int64); accept datetime/date bounds for callers.
+        # Naive datetimes are UTC — the engine contract pins the session
+        # timezone to UTC (see tests/conftest, verify recipe).
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is None:
+                v = v.replace(tzinfo=_dt.timezone.utc)
+            return int(v.timestamp() * 1_000_000)
+        if isinstance(v, _dt.date):
+            return (v - _dt.date(1970, 1, 1)).days
+        return v
+
+    lo, hi = _to_micros(lo), _to_micros(hi)
     if isinstance(lo, str) or isinstance(hi, str):
         target = enc_df.filter(F.col("column") == column).withColumn(
             "_s",

@@ -83,6 +83,51 @@ def read_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
     return chunks.join(F.broadcast(done), "part_id", "semi")
 
 
+def scan_encoded(
+    spark: SparkSession,
+    out_dir: str,
+    columns: list[str] | None = None,
+    ranges: dict | None = None,
+    equals: dict | None = None,
+) -> DataFrame:
+    """Query the encoded store with metadata pruning in one call: read
+    committed chunks (ledger semi-join), prune partitions by the chunk
+    stats — ``ranges={col: (lo, hi)}`` via the min/max zone maps,
+    ``equals={col: value}`` via the per-chunk Bloom filters — then
+    decode only ``columns`` and re-apply the predicates EXACTLY (the
+    metadata pass is partition-granular and Blooms admit false
+    positives; the residual filter restores precise semantics — the
+    same contract as Parquet row-group skipping + post-filter).
+
+    Predicate columns are auto-added to the decode set, so
+    ``scan_encoded(spark, p, ["text"], equals={"url": u})`` works.
+    """
+    from choetl_spark.engine import (
+        decode_dataframe,
+        prune_partitions_by_bloom,
+        prune_partitions_by_stats,
+    )
+
+    enc = read_encoded(spark, out_dir)
+    ranges = ranges or {}
+    equals = equals or {}
+    for col, (lo, hi) in ranges.items():
+        enc = prune_partitions_by_stats(enc, col, lo, hi)
+    for col, value in equals.items():
+        enc = prune_partitions_by_bloom(enc, col, value)
+    dec_cols = columns
+    if columns is not None:
+        dec_cols = list(
+            dict.fromkeys([*columns, *ranges, *equals])
+        )  # ordered union
+    out = decode_dataframe(enc, columns=dec_cols)
+    for col, (lo, hi) in ranges.items():
+        out = out.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+    for col, value in equals.items():
+        out = out.filter(F.col(col) == value)
+    return out.select(*columns) if columns is not None else out
+
+
 def encode_with_resume(
     spark: SparkSession,
     df: DataFrame,

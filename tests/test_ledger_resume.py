@@ -122,3 +122,35 @@ def test_resume_scan_local_mode(spark, tmp_path):
     assert s2["partitions_encoded_this_run"] == 0
     decoded = decode_dataframe(read_encoded(spark, out))
     assert verify_roundtrip(pages, decoded) == 0
+
+
+def test_scan_encoded_prunes_and_filters_exactly(spark, tmp_path):
+    """scan_encoded = committed chunks -> zone-map/Bloom metadata prune
+    -> column-pruned decode -> exact residual filter, in one call."""
+    from choetl_spark.ledger import scan_encoded
+    from choetl_spark.synth import webpages
+
+    pages = webpages(spark, 800, partitions=4)
+    cfg = EncodeConfig(num_partitions=5, bloom_columns=("url",))
+    out = str(tmp_path / "store")
+    encode_with_resume(spark, pages, out, cfg)
+
+    target = pages.select("url").limit(1).collect()[0][0]
+    got = scan_encoded(
+        spark, out, ["text", "url"], equals={"url": target}
+    ).collect()
+    want = pages.filter(F.col("url") == target).select("text").collect()
+    assert len(got) == 1 and got[0]["url"] == target
+    assert got[0]["text"] == want[0]["text"]
+
+    lo_ts = pages.agg(F.min("warc_ts")).collect()[0][0]
+    import datetime
+
+    hi_ts = lo_ts + datetime.timedelta(minutes=30)
+    ranged = scan_encoded(
+        spark, out, ["url"], ranges={"warc_ts": (lo_ts, hi_ts)}
+    )
+    want_n = pages.filter(
+        (F.col("warc_ts") >= lo_ts) & (F.col("warc_ts") <= hi_ts)
+    ).count()
+    assert ranged.count() == want_n
