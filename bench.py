@@ -154,6 +154,81 @@ def bench_cosine(spark, sf_dir: str) -> None:
     e.q_cosine_topk(spark, sf_dir).collect()
 
 
+_STORE: dict = {}
+
+
+def _bench_store(spark, sf_dir: str) -> dict:
+    """Lazily encode one speed-profile store WITH url Blooms for the
+    scan benches (built during warmup so the timed numbers are scans,
+    not the encode)."""
+    if "path" not in _STORE:
+        import tempfile
+
+        from choetl_spark.engine import EncodeConfig
+        from choetl_spark.ledger import encode_with_resume
+
+        path = tempfile.mkdtemp(prefix="bench_store_")
+        pages = _pages(spark, sf_dir)
+        # salted (host-partitioned) store: scan-local over the single
+        # sf0.1 parquet file yields ONE part_id — no pruning granularity.
+        # Data-derived partitions are also what a real store keyed for
+        # lookups would use.
+        cfg = EncodeConfig(
+            num_partitions=64, chunk_rows=8192, chunk_bytes=8 << 20,
+            shuffle="salted", optimize_for="speed", bloom_columns=("url",),
+        )
+        encode_with_resume(spark, pages, path, cfg)
+        _STORE["target"] = pages.select("url").limit(1).collect()[0][0]
+        _STORE["path"] = path
+        # mechanism evidence for the JSON line: partitions the Bloom
+        # metadata pass keeps for the point lookup vs the store total
+        from choetl_spark.engine import prune_partitions_by_bloom
+        from choetl_spark.ledger import read_encoded
+
+        enc = read_encoded(spark, path)
+        _STORE["parts_total"] = enc.select("part_id").distinct().count()
+        _STORE["parts_kept"] = (
+            prune_partitions_by_bloom(enc, "url", _STORE["target"])
+            .select("part_id").distinct().count()
+        )
+    return _STORE
+
+
+def bench_pruned_lookup(spark, sf_dir: str) -> None:
+    """Point lookup through scan_encoded: Bloom metadata prune -> decode
+    only surviving partitions -> exact filter. At sf0.1 BOTH scan
+    queries are scheduler-constant-bound (~1-2 s of fixed stages on a
+    ~0.5 GB store), so the wall-clock gap understates the mechanism —
+    the JSON's prune_evidence records partitions kept vs total (the
+    data-proportional term pruning removes; at 100 TB that term is the
+    whole scan)."""
+    from choetl_spark.ledger import scan_encoded
+
+    st = _bench_store(spark, sf_dir)
+    scan_encoded(
+        spark, st["path"], ["url", "html", "text"],
+        equals={"url": st["target"]},
+    ).count()
+
+
+def bench_full_scan_filter(spark, sf_dir: str) -> None:
+    """Control for pruned_lookup: decode EVERY partition, filter after."""
+    from pyspark.sql import functions as F
+
+    from choetl_spark.engine import decode_dataframe
+    from choetl_spark.ledger import read_encoded
+
+    st = _bench_store(spark, sf_dir)
+    from choetl_spark.ledger import read_manifest
+
+    dec = decode_dataframe(
+        read_encoded(spark, st["path"]),
+        columns=["url", "html", "text"],
+        manifest=read_manifest(st["path"]),
+    )
+    dec.filter(F.col("url") == st["target"]).count()
+
+
 BENCHES = {
     "encode_webpages": bench_encode,
     "encode_speed_profile": bench_encode_speed,
@@ -163,6 +238,8 @@ BENCHES = {
     "minhash_pairs": bench_minhash,
     "minhash_signatures": bench_minhash_signatures,
     "cosine_topk": bench_cosine,
+    "pruned_point_lookup": bench_pruned_lookup,
+    "full_scan_filter": bench_full_scan_filter,
 }
 
 
@@ -179,6 +256,7 @@ def run_default() -> None:
         EncodeConfig(num_partitions=int(CPUS) * 2, chunk_rows=1024,
                      shuffle="none"),
     ).count()
+    _bench_store(spark, SF_DIR)  # scan benches time scans, not encode
     # best-of-REPS per query: the sandbox is a shared VM with bursty
     # neighbor noise (measured: the identical suite varies 9.0-11.3 s
     # across runs minutes apart with zero code change); min-of-2 keeps
@@ -204,6 +282,10 @@ def run_default() -> None:
                 "sf": sf,
                 "reps": reps,
                 "timing": "best-of-reps per query",
+                "prune_evidence": {
+                    "parts_total": _STORE.get("parts_total"),
+                    "parts_kept_for_point_lookup": _STORE.get("parts_kept"),
+                },
             }
         )
     )

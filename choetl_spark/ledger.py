@@ -120,7 +120,11 @@ def scan_encoded(
         dec_cols = list(
             dict.fromkeys([*columns, *ranges, *equals])
         )  # ordered union
-    out = decode_dataframe(enc, columns=dec_cols)
+    # manifest sidecar (written by encode_with_resume): decode plans
+    # build with ZERO Spark jobs instead of a chunk-metadata aggregate
+    out = decode_dataframe(
+        enc, columns=dec_cols, manifest=read_manifest(out_dir)
+    )
     for col, (lo, hi) in ranges.items():
         out = out.filter((F.col(col) >= lo) & (F.col(col) <= hi))
     for col, value in equals.items():
