@@ -695,32 +695,54 @@ def prune_partitions_by_bloom(
     without a bloom (legacy stores, all-null chunks, bloom not enabled)
     are kept — like the zone-map pruner, this can only over-keep.
 
-    The membership test is a pandas UDF over the chunk-METADATA rows
-    (one stats string per chunk), never the payload — at 10^12 docs the
-    chunk table is ~10^7 rows of metadata, so a Python-side probe there
-    is noise next to the payload scan it avoids.
+    The membership test runs over the chunk-METADATA rows (one stats
+    string per chunk), never the payload, and is fully JVM-side: the
+    probe value's two hashes are driver literals, and each double-hash
+    bit test is from_json + unbase64 + substring/hex/conv/shiftright —
+    whole-stage codegen, no Python worker in the pruning pass. Only the
+    first min(k, 8) probes are tested; a subset of an all-set probe set
+    is still all-set, so this can only over-keep, never over-skip. (At
+    10^12 docs the chunk table is ~10^7 metadata rows — noise next to
+    the payload scan this avoids.)
     """
-    from pyspark.sql.functions import pandas_udf
+    from choetl_spark.bloom import _hash_value
 
-    from choetl_spark.bloom import bloom_maybe_contains
-
-    # lambda form: `from __future__ import annotations` stringifies
-    # type hints, which breaks pandas_udf signature inference
-    _maybe = pandas_udf(
-        lambda stats: stats.map(
-            lambda s: bloom_maybe_contains(
-                json.loads(s).get("bloom"), value
-            )
-        ),
-        "boolean",
-    )
-
-    keep = (
+    target = (
         enc_df.filter(F.col("column") == column)
-        .filter(_maybe(F.col("stats")))
-        .select("part_id")
-        .distinct()
+        .withColumn(
+            "_b",
+            F.from_json(
+                "stats", "bloom struct<m:bigint,k:int,bits:string>"
+            )["bloom"],
+        )
+        .withColumn("_bin", F.unbase64(F.col("_b.bits")))
     )
+    h1, h2 = _hash_value(value)
+    all_hit = None
+    for i in range(8):
+        # probe hash precomputed DRIVER-side (it's a pure function of
+        # the literal value — and bigint `+`/`*` would overflow under
+        # ANSI mode, whereas uint64 wrap is the intended semantics),
+        # reinterpreted as a SIGNED int64 literal: `& (m-1)` on a
+        # power-of-two m extracts the same low bits either way
+        hi = (h1 + i * h2) % (1 << 64)
+        hi = hi - (1 << 64) if hi >= (1 << 63) else hi
+        # bit position g = hi & (m-1); bits are base64 of little-endian
+        # uint64 words, so buffer byte g>>3 holds bit g&7. SQL form —
+        # the SQL functions accept expression arguments the Python
+        # wrappers don't (substring pos, shift n).
+        hit = F.expr(
+            f"{i} >= _b.k OR ("
+            f"  shiftright(cast(conv(hex(substring(_bin,"
+            f"    cast(shiftright({hi} & (_b.m - 1), 3) as int) + 1,"
+            f"    1)), 16, 10) as int),"
+            f"    cast(({hi} & (_b.m - 1)) & 7 as int)"
+            f"  ) & 1 = 1"
+            f")"
+        )
+        all_hit = hit if all_hit is None else (all_hit & hit)
+    pred = F.col("_b").isNull() | F.col("_b.bits").isNull() | all_hit
+    keep = target.filter(pred).select("part_id").distinct()
     return enc_df.join(F.broadcast(keep), "part_id", "semi")
 
 

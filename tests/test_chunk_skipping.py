@@ -120,3 +120,44 @@ def test_bloom_point_lookup_pruning(spark):
     legacy = e.withColumn("stats", F.lit('{"min_val": null}'))
     kept = prune_partitions_by_bloom(legacy, "url", "anything")
     assert kept.select("part_id").distinct().count() == n_parts
+
+
+def test_bloom_jvm_probe_matches_python_reference(spark):
+    """The codegen'd SQL probe (substring/hex/conv/shiftright over the
+    base64 words) must agree bit-for-bit with bloom_maybe_contains for
+    present, absent, unicode, and empty probe values."""
+    import json
+
+    from choetl_spark.bloom import bloom_maybe_contains
+    from choetl_spark.engine import prune_partitions_by_bloom
+    from choetl_spark.synth import webpages
+
+    pages = webpages(spark, 600, partitions=3)
+    cfg = EncodeConfig(
+        num_partitions=4, chunk_rows=64, bloom_columns=("url",)
+    )
+    e = encode_dataframe(pages, cfg).cache()
+    meta = [
+        (r["part_id"], json.loads(r["stats"]).get("bloom"))
+        for r in e.filter(F.col("column") == "url")
+        .select("part_id", "stats")
+        .collect()
+    ]
+    probes = [
+        pages.select("url").limit(1).collect()[0][0],
+        "https://absent.example/none",
+        "日本語/パス?q=1",
+        "",
+    ]
+    for value in probes:
+        want = sorted(
+            {p for p, bl in meta if bloom_maybe_contains(bl, value)}
+        )
+        got = sorted(
+            r["part_id"]
+            for r in prune_partitions_by_bloom(e, "url", value)
+            .select("part_id")
+            .distinct()
+            .collect()
+        )
+        assert got == want, (value, got, want)
