@@ -311,3 +311,24 @@ def test_semantic_neardup_plan_is_cluster_equijoin(spark):
     plan = explain_str(out, "formatted")
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bloom_prune_plan_stays_jvm_side(spark):
+    """prune_partitions_by_bloom's metadata pass is whole-stage-codegen
+    SQL — no Python evaluation node anywhere in the plan (the pandas-UDF
+    probe was replaced by substring/hex/conv/shiftright in round 3)."""
+    from choetl_spark.engine import (
+        EncodeConfig,
+        encode_dataframe,
+        prune_partitions_by_bloom,
+    )
+    from choetl_spark.synth import webpages
+
+    pages = webpages(spark, 200, partitions=2)
+    e = encode_dataframe(
+        pages, EncodeConfig(num_partitions=2, bloom_columns=("url",))
+    )
+    out = prune_partitions_by_bloom(e, "url", "https://x.example/1")
+    plan = explain_str(out, "formatted")
+    assert "EvalPython" not in plan, plan  # Batch/ArrowEvalPython
+    assert "PythonUDF" not in plan, plan
