@@ -491,18 +491,22 @@ def _make_decode_kernel(col_order: list[str], out_schema: pa.Schema, batch_rows:
             nonlocal acc
             if not acc:
                 return
+            # schema evolution: a column with NO chunks in this
+            # partition (added to the store by a later ingest run)
+            # decodes as nulls; a PRESENT column with a row-count
+            # mismatch is still a hard integrity error
+            n = max(
+                sum(len(p) for p in pieces) for pieces in acc.values()
+            )
             cols = []
-            n = None
             for name in col_order:
                 pieces = acc.get(name, [])
                 arr = (
                     pa.concat_arrays(pieces)
                     if pieces
-                    else pa.array([], type=out_schema.field(name).type)
+                    else pa.nulls(n, type=out_schema.field(name).type)
                 )
-                if n is None:
-                    n = len(arr)
-                elif len(arr) != n:
+                if len(arr) != n:
                     raise ValueError(
                         f"column {name}: {len(arr)} rows, expected {n} "
                         f"(part {cur_part} incomplete?)"

@@ -179,12 +179,26 @@ def encode_with_resume(
     else:
         pending = planned
     enc = encode_dataframe(pending, cfg)
-    # manifest sidecar BEFORE the chunk write: a pure function of the
-    # source schema (identical every run), so an overwrite is idempotent
-    # and readers can build decode plans with zero Spark jobs
+    # manifest sidecar BEFORE the chunk write, MERGED with any existing
+    # manifest (schema evolution: a later ingest run may add columns —
+    # the Iceberg add-column contract; partitions encoded before the
+    # column existed decode it as nulls). For columns present in both,
+    # this run's storage type wins only if unchanged; a type CHANGE is
+    # an error, not a silent rewrite.
     os.makedirs(out_dir, exist_ok=True)
+    new_manifest = column_manifest(df, cfg)
+    prior = read_manifest(out_dir) or {}
+    for col, m in prior.items():
+        if col not in new_manifest:
+            new_manifest[col] = m  # dropped-from-df column stays readable
+        elif new_manifest[col]["dtype"] != m["dtype"]:
+            raise ValueError(
+                f"schema evolution: column {col!r} changes storage type "
+                f"{m['dtype']} -> {new_manifest[col]['dtype']}; type "
+                "changes need a rewrite, not a resume"
+            )
     with open(_manifest_path(out_dir), "w", encoding="utf-8") as fh:
-        json.dump(column_manifest(df, cfg), fh, indent=1, sort_keys=True)
+        json.dump(new_manifest, fh, indent=1, sort_keys=True)
     enc.write.mode("append").option("compression", "none").parquet(
         _chunks_dir(out_dir)
     )

@@ -154,3 +154,49 @@ def test_scan_encoded_prunes_and_filters_exactly(spark, tmp_path):
         (F.col("warc_ts") >= lo_ts) & (F.col("warc_ts") <= hi_ts)
     ).count()
     assert ranged.count() == want_n
+
+
+def test_schema_evolution_added_column_decodes_as_nulls(spark, tmp_path):
+    """Iceberg add-column contract: a later ingest run adds a column;
+    the manifest merges (type changes refused), partitions encoded
+    before the column existed decode it as NULL, newer ones carry
+    values — one decode over the whole store."""
+    import pytest as _pytest
+
+    from choetl_spark.ledger import read_manifest, scan_encoded
+
+    out = str(tmp_path / "evolving")
+    run1 = spark.createDataFrame(
+        [(i, f"https://a.example/{i}", f"text {i}") for i in range(40)],
+        "part_id long, url string, text string",
+    ).withColumn("part_id", F.col("part_id") % 2)
+    encode_with_resume(spark, run1, out, EncodeConfig(key_col="url"))
+
+    run2 = spark.createDataFrame(
+        [
+            (2 + i % 2, f"https://b.example/{i}", f"new {i}", "en")
+            for i in range(40)
+        ],
+        "part_id long, url string, text string, lang string",
+    )
+    encode_with_resume(spark, run2, out, EncodeConfig(key_col="url"))
+
+    man = read_manifest(out)
+    assert set(man) == {"url", "text", "lang"}
+    full = scan_encoded(spark, out, ["url", "text", "lang"])
+    assert full.count() == 80
+    assert full.filter(F.col("lang").isNull()).count() == 40  # run-1 rows
+    assert (
+        full.filter(F.col("url").startswith("https://b"))
+        .filter(F.col("lang") == "en")
+        .count()
+        == 40
+    )
+
+    # a storage-type CHANGE is refused, not silently rewritten
+    run3 = spark.createDataFrame(
+        [(4, f"https://c.example/{i}", 123, "en") for i in range(5)],
+        "part_id long, url string, text int, lang string",
+    )
+    with _pytest.raises(ValueError, match="storage type"):
+        encode_with_resume(spark, run3, out, EncodeConfig(key_col="url"))
