@@ -563,6 +563,13 @@ def decode_dataframe(
     launches ZERO Spark jobs; without it the types are recovered with one
     small aggregate over the chunk metadata (a full metadata pass at
     scale — pass the manifest on hot paths).
+
+    Schema evolution: a column a later ingest run ADDED decodes as NULL
+    in partitions encoded before it existed. Caveat: when EVERY
+    requested column is late-added, those old partitions contribute no
+    chunks at all, so their row count is unknowable here and they are
+    absent from the result — include any original column (the key
+    column) in ``columns`` to materialize them.
     """
     if manifest is not None:
         types = {c: str_to_type(m["dtype"]) for c, m in manifest.items()}
