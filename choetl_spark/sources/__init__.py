@@ -621,6 +621,19 @@ def _xml_field_pattern(spec: str) -> tuple[str, int]:
     return "(?s)" + pat, 2
 
 
+def _xml_unescape(col):
+    """The five predefined XML entities, plain text only (CDATA bodies
+    are literal by definition). ``&amp;`` LAST so ``&amp;lt;`` correctly
+    yields the literal ``&lt;``. Numeric character references are out of
+    scope (the writer never emits them)."""
+    for ent, raw in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&apos;", "'"), ("&amp;", "&"),
+    ):
+        col = F.regexp_replace(col, ent, raw)
+    return col
+
+
 def _xml_select(records: DataFrame, fields: list[str]) -> DataFrame:
     """Shared per-record field extraction over a ``rec`` column whose
     value is one record's text starting right AFTER the ``<row_tag``
@@ -629,13 +642,14 @@ def _xml_select(records: DataFrame, fields: list[str]) -> DataFrame:
     for spec in fields:
         out_name = spec.replace("@", "").replace("/", "_")
         pat, n_groups = _xml_field_pattern(spec)
-        if n_groups == 1:
-            col = F.regexp_extract(F.col("rec"), pat, 1)
+        if n_groups == 1:  # attribute value: always entity-escaped text
+            col = _xml_unescape(F.regexp_extract(F.col("rec"), pat, 1))
         else:
-            # group 1 = CDATA body, group 2 = plain text; one is empty
+            # group 1 = CDATA body (literal, NO unescape), group 2 =
+            # plain element text (entity-escaped); one is empty
             col = F.concat(
                 F.regexp_extract(F.col("rec"), pat, 1),
-                F.regexp_extract(F.col("rec"), pat, 2),
+                _xml_unescape(F.regexp_extract(F.col("rec"), pat, 2)),
             )
         cols.append(col.alias(out_name))
     return records.select(*cols)

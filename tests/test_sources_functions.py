@@ -619,21 +619,24 @@ def test_bson_roundtrip(spark, tmp_path):
 
 
 def test_write_xml_roundtrip(spark, tmp_path):
-    """write_xml -> read_xml closes the XML loop: attributes + escaped
-    element text survive."""
+    """write_xml -> read_xml closes the XML loop with TRUE value identity:
+    the reader decodes the five predefined entities the writer emits,
+    matching the reference reader's behavior (ChoXmlReader materializes
+    decoded text via XElement.Value, never raw markup)."""
     from choetl_spark.sources import read_xml, write_xml
 
     df = spark.createDataFrame(
-        [(1, "a<b&c", "x"), (2, None, 'q"z')], "id long, note string, v string"
+        [(1, "a<b&c", "x"), (2, None, 'q"z&amp;w')],
+        "id long, note string, v string",
     )
     p = str(tmp_path / "out_xml")
     write_xml(df, p, row_tag="item", root_tag="cat", attributes=["id"])
     back = read_xml(spark, p, "item", ["@id", "note", "v"])
     rows = sorted(back.collect(), key=lambda r: r["id"])
     assert [r["id"] for r in rows] == ["1", "2"]
-    # entity decode is the consumer's job; assert the raw escaped forms
-    assert rows[0]["note"] == "a&lt;b&amp;c"
-    assert rows[1]["v"] == "q&quot;z"
+    assert rows[0]["note"] == "a<b&c"
+    # double-escaping round-trips: source text "&amp;" survives literally
+    assert rows[1]["v"] == 'q"z&amp;w'
     assert rows[1]["note"] == ""  # null -> element omitted
 
 
