@@ -37,7 +37,7 @@ from choetl_spark.partitioning import plan_partitions
 LEDGER_SCHEMA_DDL = (
     "part_id long, fingerprint long, n_rows long, raw_bytes long, "
     "encoded_bytes long, n_chunks long, codec_map string, run_id string, "
-    "status string"
+    "run_seq long, status string"
 )
 
 
@@ -68,19 +68,137 @@ def read_manifest(out_dir: str) -> dict | None:
 def read_ledger(spark: SparkSession, out_dir: str) -> DataFrame | None:
     path = _ledger_dir(out_dir)
     try:
-        return spark.read.parquet(path)
+        # mergeSchema: ledger files are tiny and a store resumed across
+        # engine upgrades may mix footers with/without newer columns
+        ledger = spark.read.option("mergeSchema", "true").parquet(path)
     except Exception:
         return None
+    if "run_seq" not in ledger.columns:  # pre-snapshot stores: one epoch
+        ledger = ledger.withColumn("run_seq", F.lit(1))
+    else:
+        # a pre-snapshot store resumed after the upgrade: old ledger
+        # files lack the column, parquet schema union reads them as null
+        ledger = ledger.withColumn(
+            "run_seq", F.coalesce(F.col("run_seq"), F.lit(1)).cast("long")
+        )
+    return ledger
 
 
-def read_encoded(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Committed chunks only (semi-join against the ledger)."""
+def read_encoded(
+    spark: SparkSession, out_dir: str, as_of: int | None = None
+) -> DataFrame:
+    """Committed chunks only (semi-join against the ledger).
+
+    ``as_of`` is a snapshot read (Iceberg time-travel contract on an
+    append-only store): only partitions committed at ledger epoch
+    ``run_seq <= as_of`` are visible. Sound because committed partitions
+    are immutable — later runs only APPEND new partitions — so epoch
+    ``k``'s table is exactly the ``run_seq <= k`` subset. ``None`` reads
+    the latest snapshot."""
     chunks = spark.read.parquet(_chunks_dir(out_dir))
     ledger = read_ledger(spark, out_dir)
     if ledger is None:
         return chunks.limit(0)
-    done = ledger.filter(F.col("status") == "done").select("part_id").distinct()
+    done = ledger.filter(F.col("status") == "done")
+    if as_of is not None:
+        done = done.filter(F.col("run_seq") <= int(as_of))
+    done = done.select("part_id").distinct()
     return chunks.join(F.broadcast(done), "part_id", "semi")
+
+
+def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
+    """One row per commit epoch (the Iceberg snapshot-list analog):
+    ``(run_seq, run_id, n_partitions, n_rows, raw_bytes,
+    encoded_bytes)``, ordered by epoch. Pass a ``run_seq`` to
+    ``read_encoded``/``scan_encoded`` ``as_of=`` for time travel."""
+    ledger = read_ledger(spark, out_dir)
+    if ledger is None:
+        return spark.createDataFrame(
+            [],
+            "run_seq long, run_id string, n_partitions long, n_rows long,"
+            " raw_bytes long, encoded_bytes long",
+        )
+    return (
+        ledger.filter(F.col("status") == "done")
+        .groupBy("run_seq", "run_id")
+        .agg(
+            F.count("*").alias("n_partitions"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("encoded_bytes").alias("encoded_bytes"),
+        )
+        .orderBy("run_seq")
+    )
+
+
+def vacuum(
+    spark: SparkSession, out_dir: str, grace_sec: float = 0.0
+) -> dict:
+    """Delete orphaned chunk FILES — files whose partitions never got a
+    ledger commit row (a crashed run's leftovers). Readers already
+    ignore them (``read_encoded`` semi-joins the ledger), so vacuum is
+    pure storage reclamation, the ``remove_orphan_files`` action of an
+    Iceberg catalog.
+
+    File-granular and safe by construction: every chunk file is written
+    by exactly one run, so a file either had ALL its partitions
+    committed (kept) or none (orphan). ``grace_sec`` skips files younger
+    than the cutoff — in production set it above the max job duration so
+    a vacuum can't race an in-flight run's just-written files; 0 is for
+    tests/offline maintenance. No ledger at all = no commit record to
+    judge against (a first run may be mid-flight) -> no-op.
+
+    The Spark pass is metadata-scale (distinct (file, part_id) pairs);
+    only the orphan FILE LIST reaches the driver.
+    """
+    import time
+
+    try:
+        chunks = spark.read.parquet(_chunks_dir(out_dir))
+    except Exception:
+        return {"files_removed": 0, "bytes_reclaimed": 0}
+    ledger = read_ledger(spark, out_dir)
+    if ledger is None:
+        return {"files_removed": 0, "bytes_reclaimed": 0}
+    done = (
+        ledger.filter(F.col("status") == "done").select("part_id").distinct()
+    )
+    per_file = (
+        chunks.select(
+            F.col("_metadata.file_path").alias("file"), "part_id"
+        )
+        .distinct()
+        .join(
+            F.broadcast(done.withColumn("_committed", F.lit(1))),
+            "part_id",
+            "left",
+        )
+        .groupBy("file")
+        .agg(
+            F.max(F.coalesce(F.col("_committed"), F.lit(0))).alias(
+                "any_committed"
+            )
+        )
+    )
+    orphans = [
+        r["file"]
+        for r in per_file.filter(F.col("any_committed") == 0).collect()
+    ]
+    removed = 0
+    reclaimed = 0
+    cutoff = time.time() - grace_sec
+    for uri in orphans:
+        path = uri.removeprefix("file://").removeprefix("file:")
+        try:
+            if os.path.getmtime(path) > cutoff:
+                continue
+            size = os.path.getsize(path)
+            os.remove(path)
+        except OSError:
+            continue  # already gone / concurrent maintenance
+        removed += 1
+        reclaimed += size
+    return {"files_removed": removed, "bytes_reclaimed": reclaimed}
 
 
 def scan_encoded(
@@ -89,6 +207,7 @@ def scan_encoded(
     columns: list[str] | None = None,
     ranges: dict | None = None,
     equals: dict | None = None,
+    as_of: int | None = None,
 ) -> DataFrame:
     """Query the encoded store with metadata pruning in one call: read
     committed chunks (ledger semi-join), prune partitions by the chunk
@@ -101,6 +220,7 @@ def scan_encoded(
 
     Predicate columns are auto-added to the decode set, so
     ``scan_encoded(spark, p, ["text"], equals={"url": u})`` works.
+    ``as_of`` time-travels to a ledger epoch (see ``read_encoded``).
     """
     from choetl_spark.engine import (
         decode_dataframe,
@@ -108,7 +228,7 @@ def scan_encoded(
         prune_partitions_by_stats,
     )
 
-    enc = read_encoded(spark, out_dir)
+    enc = read_encoded(spark, out_dir, as_of=as_of)
     ranges = ranges or {}
     equals = equals or {}
     for col, (lo, hi) in ranges.items():
@@ -167,7 +287,11 @@ def encode_with_resume(
         )
     ledger = read_ledger(spark, out_dir)
     already = 0
+    run_seq = 1
     if ledger is not None:
+        run_seq = (
+            ledger.agg(F.max("run_seq")).collect()[0][0] or 0
+        ) + 1  # next commit epoch (metadata-scale agg)
         done = ledger.filter(F.col("status") == "done").select("part_id").distinct()
         already = (
             planned.select("part_id")
@@ -240,6 +364,7 @@ def encode_with_resume(
             "n_chunks",
             "codec_map",
             F.lit(run_id).alias("run_id"),
+            F.lit(run_seq).cast("long").alias("run_seq"),
             F.lit("done").alias("status"),
         )
     )

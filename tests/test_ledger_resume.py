@@ -200,3 +200,85 @@ def test_schema_evolution_added_column_decodes_as_nulls(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="storage type"):
         encode_with_resume(spark, run3, out, EncodeConfig(key_col="url"))
+
+
+def test_vacuum_removes_orphan_chunks(spark, tmp_path):
+    """A crashed run leaves chunk files with no ledger commit row.
+    Readers already ignore them (semi-join); vacuum reclaims the bytes
+    without touching committed data — the Iceberg remove_orphan_files
+    action."""
+    import glob
+    import os
+
+    from choetl_spark.engine import encode_dataframe
+    from choetl_spark.ledger import _chunks_dir, vacuum
+
+    out = str(tmp_path / "store_vac")
+    pages = webpages(spark, 400, partitions=2)
+    cfg = EncodeConfig(num_partitions=2, shuffle="none")
+    encode_with_resume(spark, pages, out, cfg, run_id="ok")
+    committed = decode_dataframe(read_encoded(spark, out))
+    assert verify_roundtrip(pages, committed) == 0
+
+    # simulate the crash: chunks land, the ledger row never does
+    orphan_src = pages.limit(150).withColumn("part_id", F.lit(99))
+    encode_dataframe(orphan_src, cfg).write.mode("append").option(
+        "compression", "none"
+    ).parquet(_chunks_dir(out))
+    files_before = set(glob.glob(os.path.join(_chunks_dir(out), "*.parquet")))
+    # the orphan is invisible to readers even before vacuum
+    assert read_encoded(spark, out).filter(F.col("part_id") == 99).count() == 0
+
+    stats = vacuum(spark, out)
+    assert stats["files_removed"] >= 1 and stats["bytes_reclaimed"] > 0
+    files_after = set(glob.glob(os.path.join(_chunks_dir(out), "*.parquet")))
+    assert files_after < files_before
+    # committed table untouched, still bit-identical
+    assert verify_roundtrip(pages, decode_dataframe(read_encoded(spark, out))) == 0
+    # idempotent
+    assert vacuum(spark, out) == {"files_removed": 0, "bytes_reclaimed": 0}
+
+    # a grace window protects files younger than the cutoff (in-flight run)
+    encode_dataframe(orphan_src, cfg).write.mode("append").option(
+        "compression", "none"
+    ).parquet(_chunks_dir(out))
+    assert vacuum(spark, out, grace_sec=3600)["files_removed"] == 0
+    assert vacuum(spark, out)["files_removed"] >= 1
+
+
+def test_time_travel_snapshot_reads(spark, tmp_path):
+    """as_of reads reproduce the table exactly as of a ledger epoch
+    (append-only store: epoch k = partitions with run_seq <= k)."""
+    from choetl_spark.ledger import scan_encoded, snapshots
+
+    out = str(tmp_path / "store_tt")
+    run1 = spark.createDataFrame(
+        [(i % 2, f"https://a.example/{i}", f"one {i}") for i in range(40)],
+        "part_id long, url string, text string",
+    )
+    run2 = spark.createDataFrame(
+        [(2 + i % 2, f"https://b.example/{i}", f"two {i}") for i in range(30)],
+        "part_id long, url string, text string",
+    )
+    cfg = EncodeConfig(key_col="url")
+    encode_with_resume(spark, run1, out, cfg, run_id="epoch1")
+    encode_with_resume(spark, run2, out, cfg, run_id="epoch2")
+
+    snaps = snapshots(spark, out).collect()
+    assert [(s["run_seq"], s["run_id"], s["n_partitions"]) for s in snaps] == [
+        (1, "epoch1", 2),
+        (2, "epoch2", 2),
+    ]
+    assert [s["n_rows"] for s in snaps] == [40, 30]
+
+    v1 = scan_encoded(spark, out, ["url", "text"], as_of=1)
+    assert v1.count() == 40
+    assert v1.filter(F.col("url").startswith("https://b")).count() == 0
+    v2 = scan_encoded(spark, out, ["url", "text"], as_of=2)
+    assert v2.count() == 70
+    assert scan_encoded(spark, out, ["url", "text"]).count() == 70
+    # epoch-1 content is exactly run1, byte-for-byte
+    assert (
+        v1.exceptAll(run1.select("url", "text")).count() == 0
+        and run1.select("url", "text").exceptAll(v1).count() == 0
+    )
