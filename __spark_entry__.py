@@ -748,6 +748,57 @@ def q_prune_bloom_url(spark, sf_dir):
     return dec.filter(F.col("url") == target).select("url")
 
 
+def q_store_time_travel(spark, sf_dir):
+    """Time-travel snapshot reads over the checkpointed store (the
+    Iceberg snapshot contract; SURVEY §2.2 + north-rule lineage): two
+    ingest epochs commit disjoint partition sets, then for each ledger
+    epoch the query reports the snapshot's accounting (n_partitions,
+    n_rows from ledger rows) AND an actual as_of read-back row count
+    through scan_encoded. The oracle recomputes all four counts from the
+    epoch predicates (doc_id%3) on the documents table — a ledger
+    accounting bug, an epoch-filter bug, or a time-travel read leaking
+    later partitions all flip it. Results are collected eagerly so the
+    temp store can be deleted before returning."""
+    import shutil
+    import tempfile
+
+    from choetl_spark.engine import EncodeConfig
+    from choetl_spark.ledger import encode_with_resume, scan_encoded, snapshots
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    epoch1 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") % 2).alias("part_id"), "doc_id", "text"
+    )
+    epoch2 = docs.filter(F.col("doc_id") % 3 != 0).select(
+        (F.col("doc_id") % 2 + 2).alias("part_id"), "doc_id", "text"
+    )
+    out = tempfile.mkdtemp(prefix="choetl_tt_")
+    try:
+        cfg = EncodeConfig(
+            key_col="doc_id", chunk_rows=4096, deterministic=True
+        )
+        encode_with_resume(spark, epoch1, out, cfg, run_id="epoch1")
+        encode_with_resume(spark, epoch2, out, cfg, run_id="epoch2")
+        snaps = snapshots(spark, out).collect()
+        rows = [
+            (
+                s["run_seq"],
+                s["n_partitions"],
+                s["n_rows"],
+                scan_encoded(
+                    spark, out, ["doc_id"], as_of=s["run_seq"]
+                ).count(),
+            )
+            for s in snaps
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "run_seq long, n_partitions long, n_rows long, rows_as_of long",
+    )
+
+
 def _messy_urls(spark, sf_dir):
     """Deterministic messy-URL corpus over documents: every doc_id
     derives a URL exercising scheme case, userinfo, host case, default
@@ -1029,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_text_identity": q_roundtrip_text_identity,
         "prune_urlrange": q_prune_urlrange,
         "prune_bloom_url": q_prune_bloom_url,
+        "store_time_travel": q_store_time_travel,
     }
 
 
@@ -1842,5 +1894,18 @@ def oracle_sql() -> dict[str, str]:
         "prune_bloom_url": f"""
             WITH t AS (SELECT doc_id, {_URL_SQL} AS url FROM documents)
             SELECT url FROM t WHERE doc_id = 77
+        """,
+        "store_time_travel": """
+            WITH c AS (
+              SELECT CAST(count(*) FILTER (doc_id % 3 = 0) AS BIGINT) AS c1,
+                     CAST(count(*) FILTER (doc_id % 3 <> 0) AS BIGINT) AS c2
+              FROM documents
+            )
+            SELECT CAST(1 AS BIGINT) AS run_seq,
+                   CAST(2 AS BIGINT) AS n_partitions,
+                   c1 AS n_rows, c1 AS rows_as_of FROM c
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+                   c2, c1 + c2 FROM c
         """,
     }
