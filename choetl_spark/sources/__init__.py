@@ -569,12 +569,82 @@ def read_kvp(
     )
 
 
-def _xml_field_pattern(spec: str) -> tuple[str, int]:
-    """(regex, n_groups) for one XML field spec; raises on specs outside
-    the supported subset instead of silently matching nothing (round-2
-    verdict #6: an ``a/b/c`` path used to return empty strings)."""
+def _xml_name_resolver(path: str, namespaces: dict[str, str]):
+    """URI-based namespace resolution for the regex XML reader — the
+    reference's WithXmlNamespaceManager semantics
+    (src/ChoETL/File/Xml/ChoXmlReader.cs:480-520): the CALLER's prefixes
+    are bound to URIs, and names match whatever prefixes the DOCUMENT
+    binds to the same URI (including the default namespace).
+
+    Declarations are sniffed driver-side from the first file's prefix
+    (same one-small-read convention as :func:`sniff_delimiter`) — the
+    declared-at-root convention of machine-generated feeds. Files that
+    re-declare prefixes mid-document or bind different URIs per file
+    need spark-xml on a real cluster (documented subset). A query URI
+    the document never declares raises instead of matching nothing.
+
+    Returns ``resolve(name) -> regex fragment``.
+    """
+    import glob as _glob
+    import os as _os
     import re as _re
 
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            "namespaces= resolves declarations from a local file prefix; "
+            f"for remote storage ({path.split('://')[0]}://) use "
+            "spark-xml or pre-resolved literal prefixes in field specs"
+        )
+    p = path.removeprefix("file://")
+    if _os.path.isdir(p):
+        files = sorted(
+            f
+            for f in _glob.glob(_os.path.join(p, "*"))
+            if _os.path.isfile(f)
+            and not _os.path.basename(f).startswith(("_", "."))
+            and _os.path.getsize(f) > 0
+        )
+    else:
+        files = sorted(_glob.glob(p)) or [p]
+    head = ""
+    if files:
+        with open(files[0], encoding="utf-8", errors="replace") as fh:
+            head = fh.read(65536)
+    # xmlns="uri" (default ns, prefix '') and xmlns:pf="uri"
+    decls = _re.findall(r'xmlns(?::([\w.\-]+))?\s*=\s*"([^"]*)"', head)
+
+    def resolve(name: str) -> str:
+        if ":" not in name:
+            return _re.escape(name)
+        qpf, local = name.split(":", 1)
+        if qpf not in namespaces:
+            return _re.escape(name)  # literal prefix, not ns-managed
+        uri = namespaces[qpf]
+        toks = sorted({f"{pf}:" if pf else "" for pf, u in decls if u == uri})
+        if not toks:
+            raise ValueError(
+                f"namespace URI {uri!r} (query prefix {qpf!r}) is not "
+                "declared on the document root of the first file; "
+                "declared: " + repr(sorted({u for _, u in decls}))
+            )
+        return (
+            "(?:" + "|".join(_re.escape(t) for t in toks) + ")"
+            + _re.escape(local)
+        )
+
+    return resolve
+
+
+def _xml_field_pattern(spec: str, resolve=None) -> tuple[str, int]:
+    """(regex, n_groups) for one XML field spec; raises on specs outside
+    the supported subset instead of silently matching nothing (round-2
+    verdict #6: an ``a/b/c`` path used to return empty strings).
+    ``resolve`` maps a tag/attr name to its regex fragment (namespace
+    resolution); default is a literal escaped match."""
+    import re as _re
+
+    if resolve is None:
+        resolve = _re.escape
     bad = (
         not spec
         or "//" in spec
@@ -597,26 +667,26 @@ def _xml_field_pattern(spec: str) -> tuple[str, int]:
             "real cluster."
         )
     if parts[-1].startswith("@"):
-        attr = _re.escape(parts[-1][1:])
+        attr = resolve(parts[-1][1:])
         ancestors = parts[:-1]
         if not ancestors:
             # attributes of the row element live before the first '>'
             # of the (split) record
             return f'^[^>]*\\s{attr}\\s*=\\s*"([^"]*)"', 1
-        holder = _re.escape(ancestors[-1])
+        holder = resolve(ancestors[-1])
         pat = f'<{holder}[^>]*\\s{attr}\\s*=\\s*"([^"]*)"'
         for anc in reversed(ancestors[:-1]):
-            a = _re.escape(anc)
+            a = resolve(anc)
             pat = f"<{a}(?:\\s[^>]*)?>.*?{pat}"
         return "(?s)" + pat, 1
-    leaf = _re.escape(parts[-1])
+    leaf = resolve(parts[-1])
     pat = (
         f"<{leaf}(?:\\s[^>]*)?>\\s*"
         f"(?:<!\\[CDATA\\[(.*?)\\]\\]>|([^<]*))"
         f"\\s*</{leaf}>"
     )
     for anc in reversed(parts[:-1]):
-        a = _re.escape(anc)
+        a = resolve(anc)
         pat = f"<{a}(?:\\s[^>]*)?>.*?{pat}.*?</{a}>"
     return "(?s)" + pat, 2
 
@@ -634,14 +704,16 @@ def _xml_unescape(col):
     return col
 
 
-def _xml_select(records: DataFrame, fields: list[str]) -> DataFrame:
+def _xml_select(
+    records: DataFrame, fields: list[str], resolve=None
+) -> DataFrame:
     """Shared per-record field extraction over a ``rec`` column whose
     value is one record's text starting right AFTER the ``<row_tag``
     open token (so row-element attributes sit before the first '>')."""
     cols = []
     for spec in fields:
-        out_name = spec.replace("@", "").replace("/", "_")
-        pat, n_groups = _xml_field_pattern(spec)
+        out_name = spec.replace("@", "").replace("/", "_").replace(":", "_")
+        pat, n_groups = _xml_field_pattern(spec, resolve)
         if n_groups == 1:  # attribute value: always entity-escaped text
             col = _xml_unescape(F.regexp_extract(F.col("rec"), pat, 1))
         else:
@@ -662,12 +734,19 @@ def read_xml(
     fields: list[str],
     max_file_bytes: int | None = 256 << 20,
     framing: str = "wholetext",
+    namespaces: dict[str, str] | None = None,
 ) -> DataFrame:
     """ChoXmlReader analog (reference src/ChoETL/File/Xml/ChoXmlReader.cs:
     22,651-655): split on <row_tag> boundaries, per-field extraction —
     all declarative (explode/group + regexp_extract), no UDFs, no
     spark-xml dependency (spark-xml remains the full-fidelity cluster
-    path for namespaces/XPath predicates).
+    path for XPath predicates / per-file divergent namespace bindings).
+
+    ``namespaces={prefix: uri}`` gives the reference's
+    XmlNamespaceManager semantics (ChoXmlReader.cs:480-520): prefixes in
+    ``row_tag``/``fields`` are bound to URIs and match whatever prefixes
+    the DOCUMENT's root declares for the same URI (including the default
+    namespace). Without it, prefixed names match literally.
 
     Field specs (the XPath-node-selection subset the reference tests
     exercise):
@@ -693,7 +772,10 @@ def read_xml(
     """
     import re as _re
 
-    tag = _re.escape(row_tag)
+    resolve = (
+        _xml_name_resolver(path, namespaces) if namespaces else None
+    )
+    tag = resolve(row_tag) if resolve else _re.escape(row_tag)
     open_token = f"<{tag}(?=[\\s>/])"
     if framing == "lines":
         lines = _lines_with_group(spark, path, f"^\\s*{open_token}")
@@ -715,8 +797,11 @@ def read_xml(
         raise ValueError(
             f"framing must be 'wholetext' or 'lines': {framing!r}"
         )
-    records = rec.filter(F.col("rec").contains(f"</{row_tag}>"))
-    return _xml_select(records, fields)
+    if resolve:
+        records = rec.filter(F.col("rec").rlike(f"</{tag}>"))
+    else:
+        records = rec.filter(F.col("rec").contains(f"</{row_tag}>"))
+    return _xml_select(records, fields, resolve)
 
 
 def read_xml_flat(

@@ -255,6 +255,47 @@ def test_read_xml_arbitrary_depth_and_raises_on_unsupported(spark, tmp_path):
     rows = sorted(df.collect(), key=lambda r: r["id"])
     assert [r["a_b_c"] for r in rows] == ["deep1", "deep & raw"]
     assert [r["a_b_sku"] for r in rows] == ["X9", "Y3"]
+
+
+def test_read_xml_namespace_manager(spark, tmp_path):
+    """URI-bound namespace resolution (ChoXmlReader WithXmlNamespaceManager,
+    reference ChoXmlReader.cs:480-520): the QUERY's prefixes bind to URIs
+    and match whatever prefixes the DOCUMENT's root declares for those
+    URIs — a different prefix ('po' vs query 'q') and the default
+    namespace both resolve. An undeclared URI raises instead of matching
+    nothing."""
+    import pytest as _pytest
+
+    xml = """<root xmlns="http://example.com/base"
+      xmlns:po="http://example.com/purchase">
+  <po:order po:ref="A1"><po:total>10</po:total><qty>2</qty></po:order>
+  <po:order po:ref="B2"><po:total>30</po:total><qty>5</qty></po:order>
+</root>"""
+    p = tmp_path / "ns.xml"
+    p.write_text(xml)
+    from choetl_spark.sources import read_xml
+
+    ns = {
+        "q": "http://example.com/purchase",
+        "d": "http://example.com/base",
+    }
+    df = read_xml(
+        spark, str(p), "q:order", ["@q:ref", "q:total", "d:qty"],
+        namespaces=ns,
+    )
+    rows = sorted(df.collect(), key=lambda r: r["q_ref"])
+    assert [r["q_ref"] for r in rows] == ["A1", "B2"]
+    assert [r["q_total"] for r in rows] == ["10", "30"]
+    # default-namespace elements are unprefixed in the document
+    assert [r["d_qty"] for r in rows] == ["2", "5"]
+    # prefixes NOT in the manager stay literal matches
+    lit = read_xml(spark, str(p), "po:order", ["@po:ref"], namespaces=ns)
+    assert sorted(r["po_ref"] for r in lit.collect()) == ["A1", "B2"]
+    with _pytest.raises(ValueError, match="not declared"):
+        read_xml(
+            spark, str(p), "x:order", ["x:total"],
+            namespaces={"x": "http://example.com/other"},
+        ).collect()
     for bad in ["a//b", "a/b/", "a[1]/b", "a/*", "", "a/@b/c"]:
         with _pytest.raises(ValueError, match="unsupported XML field"):
             read_xml(spark, str(p), "item", [bad])
