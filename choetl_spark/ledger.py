@@ -252,6 +252,58 @@ def scan_encoded(
     return out.select(*columns) if columns is not None else out
 
 
+def compact_store(
+    spark: SparkSession, out_dir: str, target_file_bytes: int = 128 << 20
+) -> dict:
+    """Rewrite the chunk table into size-targeted files — the Iceberg
+    ``rewrite_data_files`` (small-file compaction) action. Many small
+    ingest runs each append their own parquet files; scans then pay
+    per-file open/footer costs that dwarf the data. Compaction reads the
+    COMMITTED chunks (so it doubles as a vacuum: orphans are dropped),
+    range-partitions by (part_id, column, chunk_seq) so each output file
+    holds contiguous partitions — parquet min/max footer stats on
+    part_id then let later scans skip whole FILES, not just chunks — and
+    swaps directories.
+
+    Logical content is untouched: ledger, manifest, part_ids, chunk
+    payloads, and run_seq epochs (time travel) all survive verbatim; only
+    the file layout changes. The swap is two directory renames — on a
+    real deployment an Iceberg catalog makes this a single atomic
+    metadata commit; here the crash window between renames is the
+    documented sandbox analog.
+    """
+    import math
+    import shutil
+
+    chunks_dir = _chunks_dir(out_dir)
+    committed = read_encoded(spark, out_dir)
+    total = (
+        committed.agg(F.sum("encoded_bytes").alias("b")).collect()[0]["b"]
+        or 0
+    )
+    n_files = max(1, math.ceil(total / max(1, target_file_bytes)))
+    staging = os.path.join(out_dir, f"_compact_{uuid.uuid4().hex[:8]}")
+    (
+        committed.repartitionByRange(n_files, "part_id", "column", "chunk_seq")
+        .write.mode("overwrite")
+        .option("compression", "none")
+        .parquet(staging)
+    )
+
+    def _n_files(d: str) -> int:
+        try:
+            return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+        except OSError:
+            return 0
+
+    before = _n_files(chunks_dir)
+    trash = os.path.join(out_dir, f"_compact_trash_{uuid.uuid4().hex[:8]}")
+    os.rename(chunks_dir, trash)
+    os.rename(staging, chunks_dir)
+    shutil.rmtree(trash, ignore_errors=True)
+    return {"files_before": before, "files_after": _n_files(chunks_dir)}
+
+
 def encode_with_resume(
     spark: SparkSession,
     df: DataFrame,

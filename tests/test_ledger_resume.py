@@ -246,6 +246,42 @@ def test_vacuum_removes_orphan_chunks(spark, tmp_path):
     assert vacuum(spark, out)["files_removed"] >= 1
 
 
+def test_compact_store_rewrites_files_preserving_content(spark, tmp_path):
+    """Small-file compaction: many per-run files -> few size-targeted
+    files; committed content bit-identical, time-travel epochs intact,
+    orphans dropped (compaction doubles as vacuum)."""
+    import glob
+    import os
+
+    from choetl_spark.engine import encode_dataframe
+    from choetl_spark.ledger import _chunks_dir, compact_store, scan_encoded
+
+    out = str(tmp_path / "store_cp")
+    pages = webpages(spark, 600, partitions=3)
+    cfg = EncodeConfig(num_partitions=3, shuffle="none", chunk_rows=128)
+    # two ingest runs (disjoint part ids) -> many small files
+    run1 = pages.withColumn("part_id", F.lit(0))
+    run2 = pages.withColumn("part_id", F.lit(1))
+    encode_with_resume(spark, run1, out, cfg, run_id="r1")
+    encode_with_resume(spark, run2, out, cfg, run_id="r2")
+    # plus an orphan (crashed run)
+    encode_dataframe(pages.limit(50).withColumn("part_id", F.lit(9)), cfg)\
+        .write.mode("append").option("compression", "none")\
+        .parquet(_chunks_dir(out))
+
+    want = scan_encoded(spark, out, ["url", "text"]).collect()
+    before = len(glob.glob(os.path.join(_chunks_dir(out), "*.parquet")))
+    stats = compact_store(spark, out, target_file_bytes=1 << 30)
+    assert stats["files_before"] == before
+    assert stats["files_after"] < before
+    got = scan_encoded(spark, out, ["url", "text"]).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # orphan part gone from disk, epochs intact
+    raw = spark.read.parquet(_chunks_dir(out))
+    assert raw.filter(F.col("part_id") == 9).count() == 0
+    assert scan_encoded(spark, out, ["url"], as_of=1).count() == 600
+
+
 def test_time_travel_snapshot_reads(spark, tmp_path):
     """as_of reads reproduce the table exactly as of a ledger epoch
     (append-only store: epoch k = partitions with run_seq <= k)."""
