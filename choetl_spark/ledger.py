@@ -276,6 +276,11 @@ def compact_store(
     import shutil
 
     chunks_dir = _chunks_dir(out_dir)
+    if read_ledger(spark, out_dir) is None:
+        # no commit record yet: a first run may be mid-flight and its
+        # chunks (all "orphan" by the semi-join) must not be rewritten
+        # away — same guard as vacuum()
+        return {"files_before": 0, "files_after": 0}
     committed = read_encoded(spark, out_dir)
     total = (
         committed.agg(F.sum("encoded_bytes").alias("b")).collect()[0]["b"]

@@ -281,6 +281,17 @@ def test_compact_store_rewrites_files_preserving_content(spark, tmp_path):
     assert raw.filter(F.col("part_id") == 9).count() == 0
     assert scan_encoded(spark, out, ["url"], as_of=1).count() == 600
 
+    # a store with chunks but NO ledger (first run mid-flight) is a
+    # no-op: compaction must never rewrite away not-yet-committed data
+    out2 = str(tmp_path / "store_inflight")
+    encode_dataframe(pages.limit(50).withColumn("part_id", F.lit(0)), cfg)\
+        .write.option("compression", "none").parquet(
+            os.path.join(out2, "chunks")
+        )
+    n0 = len(glob.glob(os.path.join(out2, "chunks", "*.parquet")))
+    assert compact_store(spark, out2) == {"files_before": 0, "files_after": 0}
+    assert len(glob.glob(os.path.join(out2, "chunks", "*.parquet"))) == n0
+
 
 def test_time_travel_snapshot_reads(spark, tmp_path):
     """as_of reads reproduce the table exactly as of a ledger epoch
