@@ -162,12 +162,16 @@ def _bench_store(spark, sf_dir: str) -> dict:
     scan benches (built during warmup so the timed numbers are scans,
     not the encode)."""
     if "path" not in _STORE:
+        import atexit
+        import shutil
         import tempfile
 
         from choetl_spark.engine import EncodeConfig
         from choetl_spark.ledger import encode_with_resume
 
         path = tempfile.mkdtemp(prefix="bench_store_")
+        # ~0.5 GB at sf0.1 — reclaim on exit or repeated runs fill /tmp
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
         pages = _pages(spark, sf_dir)
         # salted (host-partitioned) store: scan-local over the single
         # sf0.1 parquet file yields ONE part_id — no pruning granularity.

@@ -78,8 +78,23 @@ def _row_hashes(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 
 
 def _hash_value(value: str | bytes) -> tuple[int, int]:
-    """Scalar twin of :func:`_row_hashes` for the probe side."""
-    b = value.encode("utf-8") if isinstance(value, str) else bytes(value)
+    """Scalar twin of :func:`_row_hashes` for the probe side.
+
+    str/bytes ONLY (blooms are built over the column's utf-8/binary
+    bytes). Anything else raises: ``bytes(123)`` is 123 NUL bytes, so a
+    silently-coerced int probe would hash garbage and prune partitions
+    that DO contain the value — breaking the never-over-skip contract
+    (the residual ``col == 123`` filter would have matched via Spark's
+    cast, but the rows are already gone)."""
+    if isinstance(value, str):
+        b = value.encode("utf-8")
+    elif isinstance(value, (bytes, bytearray, memoryview)):
+        b = bytes(value)
+    else:
+        raise TypeError(
+            f"bloom probe must be str or bytes (column values are hashed "
+            f"as utf-8/binary); got {type(value).__name__}: {value!r}"
+        )
     mask = (1 << 64) - 1
     h1 = h2 = 0
     for byte in b:

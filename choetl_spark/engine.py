@@ -638,7 +638,7 @@ def _spark_type_ddl(t: pa.DataType) -> str:
 
 
 def prune_partitions_by_stats(
-    enc_df: DataFrame, column: str, lo, hi
+    enc_df: DataFrame, column: str, lo, hi, dtype: str | None = None
 ) -> DataFrame:
     """Drop whole partitions whose ``column`` chunks all fall outside
     [lo, hi] — the encoded-table analog of Parquet row-group stat skipping
@@ -651,23 +651,48 @@ def prune_partitions_by_stats(
     — byte-wise UTF-8 order on both sides, matching Spark/Arrow string
     comparison, with a truncated max treated as unbounded above (its
     prefix under-estimates the true bound).
+
+    ``dtype`` is the column's STORAGE type ("timestamp" / "date" / ...,
+    from the manifest — ``scan_encoded`` passes it automatically). It
+    disambiguates ``datetime.date`` bounds: timestamp zone maps hold
+    MICROS since epoch, date zone maps hold DAYS, and converting a date
+    bound to days against a micros map would prune every partition
+    (min_val <= hi is false for all chunks — a silent empty result the
+    residual filter can't repair). Without the hint, date bounds raise
+    rather than guess.
     """
     import datetime as _dt
 
-    def _to_micros(v):
-        # timestamp zone maps are int64 MICROS since epoch (stats casts
-        # the chunk to int64); accept datetime/date bounds for callers.
-        # Naive datetimes are UTC — the engine contract pins the session
-        # timezone to UTC (see tests/conftest, verify recipe).
+    def _to_i64(v):
+        # zone maps are the chunk cast to int64: MICROS since epoch for
+        # timestamp columns, DAYS for date32 columns. Naive datetimes
+        # are UTC — the engine contract pins the session timezone to
+        # UTC (see tests/conftest, verify recipe).
         if isinstance(v, _dt.datetime):
+            if dtype in ("date", "date32"):
+                return (v.date() - _dt.date(1970, 1, 1)).days
             if v.tzinfo is None:
                 v = v.replace(tzinfo=_dt.timezone.utc)
             return int(v.timestamp() * 1_000_000)
         if isinstance(v, _dt.date):
-            return (v - _dt.date(1970, 1, 1)).days
+            if dtype in ("date", "date32"):
+                return (v - _dt.date(1970, 1, 1)).days
+            if dtype is not None and dtype.startswith("timestamp"):
+                return int(
+                    _dt.datetime(
+                        v.year, v.month, v.day, tzinfo=_dt.timezone.utc
+                    ).timestamp()
+                    * 1_000_000
+                )
+            raise TypeError(
+                f"date bound on column {column!r}: pass dtype='date32' or "
+                "dtype='timestamp' (or use scan_encoded, which reads it "
+                "from the manifest) — the zone-map unit differs and a "
+                "wrong guess over-prunes"
+            )
         return v
 
-    lo, hi = _to_micros(lo), _to_micros(hi)
+    lo, hi = _to_i64(lo), _to_i64(hi)
     if isinstance(lo, str) or isinstance(hi, str):
         target = enc_df.filter(F.col("column") == column).withColumn(
             "_s",

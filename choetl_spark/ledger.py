@@ -15,7 +15,14 @@ a crash between them leaves orphan chunks. Readers therefore go through
 :func:`read_encoded`, which semi-joins chunks against the ledger — the
 ledger is the commit record, orphan chunks are invisible and get
 re-encoded (idempotent, since partition ids and intra-partition order are
-data-derived and deterministic).
+data-derived and deterministic). The commit key is
+``(part_id, attempt_id)`` — every encode attempt stamps a fresh unique
+``attempt_id`` on the chunk rows it writes and on the ledger rows it
+appends — so when a crashed attempt's orphan chunks share a ``part_id``
+with the successful re-encode, only the committed attempt's copy is ever
+visible (a part_id-only join would resurface the orphans as duplicate
+rows the moment the partition commits). Chunks/ledger rows from stores
+written before ``attempt_id`` existed read as null and join leniently.
 
 Storage is a parquet directory per table (append = new files), which is
 exactly the commit model an Iceberg catalog would make transactional on a
@@ -37,7 +44,7 @@ from choetl_spark.partitioning import plan_partitions
 LEDGER_SCHEMA_DDL = (
     "part_id long, fingerprint long, n_rows long, raw_bytes long, "
     "encoded_bytes long, n_chunks long, codec_map string, run_id string, "
-    "run_seq long, status string"
+    "run_seq long, status string, attempt_id string"
 )
 
 
@@ -84,10 +91,47 @@ def read_ledger(spark: SparkSession, out_dir: str) -> DataFrame | None:
     return ledger
 
 
+def _read_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
+    # mergeSchema: a store resumed across engine upgrades may mix chunk
+    # files with/without the attempt_id column
+    return spark.read.option("mergeSchema", "true").parquet(
+        _chunks_dir(out_dir)
+    )
+
+
+def _commit_join(chunks: DataFrame, done: DataFrame, how: str) -> DataFrame:
+    """Join chunk rows against committed ledger rows on the commit key
+    ``(part_id, attempt_id)``.
+
+    Lenient on nulls (legacy stores predating attempt_id on either
+    side); strict when both sides carry one — that strictness is what
+    keeps a crashed attempt's orphan chunks invisible after the same
+    partition commits under a different attempt (otherwise every row
+    would decode twice). ``how`` is "semi" (readers) or "left"
+    (maintenance, marking)."""
+    commits = done.select(
+        F.col("part_id").alias("_c_part"),
+        (
+            F.col("attempt_id") if "attempt_id" in done.columns
+            else F.lit(None).cast("string")
+        ).alias("_c_att"),
+    ).distinct()
+    if "attempt_id" not in chunks.columns:
+        chunks = chunks.withColumn("attempt_id", F.lit(None).cast("string"))
+    cond = (F.col("part_id") == F.col("_c_part")) & (
+        F.col("attempt_id").isNull()
+        | F.col("_c_att").isNull()
+        | (F.col("attempt_id") == F.col("_c_att"))
+    )
+    return chunks.join(F.broadcast(commits), cond, how)
+
+
 def read_encoded(
     spark: SparkSession, out_dir: str, as_of: int | None = None
 ) -> DataFrame:
-    """Committed chunks only (semi-join against the ledger).
+    """Committed chunks only (semi-join against the ledger on the
+    ``(part_id, attempt_id)`` commit key — see the module docstring for
+    why part_id alone would duplicate rows after a crash-resume).
 
     ``as_of`` is a snapshot read (Iceberg time-travel contract on an
     append-only store): only partitions committed at ledger epoch
@@ -95,15 +139,14 @@ def read_encoded(
     are immutable — later runs only APPEND new partitions — so epoch
     ``k``'s table is exactly the ``run_seq <= k`` subset. ``None`` reads
     the latest snapshot."""
-    chunks = spark.read.parquet(_chunks_dir(out_dir))
+    chunks = _read_chunks(spark, out_dir)
     ledger = read_ledger(spark, out_dir)
     if ledger is None:
         return chunks.limit(0)
     done = ledger.filter(F.col("status") == "done")
     if as_of is not None:
         done = done.filter(F.col("run_seq") <= int(as_of))
-    done = done.select("part_id").distinct()
-    return chunks.join(F.broadcast(done), "part_id", "semi")
+    return _commit_join(chunks, done, "semi")
 
 
 def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -154,41 +197,15 @@ def vacuum(
     import time
 
     try:
-        chunks = spark.read.parquet(_chunks_dir(out_dir))
+        orphans = _orphan_chunk_files(spark, out_dir)
     except Exception:
         return {"files_removed": 0, "bytes_reclaimed": 0}
-    ledger = read_ledger(spark, out_dir)
-    if ledger is None:
+    if orphans is None:
         return {"files_removed": 0, "bytes_reclaimed": 0}
-    done = (
-        ledger.filter(F.col("status") == "done").select("part_id").distinct()
-    )
-    per_file = (
-        chunks.select(
-            F.col("_metadata.file_path").alias("file"), "part_id"
-        )
-        .distinct()
-        .join(
-            F.broadcast(done.withColumn("_committed", F.lit(1))),
-            "part_id",
-            "left",
-        )
-        .groupBy("file")
-        .agg(
-            F.max(F.coalesce(F.col("_committed"), F.lit(0))).alias(
-                "any_committed"
-            )
-        )
-    )
-    orphans = [
-        r["file"]
-        for r in per_file.filter(F.col("any_committed") == 0).collect()
-    ]
     removed = 0
     reclaimed = 0
     cutoff = time.time() - grace_sec
-    for uri in orphans:
-        path = uri.removeprefix("file://").removeprefix("file:")
+    for path in orphans:
         try:
             if os.path.getmtime(path) > cutoff:
                 continue
@@ -199,6 +216,38 @@ def vacuum(
         removed += 1
         reclaimed += size
     return {"files_removed": removed, "bytes_reclaimed": reclaimed}
+
+
+def _orphan_chunk_files(spark: SparkSession, out_dir: str) -> list | None:
+    """Chunk FILES with no committed ``(part_id, attempt_id)`` — a
+    crashed or still-in-flight run's leftovers. ``None`` when there is
+    no ledger (no commit record to judge against). Local paths.
+
+    Metadata-scale Spark pass (distinct (file, commit-key) tuples);
+    only the file list reaches the driver."""
+    chunks = _read_chunks(spark, out_dir)
+    ledger = read_ledger(spark, out_dir)
+    if ledger is None:
+        return None
+    done = ledger.filter(F.col("status") == "done")
+    pairs = chunks.select(
+        F.col("_metadata.file_path").alias("file"),
+        "part_id",
+        *(["attempt_id"] if "attempt_id" in chunks.columns else []),
+    ).distinct()
+    per_file = (
+        _commit_join(pairs, done, "left")
+        .groupBy("file")
+        .agg(
+            F.max(
+                F.when(F.col("_c_part").isNotNull(), 1).otherwise(0)
+            ).alias("any_committed")
+        )
+    )
+    return [
+        r["file"].removeprefix("file://").removeprefix("file:")
+        for r in per_file.filter(F.col("any_committed") == 0).collect()
+    ]
 
 
 def scan_encoded(
@@ -229,10 +278,14 @@ def scan_encoded(
     )
 
     enc = read_encoded(spark, out_dir, as_of=as_of)
+    manifest = read_manifest(out_dir)
     ranges = ranges or {}
     equals = equals or {}
     for col, (lo, hi) in ranges.items():
-        enc = prune_partitions_by_stats(enc, col, lo, hi)
+        # the manifest dtype disambiguates the zone-map unit for
+        # date/datetime bounds (micros vs days — see the pruner)
+        dtype = (manifest or {}).get(col, {}).get("dtype")
+        enc = prune_partitions_by_stats(enc, col, lo, hi, dtype=dtype)
     for col, value in equals.items():
         enc = prune_partitions_by_bloom(enc, col, value)
     dec_cols = columns
@@ -242,9 +295,7 @@ def scan_encoded(
         )  # ordered union
     # manifest sidecar (written by encode_with_resume): decode plans
     # build with ZERO Spark jobs instead of a chunk-metadata aggregate
-    out = decode_dataframe(
-        enc, columns=dec_cols, manifest=read_manifest(out_dir)
-    )
+    out = decode_dataframe(enc, columns=dec_cols, manifest=manifest)
     for col, (lo, hi) in ranges.items():
         out = out.filter((F.col(col) >= lo) & (F.col(col) <= hi))
     for col, value in equals.items():
@@ -253,17 +304,31 @@ def scan_encoded(
 
 
 def compact_store(
-    spark: SparkSession, out_dir: str, target_file_bytes: int = 128 << 20
+    spark: SparkSession,
+    out_dir: str,
+    target_file_bytes: int = 128 << 20,
+    grace_sec: float = 0.0,
 ) -> dict:
     """Rewrite the chunk table into size-targeted files — the Iceberg
     ``rewrite_data_files`` (small-file compaction) action. Many small
     ingest runs each append their own parquet files; scans then pay
     per-file open/footer costs that dwarf the data. Compaction reads the
-    COMMITTED chunks (so it doubles as a vacuum: orphans are dropped),
-    range-partitions by (part_id, column, chunk_seq) so each output file
-    holds contiguous partitions — parquet min/max footer stats on
-    part_id then let later scans skip whole FILES, not just chunks — and
-    swaps directories.
+    COMMITTED chunks (so it doubles as a vacuum: a crashed run's orphans
+    are dropped), range-partitions by (part_id, column, chunk_seq) so
+    each output file holds contiguous partitions — parquet min/max
+    footer stats on part_id then let later scans skip whole FILES, not
+    just chunks — and swaps directories.
+
+    ``grace_sec``: uncommitted chunk files YOUNGER than this are carried
+    over verbatim instead of dropped — they may belong to an IN-FLIGHT
+    run that has written its chunks but not yet appended its ledger rows,
+    and deleting them would break that run's imminent commit (the ledger
+    would then claim partitions whose chunks are gone). Same contract as
+    ``vacuum``: set it above the max job duration in production; 0 is
+    for tests/offline maintenance on a quiesced store. A store whose
+    ledger has no committed rows at all is left untouched for the same
+    reason (there is nothing to compact, and every file is potentially
+    in-flight).
 
     Logical content is untouched: ledger, manifest, part_ids, chunk
     payloads, and run_seq epochs (time travel) all survive verbatim; only
@@ -274,9 +339,14 @@ def compact_store(
     """
     import math
     import shutil
+    import time
 
     chunks_dir = _chunks_dir(out_dir)
-    if read_ledger(spark, out_dir) is None:
+    ledger = read_ledger(spark, out_dir)
+    if (
+        ledger is None
+        or ledger.filter(F.col("status") == "done").limit(1).count() == 0
+    ):
         # no commit record yet: a first run may be mid-flight and its
         # chunks (all "orphan" by the semi-join) must not be rewritten
         # away — same guard as vacuum()
@@ -287,6 +357,15 @@ def compact_store(
         or 0
     )
     n_files = max(1, math.ceil(total / max(1, target_file_bytes)))
+    # in-flight protection list BEFORE the rewrite (the rewrite itself
+    # takes time, during which an in-flight run may still be writing)
+    cutoff = time.time() - grace_sec
+    young_orphans = [
+        p
+        for p in (_orphan_chunk_files(spark, out_dir) or [])
+        if os.path.exists(p) and os.path.getmtime(p) > cutoff
+    ]
+    snapshot_files = set(os.listdir(chunks_dir))
     staging = os.path.join(out_dir, f"_compact_{uuid.uuid4().hex[:8]}")
     (
         committed.repartitionByRange(n_files, "part_id", "column", "chunk_seq")
@@ -294,6 +373,20 @@ def compact_store(
         .option("compression", "none")
         .parquet(staging)
     )
+    for p in young_orphans:  # names are Spark task UUIDs — no collisions
+        try:
+            shutil.copy2(p, staging)
+        except OSError:
+            pass  # vanished under concurrent vacuum — uncommitted anyway
+    # files an in-flight run appended WHILE we rewrote are not in the
+    # committed snapshot nor the orphan list — carry them over too, or
+    # the directory swap would delete a concurrent run's chunks
+    for name in os.listdir(chunks_dir):
+        if name not in snapshot_files and name.endswith(".parquet"):
+            try:
+                shutil.copy2(os.path.join(chunks_dir, name), staging)
+            except OSError:
+                pass
 
     def _n_files(d: str) -> int:
         try:
@@ -322,6 +415,11 @@ def encode_with_resume(
     """
     cfg = cfg or EncodeConfig()
     run_id = run_id or uuid.uuid4().hex[:12]
+    # run_id is the caller's LOGICAL label (a streaming epoch retry
+    # reuses it); attempt_id is unique per attempt and is the commit
+    # key's second half — a crashed attempt's orphan chunks can never be
+    # confused with the retry's committed copy
+    attempt_id = uuid.uuid4().hex
     if "part_id" in df.columns:
         # caller pre-planned (e.g. streaming epochs namespace part ids)
         planned = df
@@ -359,7 +457,9 @@ def encode_with_resume(
         pending = planned.join(F.broadcast(done), "part_id", "left_anti")
     else:
         pending = planned
-    enc = encode_dataframe(pending, cfg)
+    enc = encode_dataframe(pending, cfg).withColumn(
+        "attempt_id", F.lit(attempt_id)
+    )
     # manifest sidecar BEFORE the chunk write, MERGED with any existing
     # manifest (schema evolution: a later ingest run may add columns —
     # the Iceberg add-column contract; partitions encoded before the
@@ -383,13 +483,15 @@ def encode_with_resume(
     enc.write.mode("append").option("compression", "none").parquet(
         _chunks_dir(out_dir)
     )
-    # ledger rows for partitions completed by THIS run, derived from the
-    # chunks actually written (re-read is cheap: metadata + small columns)
-    new_chunks = spark.read.parquet(_chunks_dir(out_dir))
-    if ledger is not None:
-        new_chunks = new_chunks.join(
-            F.broadcast(ledger.select("part_id").distinct()), "part_id", "left_anti"
-        )
+    # ledger rows for partitions completed by THIS attempt, derived from
+    # the chunks actually written (re-read is cheap: metadata + small
+    # columns). Filtering on attempt_id — not an anti-join against the
+    # ledger — means a prior crashed attempt's orphan chunks for the
+    # same partitions can't leak into the aggregates (they used to
+    # double n_rows and commit both copies)
+    new_chunks = _read_chunks(spark, out_dir).filter(
+        F.col("attempt_id") == attempt_id
+    )
     ledger_rows = (
         new_chunks.groupBy("part_id")
         .agg(
@@ -423,6 +525,7 @@ def encode_with_resume(
             F.lit(run_id).alias("run_id"),
             F.lit(run_seq).cast("long").alias("run_seq"),
             F.lit("done").alias("status"),
+            F.lit(attempt_id).alias("attempt_id"),
         )
     )
     before = ledger.count() if ledger is not None else 0

@@ -610,8 +610,14 @@ def _xml_name_resolver(path: str, namespaces: dict[str, str]):
     if files:
         with open(files[0], encoding="utf-8", errors="replace") as fh:
             head = fh.read(65536)
-    # xmlns="uri" (default ns, prefix '') and xmlns:pf="uri"
-    decls = _re.findall(r'xmlns(?::([\w.\-]+))?\s*=\s*"([^"]*)"', head)
+    # xmlns="uri" (default ns, prefix '') and xmlns:pf="uri" — XML
+    # attribute values may be double- OR single-quoted
+    decls = [
+        (m.group(1), m.group(2) if m.group(2) is not None else m.group(3))
+        for m in _re.finditer(
+            r'xmlns(?::([\w.\-]+))?\s*=\s*(?:"([^"]*)"|\'([^\']*)\')', head
+        )
+    ]
 
     def resolve(name: str) -> str:
         if ":" not in name:
@@ -668,13 +674,16 @@ def _xml_field_pattern(spec: str, resolve=None) -> tuple[str, int]:
         )
     if parts[-1].startswith("@"):
         attr = resolve(parts[-1][1:])
+        # XML attribute values may be double- OR single-quoted; group 1
+        # holds one form, group 2 the other (one is always empty)
+        value = "(?:\"([^\"]*)\"|'([^']*)')"
         ancestors = parts[:-1]
         if not ancestors:
             # attributes of the row element live before the first '>'
             # of the (split) record
-            return f'^[^>]*\\s{attr}\\s*=\\s*"([^"]*)"', 1
+            return f"^[^>]*\\s{attr}\\s*=\\s*{value}", 1
         holder = resolve(ancestors[-1])
-        pat = f'<{holder}[^>]*\\s{attr}\\s*=\\s*"([^"]*)"'
+        pat = f"<{holder}[^>]*\\s{attr}\\s*=\\s*{value}"
         for anc in reversed(ancestors[:-1]):
             a = resolve(anc)
             pat = f"<{a}(?:\\s[^>]*)?>.*?{pat}"
@@ -715,7 +724,14 @@ def _xml_select(
         out_name = spec.replace("@", "").replace("/", "_").replace(":", "_")
         pat, n_groups = _xml_field_pattern(spec, resolve)
         if n_groups == 1:  # attribute value: always entity-escaped text
-            col = _xml_unescape(F.regexp_extract(F.col("rec"), pat, 1))
+            # group 1 = double-quoted form, group 2 = single-quoted
+            # form; exactly one is non-empty
+            col = _xml_unescape(
+                F.concat(
+                    F.regexp_extract(F.col("rec"), pat, 1),
+                    F.regexp_extract(F.col("rec"), pat, 2),
+                )
+            )
         else:
             # group 1 = CDATA body (literal, NO unescape), group 2 =
             # plain element text (entity-escaped); one is empty

@@ -122,6 +122,65 @@ def test_bloom_point_lookup_pruning(spark):
     assert kept.select("part_id").distinct().count() == n_parts
 
 
+def test_bloom_probe_rejects_non_string_value(spark, enc):
+    """A non-str/bytes probe raises instead of silently hashing garbage
+    (bytes(123) is 123 NUL bytes — the bloom would rule the value out of
+    every chunk and over-SKIP, dropping rows the residual filter's cast
+    semantics would have matched)."""
+    from choetl_spark.bloom import _hash_value, bloom_maybe_contains
+    from choetl_spark.engine import prune_partitions_by_bloom
+
+    for bad in (123, 1.5, None, ["x"]):
+        with pytest.raises(TypeError, match="str or bytes"):
+            _hash_value(bad)
+        with pytest.raises(TypeError, match="str or bytes"):
+            prune_partitions_by_bloom(enc, "url", bad)
+    # bytes-like probes are fine
+    assert bloom_maybe_contains(None, b"abc") is True
+    assert _hash_value(bytearray(b"abc")) == _hash_value(b"abc")
+
+
+def test_prune_timestamp_date_bounds_use_manifest_dtype(spark, tmp_path):
+    """datetime.date bounds against a TIMESTAMP column must convert to
+    micros, not days — days-vs-micros used to prune away every
+    partition (silent empty result). scan_encoded passes the manifest
+    dtype; a bare date bound without the hint raises instead of
+    guessing the zone-map unit."""
+    import datetime as dt
+
+    from choetl_spark.ledger import encode_with_resume, scan_encoded
+    from choetl_spark.synth import webpages
+
+    pages = webpages(spark, 400, partitions=2)
+    out = str(tmp_path / "store_dates")
+    encode_with_resume(
+        spark, pages, out, EncodeConfig(num_partitions=2, shuffle="none")
+    )
+    lo_ts, hi_ts = pages.agg(
+        F.min("warc_ts"), F.max("warc_ts")
+    ).collect()[0]
+    lo_d, hi_d = lo_ts.date(), hi_ts.date() + dt.timedelta(days=1)
+    got = scan_encoded(
+        spark, out, ["url"], ranges={"warc_ts": (lo_d, hi_d)}
+    ).count()
+    # Spark casts date bounds to midnight timestamps in the residual
+    # filter; the full range must keep every row
+    want = pages.filter(
+        (F.col("warc_ts") >= F.lit(lo_d)) & (F.col("warc_ts") <= F.lit(hi_d))
+    ).count()
+    assert got == want == pages.count()
+    # datetime bounds (the pre-existing path) still work unchanged
+    assert scan_encoded(
+        spark, out, ["url"],
+        ranges={"warc_ts": (lo_ts, hi_ts)},
+    ).count() == pages.count()
+    # no dtype hint + date bound = ambiguous zone-map unit -> raise
+    with pytest.raises(TypeError, match="zone-map unit"):
+        prune_partitions_by_stats(
+            spark.read.parquet(out + "/chunks"), "warc_ts", lo_d, hi_d
+        )
+
+
 def test_bloom_jvm_probe_matches_python_reference(spark):
     """The codegen'd SQL probe (substring/hex/conv/shiftright over the
     base64 words) must agree bit-for-bit with bloom_maybe_contains for

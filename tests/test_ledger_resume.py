@@ -293,6 +293,113 @@ def test_compact_store_rewrites_files_preserving_content(spark, tmp_path):
     assert len(glob.glob(os.path.join(out2, "chunks", "*.parquet"))) == n0
 
 
+def test_crash_between_chunk_write_and_ledger_append_no_duplicates(
+    spark, pages, tmp_path
+):
+    """A run that dies AFTER its chunk append but BEFORE its ledger
+    append leaves orphan chunks sharing part_ids with the retry's
+    committed copy. The (part_id, attempt_id) commit key keeps exactly
+    one copy visible — a part_id-only commit join used to decode every
+    row of those partitions twice and double-count n_rows in the
+    ledger (with no integrity error: duplicate chunks are row-count-
+    consistent across columns)."""
+    import os
+
+    from choetl_spark.engine import encode_dataframe
+    from choetl_spark.ledger import _chunks_dir
+
+    out = str(tmp_path / "enc_crash")
+    cfg = _cfg()
+    planned = plan_partitions(
+        pages, cfg.num_partitions, key_col=cfg.key_col,
+        by_host=cfg.partition_by_host, hot_factor=cfg.hot_factor,
+        salt_buckets=cfg.salt_buckets,
+    ).cache()
+    # the crashed attempt: chunks land for EVERY partition, ledger never
+    os.makedirs(out, exist_ok=True)
+    encode_dataframe(planned, cfg).withColumn(
+        "attempt_id", F.lit("dead-attempt")
+    ).write.mode("append").option("compression", "none").parquet(
+        _chunks_dir(out)
+    )
+    # the retry re-encodes (nothing is committed) and commits once
+    r = encode_with_resume(spark, planned, out, cfg, run_id="retry")
+    assert r["partitions_already_done"] == 0
+    enc = read_encoded(spark, out)
+    # the dead attempt's copies are invisible despite committed part_ids
+    assert enc.filter(F.col("attempt_id") == "dead-attempt").count() == 0
+    decoded = decode_dataframe(enc)
+    assert decoded.count() == pages.count()  # would be 2x before the fix
+    assert verify_roundtrip(pages, decoded) == 0
+    ledger = read_ledger(spark, out)
+    assert (
+        ledger.agg(F.sum("n_rows")).collect()[0][0] == pages.count()
+    )
+    # vacuum can reclaim the dead attempt's files (committed part_ids
+    # no longer shield them — the commit key is attempt-scoped)
+    from choetl_spark.ledger import vacuum
+
+    assert vacuum(spark, out)["files_removed"] >= 1
+    assert read_encoded(spark, out).filter(
+        F.col("attempt_id") == "dead-attempt"
+    ).count() == 0
+    assert verify_roundtrip(
+        pages, decode_dataframe(read_encoded(spark, out))
+    ) == 0
+
+
+def test_compact_grace_preserves_inflight_chunks(spark, tmp_path):
+    """compact_store(grace_sec=...) carries uncommitted chunk files
+    younger than the grace window into the rewritten store — an
+    in-flight run's just-written chunks survive compaction, so its
+    imminent ledger append still points at existing data. Without the
+    grace window they'd be silently deleted and the run's commit would
+    claim vanished chunks."""
+    import glob
+    import os
+
+    from choetl_spark.engine import encode_dataframe
+    from choetl_spark.ledger import _chunks_dir, compact_store
+
+    out = str(tmp_path / "store_grace")
+    pages = webpages(spark, 400, partitions=2)
+    cfg = EncodeConfig(num_partitions=2, shuffle="none", chunk_rows=128)
+    encode_with_resume(spark, pages, out, cfg, run_id="committed")
+    # in-flight run: chunks written seconds ago, ledger append pending
+    encode_dataframe(
+        pages.limit(100).withColumn("part_id", F.lit(77)), cfg
+    ).withColumn("attempt_id", F.lit("inflight")).write.mode(
+        "append"
+    ).option("compression", "none").parquet(_chunks_dir(out))
+
+    compact_store(spark, out, target_file_bytes=1 << 30, grace_sec=3600)
+    raw = spark.read.option("mergeSchema", "true").parquet(_chunks_dir(out))
+    assert raw.filter(F.col("attempt_id") == "inflight").count() > 0
+    # committed content intact
+    assert verify_roundtrip(
+        pages, decode_dataframe(read_encoded(spark, out))
+    ) == 0
+    # quiesced-store maintenance (grace 0) drops them, same as vacuum
+    compact_store(spark, out, target_file_bytes=1 << 30, grace_sec=0.0)
+    raw = spark.read.option("mergeSchema", "true").parquet(_chunks_dir(out))
+    assert raw.filter(F.col("attempt_id") == "inflight").count() == 0
+
+    # a ledger with zero committed rows = every chunk file potentially
+    # in-flight -> compaction is a no-op (extends the no-ledger guard)
+    out2 = str(tmp_path / "store_empty_ledger")
+    encode_dataframe(
+        pages.limit(50).withColumn("part_id", F.lit(0)), cfg
+    ).write.option("compression", "none").parquet(
+        os.path.join(out2, "chunks")
+    )
+    spark.createDataFrame([], read_ledger(spark, out).schema).write.parquet(
+        os.path.join(out2, "_ledger")
+    )
+    n0 = len(glob.glob(os.path.join(out2, "chunks", "*.parquet")))
+    assert compact_store(spark, out2) == {"files_before": 0, "files_after": 0}
+    assert len(glob.glob(os.path.join(out2, "chunks", "*.parquet"))) == n0
+
+
 def test_time_travel_snapshot_reads(spark, tmp_path):
     """as_of reads reproduce the table exactly as of a ledger epoch
     (append-only store: epoch k = partitions with run_seq <= k)."""

@@ -255,6 +255,9 @@ def test_read_xml_arbitrary_depth_and_raises_on_unsupported(spark, tmp_path):
     rows = sorted(df.collect(), key=lambda r: r["id"])
     assert [r["a_b_c"] for r in rows] == ["deep1", "deep & raw"]
     assert [r["a_b_sku"] for r in rows] == ["X9", "Y3"]
+    for bad in ["a//b", "a/b/", "a[1]/b", "a/*", "", "a/@b/c"]:
+        with _pytest.raises(ValueError, match="unsupported XML field"):
+            read_xml(spark, str(p), "item", [bad])
 
 
 def test_read_xml_namespace_manager(spark, tmp_path):
@@ -296,9 +299,11 @@ def test_read_xml_namespace_manager(spark, tmp_path):
             spark, str(p), "x:order", ["x:total"],
             namespaces={"x": "http://example.com/other"},
         ).collect()
-    for bad in ["a//b", "a/b/", "a[1]/b", "a/*", "", "a/@b/c"]:
-        with _pytest.raises(ValueError, match="unsupported XML field"):
-            read_xml(spark, str(p), "item", [bad])
+    # single-quoted xmlns declarations are equally valid XML
+    p2 = tmp_path / "ns_sq.xml"
+    p2.write_text(xml.replace('"', "'"))
+    df2 = read_xml(spark, str(p2), "q:order", ["@q:ref"], namespaces=ns)
+    assert sorted(r["q_ref"] for r in df2.collect()) == ["A1", "B2"]
 
 
 def test_wholetext_guard_rejects_oversized_file(spark, tmp_path):
