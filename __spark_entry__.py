@@ -748,6 +748,46 @@ def q_prune_bloom_url(spark, sf_dir):
     return dec.filter(F.col("url") == target).select("url")
 
 
+def q_point_lookup_store(spark, sf_dir):
+    """Late-materialization point lookup over a checkpointed store
+    (choetl_spark/lookup.py): chunk-granular Bloom pruning on the key
+    column finds the matching (part_id, row_pos), then ONLY the value
+    chunks covering those positions are decoded — O(hit chunks) work
+    instead of a partition-wide multi-column decode. The oracle
+    recomputes the row from the documents table; a Bloom false negative,
+    a row_pos misalignment, or a fetch-pass chunk-selection bug each
+    flip it. Collected eagerly so the temp store can be deleted."""
+    import shutil
+    import tempfile
+
+    from choetl_spark.engine import EncodeConfig
+    from choetl_spark.ledger import encode_with_resume
+    from choetl_spark.lookup import point_lookup
+    from choetl_spark.synth import webpages_from_documents
+
+    pages = webpages_from_documents(spark, sf_dir)
+    r = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == 77)
+        .select("source", "lang")
+        .collect()[0]
+    )
+    target = f"https://{r['source']}.example.com/{r['lang']}/77"
+    out = tempfile.mkdtemp(prefix="choetl_pl_")
+    try:
+        cfg = EncodeConfig(
+            num_partitions=8, chunk_rows=2048, chunk_bytes=4 << 20,
+            deterministic=True, bloom_columns=("url",),
+        )
+        encode_with_resume(spark, pages, out, cfg)
+        rows = point_lookup(
+            spark, out, "url", target, ["url", "text", "lang"]
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, "url string, text string, lang string")
+
+
 def q_store_time_travel(spark, sf_dir):
     """Time-travel snapshot reads over the checkpointed store (the
     Iceberg snapshot contract; SURVEY §2.2 + north-rule lineage): two
@@ -1080,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roundtrip_text_identity": q_roundtrip_text_identity,
         "prune_urlrange": q_prune_urlrange,
         "prune_bloom_url": q_prune_bloom_url,
+        "point_lookup_store": q_point_lookup_store,
         "store_time_travel": q_store_time_travel,
     }
 
@@ -1894,6 +1935,12 @@ def oracle_sql() -> dict[str, str]:
         "prune_bloom_url": f"""
             WITH t AS (SELECT doc_id, {_URL_SQL} AS url FROM documents)
             SELECT url FROM t WHERE doc_id = 77
+        """,
+        "point_lookup_store": f"""
+            WITH t AS (
+              SELECT doc_id, {_URL_SQL} AS url, text, lang FROM documents
+            )
+            SELECT url, text, lang FROM t WHERE doc_id = 77
         """,
         "store_time_travel": """
             WITH c AS (

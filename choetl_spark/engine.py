@@ -741,6 +741,23 @@ def prune_partitions_by_bloom(
     10^12 docs the chunk table is ~10^7 metadata rows — noise next to
     the payload scan this avoids.)
     """
+    keep = (
+        bloom_probe_frame(enc_df, column, value)
+        .filter("_bloom_hit")
+        .select("part_id")
+        .distinct()
+    )
+    return enc_df.join(F.broadcast(keep), "part_id", "semi")
+
+
+def bloom_probe_frame(enc_df: DataFrame, column: str, value) -> DataFrame:
+    """``column``'s chunk-metadata rows with a boolean ``_bloom_hit``:
+    False ONLY when the chunk's Bloom filter definitely excludes
+    ``value`` (missing/legacy blooms answer True — over-keep, never
+    over-skip). Chunk-granular, fully JVM-side — the shared probe
+    behind partition pruning (:func:`prune_partitions_by_bloom`) and
+    the late-materialization point lookup (:mod:`choetl_spark.lookup`),
+    which keeps only the hit CHUNKS of the key column."""
     from choetl_spark.bloom import _hash_value
 
     target = (
@@ -766,7 +783,9 @@ def prune_partitions_by_bloom(
         # bit position g = hi & (m-1); bits are base64 of little-endian
         # uint64 words, so buffer byte g>>3 holds bit g&7. SQL form —
         # the SQL functions accept expression arguments the Python
-        # wrappers don't (substring pos, shift n).
+        # wrappers don't (substring pos, shift n). Only the first
+        # min(k, 8) probes run; a subset of an all-set probe set is
+        # still all-set, so this can only over-keep, never over-skip.
         hit = F.expr(
             f"{i} >= _b.k OR ("
             f"  shiftright(cast(conv(hex(substring(_bin,"
@@ -778,8 +797,7 @@ def prune_partitions_by_bloom(
         )
         all_hit = hit if all_hit is None else (all_hit & hit)
     pred = F.col("_b").isNull() | F.col("_b.bits").isNull() | all_hit
-    keep = target.filter(pred).select("part_id").distinct()
-    return enc_df.join(F.broadcast(keep), "part_id", "semi")
+    return target.withColumn("_bloom_hit", pred).drop("_b", "_bin")
 
 
 # ---------------------------------------------------------------------------

@@ -492,6 +492,33 @@ def encode_with_resume(
     new_chunks = _read_chunks(spark, out_dir).filter(
         F.col("attempt_id") == attempt_id
     )
+    # integrity gate BEFORE commit: each (part, column)'s chunks must
+    # tile [0, N) exactly — sum(n_rows) == max(row_start + n_rows).
+    # Catches the one silent misuse decode cannot detect: a caller-
+    # provided part_id that is not co-located under shuffle="none"
+    # (two tasks each number the part's rows from 0, so row counts
+    # stay column-consistent while cross-column row ALIGNMENT is
+    # garbage). Metadata-scale aggregate over this attempt's chunks.
+    bad = (
+        new_chunks.groupBy("part_id", "column")
+        .agg(
+            F.sum("n_rows").alias("rows_sum"),
+            F.max(F.col("row_start") + F.col("n_rows")).alias("end_max"),
+        )
+        .filter(F.col("rows_sum") != F.col("end_max"))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        r = bad[0]
+        raise ValueError(
+            f"partition {r['part_id']} column {r['column']!r}: chunks "
+            f"cover {r['rows_sum']} rows but positions end at "
+            f"{r['end_max']} — the partition's rows were split across "
+            "tasks (caller-provided part_id with shuffle='none' must be "
+            "co-located: repartition by part_id first, or use the "
+            "salted shuffle mode)"
+        )
     ledger_rows = (
         new_chunks.groupBy("part_id")
         .agg(

@@ -259,9 +259,11 @@ def test_compact_store_rewrites_files_preserving_content(spark, tmp_path):
     out = str(tmp_path / "store_cp")
     pages = webpages(spark, 600, partitions=3)
     cfg = EncodeConfig(num_partitions=3, shuffle="none", chunk_rows=128)
-    # two ingest runs (disjoint part ids) -> many small files
-    run1 = pages.withColumn("part_id", F.lit(0))
-    run2 = pages.withColumn("part_id", F.lit(1))
+    # two ingest runs (disjoint part ids) -> many small files.
+    # repartition(1): a caller-provided part_id under shuffle="none"
+    # must be co-located (the commit-time tiling check enforces it)
+    run1 = pages.repartition(1).withColumn("part_id", F.lit(0))
+    run2 = pages.repartition(1).withColumn("part_id", F.lit(1))
     encode_with_resume(spark, run1, out, cfg, run_id="r1")
     encode_with_resume(spark, run2, out, cfg, run_id="r2")
     # plus an orphan (crashed run)
@@ -398,6 +400,31 @@ def test_compact_grace_preserves_inflight_chunks(spark, tmp_path):
     n0 = len(glob.glob(os.path.join(out2, "chunks", "*.parquet")))
     assert compact_store(spark, out2) == {"files_before": 0, "files_after": 0}
     assert len(glob.glob(os.path.join(out2, "chunks", "*.parquet"))) == n0
+
+
+def test_commit_rejects_non_colocated_caller_part_ids(spark, tmp_path):
+    """A caller-provided part_id that is NOT co-located under
+    shuffle='none' makes every task number the part's rows from 0 —
+    row counts stay column-consistent, so decode cannot detect it, but
+    cross-column row alignment is garbage. The commit-time tiling check
+    (sum(n_rows) == max(row_start + n_rows) per (part, column)) rejects
+    it before the store is poisoned."""
+    out = str(tmp_path / "enc_split_part")
+    pages = webpages(spark, 400, partitions=4)  # 4 tasks
+    bad = pages.withColumn("part_id", F.lit(0))  # one part, four tasks
+    cfg = EncodeConfig(num_partitions=4, shuffle="none", chunk_rows=64)
+    with pytest.raises(ValueError, match="co-located"):
+        encode_with_resume(spark, bad, out, cfg, run_id="r1")
+    # nothing was committed
+    assert read_ledger(spark, out) is None or read_ledger(
+        spark, out
+    ).count() == 0
+    # the same plan through the salted path co-locates and commits fine
+    ok = encode_with_resume(
+        spark, bad, str(tmp_path / "enc_ok"),
+        EncodeConfig(num_partitions=4, chunk_rows=64), run_id="r1",
+    )
+    assert ok["partitions_encoded_this_run"] == 1
 
 
 def test_time_travel_snapshot_reads(spark, tmp_path):
