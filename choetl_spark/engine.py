@@ -757,9 +757,19 @@ def bloom_probe_frame(enc_df: DataFrame, column: str, value) -> DataFrame:
     over-skip). Chunk-granular, fully JVM-side — the shared probe
     behind partition pruning (:func:`prune_partitions_by_bloom`) and
     the late-materialization point lookup (:mod:`choetl_spark.lookup`),
-    which keeps only the hit CHUNKS of the key column."""
+    which keeps only the hit CHUNKS of the key column.
+
+    ``value`` may be a list/tuple/set (batch lookup): ``_bloom_hit``
+    then means "may contain ANY of the values" — each value adds
+    ``min(k, 8)`` bit-test expressions, so callers cap the batch size
+    (the lookup module falls back to no chunk pruning past its cap)."""
     from choetl_spark.bloom import _hash_value
 
+    values = (
+        list(value) if isinstance(value, (list, tuple, set)) else [value]
+    )
+    if not values:
+        raise ValueError("bloom probe needs at least one value")
     target = (
         enc_df.filter(F.col("column") == column)
         .withColumn(
@@ -770,33 +780,38 @@ def bloom_probe_frame(enc_df: DataFrame, column: str, value) -> DataFrame:
         )
         .withColumn("_bin", F.unbase64(F.col("_b.bits")))
     )
-    h1, h2 = _hash_value(value)
-    all_hit = None
-    for i in range(8):
-        # probe hash precomputed DRIVER-side (it's a pure function of
-        # the literal value — and bigint `+`/`*` would overflow under
-        # ANSI mode, whereas uint64 wrap is the intended semantics),
-        # reinterpreted as a SIGNED int64 literal: `& (m-1)` on a
-        # power-of-two m extracts the same low bits either way
-        hi = (h1 + i * h2) % (1 << 64)
-        hi = hi - (1 << 64) if hi >= (1 << 63) else hi
-        # bit position g = hi & (m-1); bits are base64 of little-endian
-        # uint64 words, so buffer byte g>>3 holds bit g&7. SQL form —
-        # the SQL functions accept expression arguments the Python
-        # wrappers don't (substring pos, shift n). Only the first
-        # min(k, 8) probes run; a subset of an all-set probe set is
-        # still all-set, so this can only over-keep, never over-skip.
-        hit = F.expr(
-            f"{i} >= _b.k OR ("
-            f"  shiftright(cast(conv(hex(substring(_bin,"
-            f"    cast(shiftright({hi} & (_b.m - 1), 3) as int) + 1,"
-            f"    1)), 16, 10) as int),"
-            f"    cast(({hi} & (_b.m - 1)) & 7 as int)"
-            f"  ) & 1 = 1"
-            f")"
-        )
-        all_hit = hit if all_hit is None else (all_hit & hit)
-    pred = F.col("_b").isNull() | F.col("_b.bits").isNull() | all_hit
+    any_hit = None
+    for v in values:
+        h1, h2 = _hash_value(v)
+        all_hit = None
+        for i in range(8):
+            # probe hash precomputed DRIVER-side (it's a pure function
+            # of the literal value — and bigint `+`/`*` would overflow
+            # under ANSI mode, whereas uint64 wrap is the intended
+            # semantics), reinterpreted as a SIGNED int64 literal:
+            # `& (m-1)` on a power-of-two m extracts the same low bits
+            # either way
+            hi = (h1 + i * h2) % (1 << 64)
+            hi = hi - (1 << 64) if hi >= (1 << 63) else hi
+            # bit position g = hi & (m-1); bits are base64 of little-
+            # endian uint64 words, so buffer byte g>>3 holds bit g&7.
+            # SQL form — the SQL functions accept expression arguments
+            # the Python wrappers don't (substring pos, shift n). Only
+            # the first min(k, 8) probes run; a subset of an all-set
+            # probe set is still all-set, so this can only over-keep,
+            # never over-skip.
+            hit = F.expr(
+                f"{i} >= _b.k OR ("
+                f"  shiftright(cast(conv(hex(substring(_bin,"
+                f"    cast(shiftright({hi} & (_b.m - 1), 3) as int) + 1,"
+                f"    1)), 16, 10) as int),"
+                f"    cast(({hi} & (_b.m - 1)) & 7 as int)"
+                f"  ) & 1 = 1"
+                f")"
+            )
+            all_hit = hit if all_hit is None else (all_hit & hit)
+        any_hit = all_hit if any_hit is None else (any_hit | all_hit)
+    pred = F.col("_b").isNull() | F.col("_b.bits").isNull() | any_hit
     return target.withColumn("_bloom_hit", pred).drop("_b", "_bin")
 
 

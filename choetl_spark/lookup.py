@@ -213,17 +213,22 @@ def point_lookup(
     spark: SparkSession,
     out_dir: str,
     key: str,
-    value: str | bytes,
+    value: str | bytes | list,
     columns: list[str],
     as_of: int | None = None,
     max_matches: int = 100_000,
+    bloom_probe_cap: int = 32,
 ) -> DataFrame:
-    """Fetch ``columns`` of the rows where ``key == value`` from an
-    encoded store, decoding only the chunks a point lookup actually
-    needs (module docstring has the two-pass shape). ``key`` should be
-    a ``EncodeConfig.bloom_columns`` column — without blooms the key
-    pass degrades gracefully to decoding every key chunk of every
-    partition (still never the payload columns).
+    """Fetch ``columns`` of the rows where ``key == value`` (or
+    ``key IN value`` for a list — the batch shape a decontamination or
+    sample-inspection pass needs) from an encoded store, decoding only
+    the chunks the lookup actually needs (module docstring has the
+    two-pass shape). ``key`` should be a ``EncodeConfig.bloom_columns``
+    column — without blooms, or for batches larger than
+    ``bloom_probe_cap`` (each probed value adds k bit-test expressions
+    to the chunk-metadata filter), the key pass degrades gracefully to
+    decoding every key chunk of every partition (still never the
+    payload columns — that is the bulk of the late-materialization win).
 
     Eager at the match step: the matching ``(part_id, row_pos)`` set is
     collected to the driver (a point lookup matches few rows by
@@ -231,6 +236,9 @@ def point_lookup(
     matching more than that belongs in ``scan_encoded``). ``as_of``
     time-travels to a ledger epoch.
     """
+    values = (
+        list(value) if isinstance(value, (list, tuple, set)) else [value]
+    )
     enc = read_encoded(spark, out_dir, as_of=as_of)
     manifest = read_manifest(out_dir)
     if manifest is not None:
@@ -243,15 +251,26 @@ def point_lookup(
     missing = [c for c in [key, *columns] if c not in types]
     if missing:
         raise KeyError(f"columns not in encoded store: {missing}")
+    out_ddl = ", ".join(
+        f"`{c}` {logicals.get(c) or _spark_type_ddl(types[c])}"
+        for c in columns
+    )
+    if not values:
+        return spark.createDataFrame([], out_ddl)
 
     # -- key pass: partition prune, then CHUNK-granular bloom prune ----
-    enc_k = prune_partitions_by_bloom(enc, key, value)
-    key_chunks = bloom_probe_frame(enc_k, key, value).filter("_bloom_hit")
+    if len(values) <= bloom_probe_cap:
+        enc_k = prune_partitions_by_bloom(enc, key, values)
+        key_chunks = bloom_probe_frame(enc_k, key, values).filter(
+            "_bloom_hit"
+        )
+    else:
+        key_chunks = enc.filter(F.col("column") == key)
     keyed = decode_chunks_with_pos(
         key_chunks, key, types[key], logicals.get(key)
     )
     matches = (
-        keyed.filter(F.col(key) == F.lit(value))
+        keyed.filter(F.col(key).isin(values))
         .select("part_id", "row_pos")
         .limit(max_matches + 1)
         .collect()
@@ -261,10 +280,6 @@ def point_lookup(
             f"point_lookup matched more than max_matches={max_matches} "
             f"rows for {key!r}; use scan_encoded for wide predicates"
         )
-    out_ddl = ", ".join(
-        f"`{c}` {logicals.get(c) or _spark_type_ddl(types[c])}"
-        for c in columns
-    )
     if not matches:
         return spark.createDataFrame([], out_ddl)
     positions: dict[int, list[int]] = {}

@@ -133,11 +133,13 @@ def test_bloom_probe_rejects_non_string_value(spark, enc):
     for bad in (123, 1.5, None, ["x"]):
         with pytest.raises(TypeError, match="str or bytes"):
             _hash_value(bad)
+    for bad in (123, 1.5, None, [123]):
         with pytest.raises(TypeError, match="str or bytes"):
             prune_partitions_by_bloom(enc, "url", bad)
-    # bytes-like probes are fine
+    # bytes-like probes are fine; a LIST of str/bytes is a batch probe
     assert bloom_maybe_contains(None, b"abc") is True
     assert _hash_value(bytearray(b"abc")) == _hash_value(b"abc")
+    assert prune_partitions_by_bloom(enc, "url", ["a", "b"]) is not None
 
 
 def test_prune_timestamp_date_bounds_use_manifest_dtype(spark, tmp_path):

@@ -102,6 +102,27 @@ def test_point_lookup_multi_match_and_guard(spark, store):
         )
 
 
+def test_point_lookup_batch_keys(spark, store):
+    """A list value is an IN-list lookup (batch fetch): all matching
+    rows return with exact contents, via EITHER key-pass path — the
+    multi-value Bloom chunk probe (batch <= bloom_probe_cap) and the
+    no-bloom fallback (cap exceeded) must agree."""
+    out, pages = store
+    want = {
+        r["url"]: r["text"]
+        for r in pages.orderBy("url").limit(5).collect()
+    }
+    urls = list(want) + ["https://absent.example/none"]
+    for cap in (32, 2):  # bloom-probed path, then the fallback path
+        got = point_lookup(
+            spark, out, "url", urls, ["url", "text"], bloom_probe_cap=cap
+        ).collect()
+        assert {r["url"]: r["text"] for r in got} == want, cap
+    # empty batch: empty result with the right schema, zero jobs needed
+    empty = point_lookup(spark, out, "url", [], ["url", "text"])
+    assert empty.count() == 0 and empty.columns == ["url", "text"]
+
+
 def test_point_lookup_positions_at_chunk_boundaries(spark, tmp_path):
     """Positional fetch correctness at every alignment hazard: first /
     last row of a chunk, first / last row of a partition, a match set
