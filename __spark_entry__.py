@@ -839,6 +839,39 @@ def q_store_time_travel(spark, sf_dir):
     )
 
 
+def q_delete_rows_store(spark, sf_dir):
+    """Row-level deletes over the checkpointed store (Iceberg v2
+    positional-delete / merge-on-read contract, choetl_spark/deletes.py):
+    tombstone the rows where lang='de' without rewriting any data chunk,
+    then scan the survivors. The oracle recomputes the survivor set from
+    the documents table — a tombstone that misses a row, hits a wrong
+    (part, pos) coordinate, or leaks into other rows flips it. The
+    time-travel/idempotence/crash-orphan corners are pinned by
+    tests/test_deletes.py. Collected eagerly so the temp store can be
+    deleted."""
+    import shutil
+    import tempfile
+
+    from choetl_spark.deletes import delete_where
+    from choetl_spark.engine import EncodeConfig
+    from choetl_spark.ledger import encode_with_resume, scan_encoded
+    from choetl_spark.synth import webpages_from_documents
+
+    pages = webpages_from_documents(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="choetl_del_")
+    try:
+        cfg = EncodeConfig(
+            num_partitions=8, chunk_rows=2048, chunk_bytes=4 << 20,
+            deterministic=True, bloom_columns=("url",),
+        )
+        encode_with_resume(spark, pages, out, cfg)
+        delete_where(spark, out, equals={"lang": "de"})
+        rows = scan_encoded(spark, out, ["url", "lang"]).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, "url string, lang string")
+
+
 def _messy_urls(spark, sf_dir):
     """Deterministic messy-URL corpus over documents: every doc_id
     derives a URL exercising scheme case, userinfo, host case, default
@@ -1122,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prune_bloom_url": q_prune_bloom_url,
         "point_lookup_store": q_point_lookup_store,
         "store_time_travel": q_store_time_travel,
+        "delete_rows_store": q_delete_rows_store,
     }
 
 
@@ -1954,5 +1988,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(2 AS BIGINT), CAST(2 AS BIGINT),
                    c2, c1 + c2 FROM c
+        """,
+        "delete_rows_store": f"""
+            SELECT {_URL_SQL} AS url, lang FROM documents
+            WHERE lang <> 'de'
         """,
     }

@@ -1,0 +1,273 @@
+"""Row-level deletes over the encoded store: the Iceberg v2
+positional-delete (merge-on-read) contract.
+
+The chunk store is append-only — committed partitions are immutable,
+which is what makes resume, time travel, and vacuum sound. Row-level
+deletes therefore never rewrite data: :func:`delete_where` locates the
+matching rows with the store's own pruned machinery (zone maps, Blooms,
+column-pruned positional decode), writes their coordinates as TOMBSTONES
+
+    (part_id, row_pos, del_seq, delete_id)
+
+to ``out_dir/_deletes``, and commits them with a ledger row of
+``status="delete"`` at the next ``run_seq`` epoch. Readers
+(:func:`choetl_spark.ledger.scan_encoded`,
+:func:`choetl_spark.lookup.point_lookup`) subtract committed tombstones
+with a broadcast anti-join on ``(part_id, row_pos)`` — the in-memory
+positional-delete-bitmap shape Iceberg readers use per data file.
+
+Crash safety mirrors the chunk commit protocol exactly: tombstone files
+are written BEFORE the ledger row, and readers semi-join tombstones
+against ledger delete commits on ``delete_id``, so a crash between the
+two leaves orphan tombstone files that never delete anything (and a
+retry re-computes them under a fresh ``delete_id``).
+
+Time travel composes: a delete commits at its own ledger epoch, so
+``as_of`` an earlier epoch still sees the rows, ``as_of`` a later one
+does not — deleting is a snapshot like any other. (Iceberg v2 calls
+these "position delete files" attached to a snapshot; the reference
+ChoETL has no delete story at all — files are append/overwrite only,
+reference src/ChoETL/File/ChoFileRecordConfiguration.cs:33.)
+
+Scale shape at 10^12 docs: the tombstone table is O(rows ever deleted),
+read once per scan and broadcast; data chunks are untouched, so a
+delete of k rows costs O(pruned key chunks decoded) + O(k) written —
+independent of table size. A tombstone backlog that outgrows broadcast
+belongs in a partition rewrite (major compaction), the same escalation
+Iceberg prescribes; :func:`compact_deletes` handles the small-file side
+(many tiny delete commits -> one file) without changing visibility.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+DELETES_SCHEMA_DDL = (
+    "part_id long, row_pos long, del_seq long, delete_id string"
+)
+
+
+def _deletes_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_deletes")
+
+
+def read_delete_positions(
+    spark: SparkSession, out_dir: str, as_of: int | None = None
+) -> DataFrame | None:
+    """Committed delete tombstones visible at ledger epoch ``as_of``
+    (``None`` = latest), as ``(part_id, row_pos)``. Returns ``None``
+    when the store has no tombstones at all — readers then skip the
+    anti-join (and, upstream, the positional decode) entirely.
+
+    Orphan tombstone files (a crashed :func:`delete_where`) are
+    filtered out by the semi-join against ledger ``status="delete"``
+    commit rows on ``delete_id`` — the same commit discipline as
+    chunks."""
+    from choetl_spark.ledger import read_ledger
+
+    try:
+        tomb = spark.read.parquet(_deletes_dir(out_dir))
+    except Exception:
+        return None
+    ledger = read_ledger(spark, out_dir)
+    if ledger is None:
+        return None
+    commits = ledger.filter(F.col("status") == "delete")
+    if as_of is not None:
+        commits = commits.filter(F.col("run_seq") <= int(as_of))
+    return tomb.join(
+        F.broadcast(
+            commits.select(F.col("attempt_id").alias("delete_id")).distinct()
+        ),
+        "delete_id",
+        "semi",
+    ).select("part_id", "row_pos")
+
+
+def delete_where(
+    spark: SparkSession,
+    out_dir: str,
+    equals: dict | None = None,
+    ranges: dict | None = None,
+    run_id: str | None = None,
+) -> dict:
+    """Delete the rows matching the predicates from the encoded store —
+    merge-on-read: data chunks are untouched; matching row coordinates
+    are committed as tombstones readers subtract. Predicates are the
+    ``scan_encoded`` vocabulary: ``equals={col: value}`` (Bloom-pruned)
+    and ``ranges={col: (lo, hi)}`` (zone-map-pruned), ANDed together.
+
+    Only the PREDICATE columns are decoded (positionally, via
+    ``decode_dataframe(with_pos=True)``) and only in partitions the
+    metadata pruning keeps — payload columns never move. Rows already
+    tombstoned are excluded, so re-running the same delete is a no-op
+    (idempotent; returns ``rows_deleted=0``).
+
+    Returns ``{"rows_deleted", "partitions_touched", "run_seq",
+    "delete_id"}``. The commit is the ledger append — a crash before it
+    leaves invisible orphan tombstone files.
+    """
+    from choetl_spark.engine import (
+        decode_dataframe,
+        prune_partitions_by_bloom,
+        prune_partitions_by_stats,
+    )
+    from choetl_spark.ledger import (
+        LEDGER_SCHEMA_DDL,
+        _ledger_dir,
+        read_encoded,
+        read_ledger,
+        read_manifest,
+    )
+
+    equals = equals or {}
+    ranges = ranges or {}
+    if not equals and not ranges:
+        raise ValueError("delete_where needs at least one predicate")
+    enc = read_encoded(spark, out_dir)
+    manifest = read_manifest(out_dir)
+    for col, (lo, hi) in ranges.items():
+        dtype = (manifest or {}).get(col, {}).get("dtype")
+        enc = prune_partitions_by_stats(enc, col, lo, hi, dtype=dtype)
+    for col, value in equals.items():
+        enc = prune_partitions_by_bloom(enc, col, value)
+    pred_cols = list(dict.fromkeys([*ranges, *equals]))
+    pos = decode_dataframe(
+        enc, columns=pred_cols, manifest=manifest, with_pos=True
+    )
+    for col, (lo, hi) in ranges.items():
+        pos = pos.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+    for col, value in equals.items():
+        pos = pos.filter(F.col(col) == value)
+    tomb = pos.select(
+        F.col("_part_id").alias("part_id"),
+        F.col("_row_pos").alias("row_pos"),
+    )
+    prior = read_delete_positions(spark, out_dir)
+    if prior is not None:
+        tomb = tomb.join(prior, ["part_id", "row_pos"], "left_anti")
+
+    ledger = read_ledger(spark, out_dir)
+    next_seq = 1
+    if ledger is not None:
+        next_seq = (ledger.agg(F.max("run_seq")).collect()[0][0] or 0) + 1
+    delete_id = uuid.uuid4().hex
+    tomb = (
+        tomb.withColumn("del_seq", F.lit(next_seq).cast("long"))
+        .withColumn("delete_id", F.lit(delete_id))
+        .persist()
+    )
+    try:
+        stats = tomb.agg(
+            F.count("*").alias("n"),
+            F.countDistinct("part_id").alias("parts"),
+        ).collect()[0]
+        n, parts = stats["n"], stats["parts"]
+        if n == 0:
+            return {
+                "rows_deleted": 0,
+                "partitions_touched": 0,
+                "run_seq": None,
+                "delete_id": delete_id,
+            }
+        # tombstones first, ledger commit second (crash window leaves
+        # orphans readers never see)
+        tomb.write.mode("append").parquet(_deletes_dir(out_dir))
+    finally:
+        tomb.unpersist()
+    commit = spark.createDataFrame(
+        [
+            (
+                -1,  # part_id: a delete spans partitions; chunk readers
+                # only join status="done" rows so the sentinel is inert
+                None,
+                int(n),
+                0,
+                0,
+                0,
+                None,
+                run_id or delete_id,
+                int(next_seq),
+                "delete",
+                delete_id,
+            )
+        ],
+        LEDGER_SCHEMA_DDL,
+    )
+    commit.coalesce(1).write.mode("append").parquet(_ledger_dir(out_dir))
+    return {
+        "rows_deleted": int(n),
+        "partitions_touched": int(parts),
+        "run_seq": int(next_seq),
+        "delete_id": delete_id,
+    }
+
+
+def apply_delete_filter(
+    decoded_with_pos: DataFrame, tombstones: DataFrame
+) -> DataFrame:
+    """Subtract tombstoned rows from a ``with_pos`` decode and drop the
+    coordinate columns — the reader-side half of merge-on-read. The
+    broadcast anti-join is the per-file delete-bitmap shape: rows of
+    untouched partitions pay one hash probe each, no shuffle of data."""
+    return decoded_with_pos.join(
+        F.broadcast(
+            tombstones.select(
+                F.col("part_id").alias("_part_id"),
+                F.col("row_pos").alias("_row_pos"),
+            )
+        ),
+        ["_part_id", "_row_pos"],
+        "left_anti",
+    ).drop("_part_id", "_row_pos")
+
+
+def compact_deletes(spark: SparkSession, out_dir: str) -> dict:
+    """Rewrite the tombstone table into one file — the small-file half
+    of Iceberg's ``rewrite_position_delete_files``. Every delete commit
+    appends its own parquet file; after many point deletes the scan-time
+    tombstone read pays per-file open costs. Keeps committed tombstones
+    VERBATIM (delete_id/del_seq survive, so epoch visibility and time
+    travel are unchanged) and drops orphans from crashed deletes.
+    Skipped (no-op) when an in-flight delete might be mid-commit —
+    callers run this on a quiesced store, same as ``compact_store``."""
+    import shutil
+
+    d = _deletes_dir(out_dir)
+    committed = read_delete_positions(spark, out_dir)
+    if committed is None:
+        return {"files_before": 0, "files_after": 0}
+    try:
+        tomb = spark.read.parquet(d)
+    except Exception:
+        return {"files_before": 0, "files_after": 0}
+    from choetl_spark.ledger import read_ledger
+
+    ledger = read_ledger(spark, out_dir)
+    keep = tomb.join(
+        F.broadcast(
+            ledger.filter(F.col("status") == "delete")
+            .select(F.col("attempt_id").alias("delete_id"))
+            .distinct()
+        ),
+        "delete_id",
+        "semi",
+    )
+
+    def _n_files(p: str) -> int:
+        try:
+            return sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+        except OSError:
+            return 0
+
+    before = _n_files(d)
+    staging = os.path.join(out_dir, f"_deletes_compact_{uuid.uuid4().hex[:8]}")
+    keep.coalesce(1).write.mode("overwrite").parquet(staging)
+    trash = os.path.join(out_dir, f"_deletes_trash_{uuid.uuid4().hex[:8]}")
+    os.rename(d, trash)
+    os.rename(staging, d)
+    shutil.rmtree(trash, ignore_errors=True)
+    return {"files_before": before, "files_after": _n_files(d)}

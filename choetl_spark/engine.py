@@ -482,10 +482,29 @@ def encoded_column_types(enc_df: DataFrame) -> dict[str, pa.DataType]:
     }
 
 
-def _make_decode_kernel(col_order: list[str], out_schema: pa.Schema, batch_rows: int):
+def _make_decode_kernel(
+    col_order: list[str],
+    out_schema: pa.Schema,
+    batch_rows: int,
+    with_pos: bool = False,
+):
+    if with_pos:
+        full_schema = pa.schema(
+            [
+                ("_part_id", pa.int64()),
+                ("_row_pos", pa.int64()),
+                *out_schema,
+            ]
+        )
+    else:
+        full_schema = out_schema
+
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
         cur_part: int | None = None
-        acc: dict[str, list[pa.Array]] = {}
+        # per column: (row_start, decoded array) pieces in row_start order
+        acc: dict[str, list[tuple[int, pa.Array]]] = {}
 
         def flush() -> Iterator[pa.RecordBatch]:
             nonlocal acc
@@ -496,13 +515,28 @@ def _make_decode_kernel(col_order: list[str], out_schema: pa.Schema, batch_rows:
             # decodes as nulls; a PRESENT column with a row-count
             # mismatch is still a hard integrity error
             n = max(
-                sum(len(p) for p in pieces) for pieces in acc.values()
+                sum(len(a) for _, a in pieces) for pieces in acc.values()
             )
             cols = []
+            pos: "np.ndarray | None" = None
+            for pieces in acc.values():
+                # global row positions from any full-coverage column's
+                # chunk row_starts (all PRESENT columns tile the same
+                # rows) — exact even when a partition's chunk rows are
+                # split across input slices, where arange(n) would
+                # restart at 0
+                if with_pos and sum(len(a) for _, a in pieces) == n:
+                    pos = np.concatenate(
+                        [
+                            s + np.arange(len(a), dtype=np.int64)
+                            for s, a in pieces
+                        ]
+                    )
+                    break
             for name in col_order:
                 pieces = acc.get(name, [])
                 arr = (
-                    pa.concat_arrays(pieces)
+                    pa.concat_arrays([a for _, a in pieces])
                     if pieces
                     else pa.nulls(n, type=out_schema.field(name).type)
                 )
@@ -512,8 +546,14 @@ def _make_decode_kernel(col_order: list[str], out_schema: pa.Schema, batch_rows:
                         f"(part {cur_part} incomplete?)"
                     )
                 cols.append(arr)
+            if with_pos:
+                cols = [
+                    pa.array(np.full(n, cur_part, dtype=np.int64)),
+                    pa.array(pos),
+                    *cols,
+                ]
             acc = {}
-            table = pa.Table.from_arrays(cols, schema=out_schema)
+            table = pa.Table.from_arrays(cols, schema=full_schema)
             for offset in range(0, table.num_rows, batch_rows):
                 yield from table.slice(offset, batch_rows).to_batches()
 
@@ -522,6 +562,7 @@ def _make_decode_kernel(col_order: list[str], out_schema: pa.Schema, batch_rows:
             names = batch.column(1).to_pylist()  # column
             payloads = batch.column(2)  # payload
             metas = batch.column(3).to_pylist()  # meta
+            starts = batch.column(4).to_pylist()  # row_start
             for i in range(len(pids)):
                 if pids[i] != cur_part:
                     yield from flush()
@@ -529,7 +570,7 @@ def _make_decode_kernel(col_order: list[str], out_schema: pa.Schema, batch_rows:
                 arr = decode_array(
                     payloads[i].as_py(), json.loads(metas[i])
                 )
-                acc.setdefault(names[i], []).append(arr)
+                acc.setdefault(names[i], []).append((starts[i], arr))
         yield from flush()
 
     return kernel
@@ -542,8 +583,14 @@ def decode_dataframe(
     batch_rows: int = 8192,
     assume_colocated: bool = False,
     manifest: dict | None = None,
+    with_pos: bool = False,
 ) -> DataFrame:
     """Decode an encoded-chunk DataFrame back to source rows.
+
+    ``with_pos=True`` prepends ``(_part_id, _row_pos)`` — each row's
+    logical partition and its exact global offset within it (from the
+    chunks' ``row_start``) — the coordinates row-level delete tombstones
+    and the late-materialization fetch pass address rows by.
 
     Column pruning happens BEFORE the shuffle — unrequested columns'
     payload bytes never move (the analog of the reference reader's
@@ -586,22 +633,29 @@ def decode_dataframe(
     ddl = ", ".join(
         f"`{c}` {_spark_type_ddl(types[c])}" for c in cols
     )
+    if with_pos:
+        if "_part_id" in cols or "_row_pos" in cols:
+            raise ValueError(
+                "with_pos=True reserves _part_id/_row_pos column names"
+            )
+        ddl = "`_part_id` bigint, `_row_pos` bigint, " + ddl
     pruned = enc_df.filter(F.col("column").isin(cols)).select(
         "part_id", "column", "payload", "meta", "row_start"
     )
     if len(cols) == 1 or assume_colocated:
         shuffled = pruned.sortWithinPartitions(
             "part_id", "column", "row_start"
-        ).select("part_id", "column", "payload", "meta")
+        )
     else:
         p = num_partitions or enc_df.sparkSession.conf.get(
             "spark.sql.shuffle.partitions", "32"
         )
         shuffled = pruned.repartition(int(p), "part_id").sortWithinPartitions(
             "part_id", "column", "row_start"
-        ).select("part_id", "column", "payload", "meta")
+        )
     decoded = shuffled.mapInArrow(
-        _make_decode_kernel(cols, out_schema, batch_rows), ddl
+        _make_decode_kernel(cols, out_schema, batch_rows, with_pos=with_pos),
+        ddl,
     )
     # restore nested logical types from their JSON-string storage form
     restores = {}

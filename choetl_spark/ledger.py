@@ -269,8 +269,19 @@ def scan_encoded(
 
     Predicate columns are auto-added to the decode set, so
     ``scan_encoded(spark, p, ["text"], equals={"url": u})`` works.
-    ``as_of`` time-travels to a ledger epoch (see ``read_encoded``).
+    ``as_of`` time-travels to a ledger epoch (see ``read_encoded``);
+    row-level delete tombstones committed at later epochs are likewise
+    invisible (a delete is a snapshot like any other).
+
+    Merge-on-read: tombstones from :func:`choetl_spark.deletes.
+    delete_where` are subtracted with a broadcast anti-join on
+    ``(part_id, row_pos)``; a store with no tombstones skips the
+    positional decode entirely (zero overhead).
     """
+    from choetl_spark.deletes import (
+        apply_delete_filter,
+        read_delete_positions,
+    )
     from choetl_spark.engine import (
         decode_dataframe,
         prune_partitions_by_bloom,
@@ -293,9 +304,17 @@ def scan_encoded(
         dec_cols = list(
             dict.fromkeys([*columns, *ranges, *equals])
         )  # ordered union
+    tombstones = read_delete_positions(spark, out_dir, as_of=as_of)
     # manifest sidecar (written by encode_with_resume): decode plans
     # build with ZERO Spark jobs instead of a chunk-metadata aggregate
-    out = decode_dataframe(enc, columns=dec_cols, manifest=manifest)
+    out = decode_dataframe(
+        enc,
+        columns=dec_cols,
+        manifest=manifest,
+        with_pos=tombstones is not None,
+    )
+    if tombstones is not None:
+        out = apply_delete_filter(out, tombstones)
     for col, (lo, hi) in ranges.items():
         out = out.filter((F.col(col) >= lo) & (F.col(col) <= hi))
     for col, value in equals.items():

@@ -269,12 +269,18 @@ def point_lookup(
     keyed = decode_chunks_with_pos(
         key_chunks, key, types[key], logicals.get(key)
     )
-    matches = (
-        keyed.filter(F.col(key).isin(values))
-        .select("part_id", "row_pos")
-        .limit(max_matches + 1)
-        .collect()
-    )
+    hits = keyed.filter(F.col(key).isin(values)).select("part_id", "row_pos")
+    # merge-on-read: rows tombstoned by delete_where (at or before the
+    # as_of epoch) must not surface — anti-join BEFORE the fetch pass so
+    # deleted rows also cost nothing to materialize
+    from choetl_spark.deletes import read_delete_positions
+
+    tombstones = read_delete_positions(spark, out_dir, as_of=as_of)
+    if tombstones is not None:
+        hits = hits.join(
+            F.broadcast(tombstones), ["part_id", "row_pos"], "left_anti"
+        )
+    matches = hits.limit(max_matches + 1).collect()
     if len(matches) > max_matches:
         raise ValueError(
             f"point_lookup matched more than max_matches={max_matches} "

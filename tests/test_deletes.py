@@ -1,0 +1,196 @@
+"""Row-level deletes (choetl_spark/deletes.py) — the Iceberg v2
+positional-delete / merge-on-read contract over the encoded store.
+
+The invariants: deletes never rewrite data chunks; readers subtract
+exactly the tombstoned rows and nothing else (surviving rows stay
+bit-identical); a delete commits at its own ledger epoch so time travel
+before it still sees the rows; crashed deletes leave no trace.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from choetl_spark.deletes import (
+    compact_deletes,
+    delete_where,
+    read_delete_positions,
+)
+from choetl_spark.engine import EncodeConfig, decode_dataframe
+from choetl_spark.ledger import (
+    encode_with_resume,
+    read_encoded,
+    scan_encoded,
+)
+from choetl_spark.lookup import point_lookup
+from choetl_spark.synth import webpages
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    out = str(tmp_path / "store")
+    pages = webpages(spark, 900, partitions=4).cache()
+    pages.count()
+    cfg = EncodeConfig(
+        num_partitions=5, chunk_rows=128, chunk_bytes=1 << 20,
+        bloom_columns=("url",),
+    )
+    encode_with_resume(spark, pages, out, cfg, run_id="ingest1")
+    yield out, pages
+    pages.unpersist()
+
+
+def _rows(df):
+    return {(r["url"], r["text"]) for r in df.collect()}
+
+
+def test_delete_lifecycle(spark, store):
+    """One store, the whole merge-on-read story in commit order:
+    predicate delete -> exact subtraction (survivors bit-identical) ->
+    idempotent re-delete -> point_lookup agreement -> time travel sees
+    the pre-delete snapshot -> orphan tombstones invisible -> tombstone
+    compaction changes nothing logical."""
+    out, pages = store
+    victim_lang = "de"
+    src_all = _rows(pages.select("url", "text"))
+    src_kept = _rows(pages.filter(F.col("lang") != victim_lang)
+                     .select("url", "text"))
+    assert src_kept != src_all  # the predicate actually hits rows
+
+    # -- delete + exact subtraction ------------------------------------
+    res = delete_where(spark, out, equals={"lang": victim_lang})
+    n_victims = len(src_all) - len(src_kept)
+    assert res["rows_deleted"] == n_victims
+    assert res["partitions_touched"] >= 1
+    assert res["run_seq"] == 2  # ingest committed epoch 1
+    got = scan_encoded(spark, out, ["url", "text"])
+    assert _rows(got) == src_kept  # survivors bit-identical, no leaks
+
+    # predicates still compose with the tombstone filter
+    one = sorted(src_kept)[0]
+    assert _rows(
+        scan_encoded(spark, out, ["url", "text"], equals={"url": one[0]})
+    ) == {one}
+
+    # -- idempotent re-delete ------------------------------------------
+    res2 = delete_where(spark, out, equals={"lang": victim_lang})
+    assert res2["rows_deleted"] == 0
+    assert res2["run_seq"] is None  # no-op commits nothing
+    assert _rows(scan_encoded(spark, out, ["url", "text"])) == src_kept
+
+    # -- point_lookup agreement ----------------------------------------
+    deleted_url = sorted(src_all - src_kept)[0][0]
+    assert (
+        point_lookup(spark, out, "url", deleted_url, ["url", "text"]).count()
+        == 0
+    )
+    kept_url, kept_text = sorted(src_kept)[-1]
+    hit = point_lookup(spark, out, "url", kept_url, ["url", "text"]).collect()
+    assert len(hit) == 1 and hit[0]["text"] == kept_text
+
+    # -- time travel: the delete is its own snapshot --------------------
+    assert _rows(scan_encoded(spark, out, ["url", "text"], as_of=1)) == src_all
+    assert _rows(scan_encoded(spark, out, ["url", "text"], as_of=2)) == src_kept
+    assert (
+        point_lookup(
+            spark, out, "url", deleted_url, ["url", "text"], as_of=1
+        ).count()
+        == 1
+    )
+
+    # -- orphan tombstones (crashed delete) are invisible ---------------
+    orphan = spark.createDataFrame(
+        [(p, 0, 99, "orphan-attempt") for p in range(5)],
+        "part_id long, row_pos long, del_seq long, delete_id string",
+    )
+    orphan.write.mode("append").parquet(os.path.join(out, "_deletes"))
+    assert _rows(scan_encoded(spark, out, ["url", "text"])) == src_kept
+
+    # -- compact: fewer files, same logical content ---------------------
+    delete_where(spark, out, equals={"url": kept_url})  # a 2nd commit
+    src_kept2 = src_kept - {(kept_url, kept_text)}
+    stats = compact_deletes(spark, out)
+    assert stats["files_after"] <= stats["files_before"]
+    assert stats["files_after"] == 1
+    assert _rows(scan_encoded(spark, out, ["url", "text"])) == src_kept2
+    assert _rows(scan_encoded(spark, out, ["url", "text"], as_of=1)) == src_all
+    assert _rows(scan_encoded(spark, out, ["url", "text"], as_of=2)) == src_kept
+    # the planted orphan died in compaction (only committed rows kept)
+    tomb = spark.read.parquet(os.path.join(out, "_deletes"))
+    assert tomb.filter(F.col("delete_id") == "orphan-attempt").count() == 0
+
+
+def test_range_delete_and_pruned_decode(spark, store):
+    """Range predicates tombstone via the zone-map pruned path; the
+    delete job decodes ONLY the predicate column in surviving
+    partitions — never payload columns (plan-level guarantee of
+    decode_dataframe column pruning, asserted on the result here)."""
+    out, pages = store
+    urls = sorted(r["url"] for r in pages.select("url").collect())
+    lo, hi = urls[100], urls[299]
+    res = delete_where(spark, out, ranges={"url": (lo, hi)})
+    assert res["rows_deleted"] == 200
+    got = {r["url"] for r in scan_encoded(spark, out, ["url"]).collect()}
+    assert got == set(urls) - set(urls[100:300])
+
+
+def test_delete_requires_predicate(spark, store):
+    out, _ = store
+    with pytest.raises(ValueError, match="predicate"):
+        delete_where(spark, out)
+
+
+def test_delete_then_later_ingest_epochs(spark, store):
+    """A delete epoch interleaves with later ingest epochs: the next
+    encode run takes the next run_seq, and every as_of slice composes
+    chunk visibility with tombstone visibility."""
+    out, pages = store
+    n0 = pages.count()
+    res = delete_where(spark, out, equals={"lang": "fr"})
+    n_fr = pages.filter(F.col("lang") == "fr").count()
+    assert res["run_seq"] == 2
+    extra = (
+        webpages(spark, 100, partitions=2)
+        .withColumn("url", F.concat(F.lit("late-"), F.col("url")))
+        .withColumn("part_id", F.lit(900) + F.monotonically_increasing_id() % 2)
+    )
+    cfg = EncodeConfig(chunk_rows=128, bloom_columns=("url",))
+    encode_with_resume(spark, extra, out, cfg, run_id="ingest2")
+    n = lambda as_of: scan_encoded(spark, out, ["url"], as_of=as_of).count()
+    assert n(1) == n0
+    assert n(2) == n0 - n_fr
+    assert n(3) == n0 - n_fr + 100
+    assert n(None) == n0 - n_fr + 100
+
+
+def test_decode_with_pos_exact_coordinates(spark, store):
+    """with_pos coordinates are the store's source of truth: positions
+    tile [0, n_part) per partition and every (part, pos, value) agrees
+    with the positionless decode row-for-row."""
+    out, _ = store
+    enc = read_encoded(spark, out)
+    pos = decode_dataframe(enc, columns=["url"], with_pos=True)
+    bad_tiling = (
+        pos.groupBy("_part_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("_row_pos").alias("lo"),
+            F.max("_row_pos").alias("hi"),
+            F.countDistinct("_row_pos").alias("d"),
+        )
+        .filter(
+            (F.col("lo") != 0)
+            | (F.col("hi") != F.col("n") - 1)
+            | (F.col("d") != F.col("n"))
+        )
+        .count()
+    )
+    assert bad_tiling == 0
+    plain = decode_dataframe(enc, columns=["url"])
+    assert pos.count() == plain.count()
+    assert (
+        pos.select("url").exceptAll(plain.select("url")).count() == 0
+    )
