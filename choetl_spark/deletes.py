@@ -141,15 +141,59 @@ def delete_where(
     for col, (lo, hi) in ranges.items():
         pos = pos.filter((F.col(col) >= lo) & (F.col(col) <= hi))
     for col, value in equals.items():
-        pos = pos.filter(F.col(col) == value)
+        if isinstance(value, (list, tuple, set)):
+            pos = pos.filter(F.col(col).isin(list(value)))
+        else:
+            pos = pos.filter(F.col(col) == value)
     tomb = pos.select(
         F.col("_part_id").alias("part_id"),
         F.col("_row_pos").alias("row_pos"),
     )
+    return _commit_tombstones(spark, out_dir, tomb, run_id)
+
+
+def delete_matching(
+    spark: SparkSession,
+    out_dir: str,
+    key: str,
+    keys_df: DataFrame,
+    run_id: str | None = None,
+) -> dict:
+    """Delete every store row whose ``key`` appears in ``keys_df`` —
+    the frame-predicate shape of :func:`delete_where` and the delete
+    half of :func:`upsert`. One positional decode of the KEY column
+    (never payloads) semi-joined against the broadcast key set; at
+    10^12 docs that is one narrow-column pass + O(matches) tombstones,
+    the same cost an Iceberg MERGE pays for its match scan."""
+    from choetl_spark.engine import decode_dataframe
+    from choetl_spark.ledger import read_encoded, read_manifest
+
+    enc = read_encoded(spark, out_dir)
+    manifest = read_manifest(out_dir)
+    keyed = decode_dataframe(
+        enc, columns=[key], manifest=manifest, with_pos=True
+    )
+    tomb = keyed.join(
+        F.broadcast(keys_df.select(key).distinct()), key, "semi"
+    ).select(
+        F.col("_part_id").alias("part_id"),
+        F.col("_row_pos").alias("row_pos"),
+    )
+    return _commit_tombstones(spark, out_dir, tomb, run_id)
+
+
+def _commit_tombstones(
+    spark: SparkSession, out_dir: str, tomb: DataFrame, run_id: str | None
+) -> dict:
+    """Shared delete commit: drop already-tombstoned coordinates
+    (idempotence), write tombstone files, THEN append the ledger
+    ``status="delete"`` row at the next epoch — the crash window
+    between the two leaves orphans readers never see."""
+    from choetl_spark.ledger import LEDGER_SCHEMA_DDL, _ledger_dir, read_ledger
+
     prior = read_delete_positions(spark, out_dir)
     if prior is not None:
         tomb = tomb.join(prior, ["part_id", "row_pos"], "left_anti")
-
     ledger = read_ledger(spark, out_dir)
     next_seq = 1
     if ledger is not None:
@@ -173,8 +217,6 @@ def delete_where(
                 "run_seq": None,
                 "delete_id": delete_id,
             }
-        # tombstones first, ledger commit second (crash window leaves
-        # orphans readers never see)
         tomb.write.mode("append").parquet(_deletes_dir(out_dir))
     finally:
         tomb.unpersist()
@@ -204,6 +246,78 @@ def delete_where(
         "run_seq": int(next_seq),
         "delete_id": delete_id,
     }
+
+
+def upsert(
+    spark: SparkSession,
+    out_dir: str,
+    df: DataFrame,
+    key: str,
+    cfg=None,
+    epoch: int | None = None,
+    run_id: str | None = None,
+) -> dict:
+    """MERGE (upsert) into the encoded store: tombstone existing rows
+    whose ``key`` appears in ``df`` (:func:`delete_matching`), then
+    ingest ``df`` into a fresh epoch-namespaced partition range —
+    merge-on-read end to end, no data rewrite (the Iceberg
+    ``MERGE INTO ... WHEN MATCHED DELETE+INSERT`` shape).
+
+    ``epoch`` namespaces the new partition ids
+    (``epoch * num_partitions + planned_id``, the streaming sink's
+    scheme) so they can never collide with — and be silently skipped
+    as "already done" by — any prior run's ids. Defaults to the next
+    ledger ``run_seq``; a RETRY of a crashed upsert must pass the same
+    ``epoch`` and ``run_id`` back so the ledger resume skips exactly
+    the partitions that committed (the delete half is idempotent
+    either way).
+    """
+    from choetl_spark.engine import EncodeConfig
+    from choetl_spark.ledger import encode_with_resume, read_ledger
+    from choetl_spark.partitioning import plan_partitions
+
+    cfg = cfg or EncodeConfig()
+    fresh_epoch = epoch is None
+    if fresh_epoch:
+        # the epoch must clear BOTH the commit sequence and the highest
+        # existing part id (a scan-local ingest uses one id per input
+        # split, which can exceed num_partitions — colliding ids would
+        # be silently resume-skipped, dropping upsert rows)
+        ledger = read_ledger(spark, out_dir)
+        max_seq, max_part = 0, -1
+        if ledger is not None:
+            r = ledger.agg(
+                F.max("run_seq").alias("s"), F.max("part_id").alias("p")
+            ).collect()[0]
+            max_seq, max_part = r["s"] or 0, r["p"] if r["p"] is not None else -1
+        epoch = max(max_seq, (max_part + cfg.num_partitions)
+                    // cfg.num_partitions) + 1
+    del_res = delete_matching(
+        spark, out_dir, key, df.select(key), run_id=run_id
+    )
+    planned = plan_partitions(
+        df,
+        cfg.num_partitions,
+        key_col=cfg.key_col,
+        by_host=cfg.partition_by_host,
+        hot_factor=cfg.hot_factor,
+        salt_buckets=cfg.salt_buckets,
+    ).withColumn(
+        "part_id",
+        F.col("part_id") + F.lit(int(epoch)) * F.lit(cfg.num_partitions),
+    )
+    enc_res = encode_with_resume(
+        spark, planned, out_dir, cfg, run_id=run_id or f"upsert-{epoch}"
+    )
+    if fresh_epoch and enc_res["partitions_already_done"]:
+        raise RuntimeError(
+            "upsert epoch collided with existing partition ids — some "
+            "rows were resume-skipped; the store's ledger is "
+            "inconsistent with its id layout (pass an explicit unused "
+            "epoch)"
+        )
+    return {**enc_res, "rows_deleted": del_res["rows_deleted"],
+            "upsert_epoch": int(epoch)}
 
 
 def apply_delete_filter(

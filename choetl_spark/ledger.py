@@ -151,24 +151,42 @@ def read_encoded(
 
 def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
     """One row per commit epoch (the Iceberg snapshot-list analog):
-    ``(run_seq, run_id, n_partitions, n_rows, raw_bytes,
-    encoded_bytes)``, ordered by epoch. Pass a ``run_seq`` to
+    ``(run_seq, run_id, operation, n_partitions, n_rows, raw_bytes,
+    encoded_bytes)``, ordered by epoch — ``operation`` is "append"
+    (an ingest; ``n_rows`` = rows committed) or "delete" (a row-level
+    tombstone commit; ``n_rows`` = rows deleted, ``n_partitions`` 0
+    since no partition was written). Pass a ``run_seq`` to
     ``read_encoded``/``scan_encoded`` ``as_of=`` for time travel."""
     ledger = read_ledger(spark, out_dir)
     if ledger is None:
         return spark.createDataFrame(
             [],
-            "run_seq long, run_id string, n_partitions long, n_rows long,"
+            "run_seq long, run_id string, operation string,"
+            " n_partitions long, n_rows long,"
             " raw_bytes long, encoded_bytes long",
         )
     return (
-        ledger.filter(F.col("status") == "done")
-        .groupBy("run_seq", "run_id")
+        ledger.filter(F.col("status").isin("done", "delete"))
+        .groupBy("run_seq", "run_id", "status")
         .agg(
-            F.count("*").alias("n_partitions"),
+            F.count("*").alias("n_parts_raw"),
             F.sum("n_rows").alias("n_rows"),
             F.sum("raw_bytes").alias("raw_bytes"),
             F.sum("encoded_bytes").alias("encoded_bytes"),
+        )
+        .select(
+            "run_seq",
+            "run_id",
+            F.when(F.col("status") == "done", F.lit("append"))
+            .otherwise(F.lit("delete"))
+            .alias("operation"),
+            F.when(F.col("status") == "done", F.col("n_parts_raw"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_partitions"),
+            "n_rows",
+            "raw_bytes",
+            "encoded_bytes",
         )
         .orderBy("run_seq")
     )

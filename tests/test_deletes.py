@@ -16,8 +16,10 @@ from pyspark.sql import functions as F
 
 from choetl_spark.deletes import (
     compact_deletes,
+    delete_matching,
     delete_where,
     read_delete_positions,
+    upsert,
 )
 from choetl_spark.engine import EncodeConfig, decode_dataframe
 from choetl_spark.ledger import (
@@ -164,6 +166,62 @@ def test_delete_then_later_ingest_epochs(spark, store):
     assert n(2) == n0 - n_fr
     assert n(3) == n0 - n_fr + 100
     assert n(None) == n0 - n_fr + 100
+
+
+def test_delete_batch_equals_and_matching_frame(spark, store):
+    """equals accepts a value LIST (IN-list delete) and delete_matching
+    takes a whole key frame — the decontamination / CDC shapes. Both
+    tombstone exactly the named keys; snapshots() lists each delete as
+    its own epoch with operation='delete' and the deleted row count."""
+    from choetl_spark.ledger import snapshots
+
+    out, pages = store
+    urls = sorted(r["url"] for r in pages.select("url").collect())
+    res = delete_where(spark, out, equals={"url": urls[:3]})
+    assert res["rows_deleted"] == 3
+    keys = spark.createDataFrame([(u,) for u in urls[3:7]], "url string")
+    res2 = delete_matching(spark, out, "url", keys)
+    assert res2["rows_deleted"] == 4
+    got = {r["url"] for r in scan_encoded(spark, out, ["url"]).collect()}
+    assert got == set(urls[7:])
+    snaps = snapshots(spark, out).collect()
+    assert [(s["operation"], s["n_rows"]) for s in snaps] == [
+        ("append", 900), ("delete", 3), ("delete", 4),
+    ]
+    assert all(
+        s["n_partitions"] == 0 for s in snaps if s["operation"] == "delete"
+    )
+
+
+def test_upsert_replaces_matched_keys(spark, store):
+    """MERGE shape: updated keys return the NEW payload exactly once,
+    unmatched keys insert, untouched rows survive bit-identical; the
+    pre-upsert snapshot still reads the old values (time travel)."""
+    out, pages = store
+    old = {r["url"]: r["text"] for r in pages.select("url", "text").collect()}
+    some = sorted(old)[:5]
+    updates = spark.createDataFrame(
+        [(u, f"ts-{i}", b"<html/>", f"updated-{u}", "en")
+         for i, u in enumerate(some)]
+        + [("https://brand.new/page", "ts-x", b"<html/>", "inserted", "en")],
+        "url string, warc_ts string, html binary, text string, lang string",
+    ).withColumn("warc_ts", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    cfg = EncodeConfig(num_partitions=4, chunk_rows=128)
+    res = upsert(spark, out, updates, "url", cfg)
+    assert res["rows_deleted"] == 5
+    assert res["partitions_already_done"] == 0
+    got = {r["url"]: r["text"]
+           for r in scan_encoded(spark, out, ["url", "text"]).collect()}
+    want = dict(old)
+    for u in some:
+        want[u] = f"updated-{u}"
+    want["https://brand.new/page"] = "inserted"
+    assert got == want
+    # the pre-upsert snapshot (epoch 1) still reads the original store
+    before = {r["url"]: r["text"]
+              for r in scan_encoded(spark, out, ["url", "text"], as_of=1)
+              .collect()}
+    assert before == old
 
 
 def test_decode_with_pos_exact_coordinates(spark, store):
