@@ -872,6 +872,49 @@ def q_delete_rows_store(spark, sf_dir):
     return spark.createDataFrame(rows, "url string, lang string")
 
 
+def q_upsert_store(spark, sf_dir):
+    """MERGE (upsert) into the checkpointed store
+    (choetl_spark/deletes.py upsert): every doc_id%50==0 page gets its
+    text replaced via delete_matching tombstones + an epoch-namespaced
+    ingest — no data chunk rewritten. The oracle recomputes the merged
+    table from documents with a CASE; a duplicate surviving old row, a
+    dropped update, or an epoch/resume collision all flip it. Collected
+    eagerly so the temp store can be deleted."""
+    import shutil
+    import tempfile
+
+    from choetl_spark.deletes import upsert
+    from choetl_spark.engine import EncodeConfig
+    from choetl_spark.ledger import encode_with_resume, scan_encoded
+    from choetl_spark.synth import webpages_from_documents
+
+    pages = webpages_from_documents(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    updates = docs.select(
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+            F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.current_timestamp().alias("warc_ts"),
+        F.encode(F.lit("<html/>"), "utf-8").cast("binary").alias("html"),
+        F.concat(F.lit("UPDATED-"), F.col("doc_id").cast("string"))
+        .alias("text"),
+        F.col("lang"),
+    )
+    out = tempfile.mkdtemp(prefix="choetl_up_")
+    try:
+        cfg = EncodeConfig(
+            num_partitions=8, chunk_rows=2048, chunk_bytes=4 << 20,
+            deterministic=True, bloom_columns=("url",),
+        )
+        encode_with_resume(spark, pages, out, cfg)
+        upsert(spark, out, updates, "url", cfg)
+        rows = scan_encoded(spark, out, ["url", "text"]).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, "url string, text string")
+
+
 def _messy_urls(spark, sf_dir):
     """Deterministic messy-URL corpus over documents: every doc_id
     derives a URL exercising scheme case, userinfo, host case, default
@@ -1156,6 +1199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup_store": q_point_lookup_store,
         "store_time_travel": q_store_time_travel,
         "delete_rows_store": q_delete_rows_store,
+        "upsert_store": q_upsert_store,
     }
 
 
@@ -1992,5 +2036,12 @@ def oracle_sql() -> dict[str, str]:
         "delete_rows_store": f"""
             SELECT {_URL_SQL} AS url, lang FROM documents
             WHERE lang <> 'de'
+        """,
+        "upsert_store": f"""
+            SELECT {_URL_SQL} AS url,
+                   CASE WHEN doc_id % 50 = 0
+                        THEN 'UPDATED-' || CAST(doc_id AS VARCHAR)
+                        ELSE text END AS text
+            FROM documents
         """,
     }
