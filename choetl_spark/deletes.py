@@ -339,6 +339,110 @@ def apply_delete_filter(
     ).drop("_part_id", "_row_pos")
 
 
+def rewrite_partitions(
+    spark: SparkSession,
+    out_dir: str,
+    min_deleted_fraction: float = 0.1,
+    cfg=None,
+    run_id: str | None = None,
+) -> dict:
+    """Materialize tombstones — major compaction, the copy-on-write
+    escalation merge-on-read eventually needs (Iceberg's
+    ``rewrite_data_files`` over partitions with position deletes).
+
+    Partitions whose deleted fraction reaches ``min_deleted_fraction``
+    are re-encoded WITHOUT their tombstoned rows under fresh partition
+    ids, and the old copies are retired in the SAME ledger append
+    (``encode_with_resume(retire_part_ids=...)``) — one commit swaps
+    readers from old+tombstones to clean new chunks, so there is no
+    duplicate/missing window, and a crash before the commit leaves only
+    invisible orphan chunks. Time travel is intact: ``as_of`` before
+    the rewrite epoch still reads the retired copies with their
+    tombstones applied (snapshot EXPIRY, not rewrite, reclaims them).
+
+    Candidate selection is metadata-only (tombstone counts vs ledger
+    row counts). Scale shape: cost is O(rows of rewritten partitions) —
+    exactly the partitions where scan-time anti-join overhead justifies
+    a rewrite; untouched partitions never move. Pass the store's
+    ``EncodeConfig`` so re-encoded partitions keep their Bloom columns
+    and codec profile."""
+    from choetl_spark.engine import EncodeConfig, decode_dataframe
+    from choetl_spark.ledger import (
+        encode_with_resume,
+        read_encoded,
+        read_ledger,
+        read_manifest,
+    )
+
+    cfg = cfg or EncodeConfig()
+    out = {"partitions_rewritten": 0, "rows_materialized": 0}
+    tomb = read_delete_positions(spark, out_dir)
+    ledger = read_ledger(spark, out_dir)
+    if tomb is None or ledger is None:
+        return out
+    done = ledger.filter(F.col("status") == "done").select(
+        "part_id", "n_rows"
+    )
+    retired = ledger.filter(F.col("status") == "retired").select(
+        "part_id"
+    ).distinct()
+    visible = done.join(F.broadcast(retired), "part_id", "left_anti")
+    dels = tomb.groupBy("part_id").agg(F.count("*").alias("n_del"))
+    targets = [
+        r["part_id"]
+        for r in visible.join(dels, "part_id")
+        .filter(
+            F.col("n_del") >= F.lit(min_deleted_fraction) * F.col("n_rows")
+        )
+        .select("part_id")
+        .collect()
+    ]
+    if not targets:
+        return out
+    # fresh ids: dense range above every id the ledger has ever seen
+    base = (ledger.agg(F.max("part_id")).collect()[0][0] or 0) + 1
+    id_map = F.create_map(
+        *[
+            x
+            for old, new in zip(targets, range(base, base + len(targets)))
+            for x in (F.lit(int(old)), F.lit(int(new)))
+        ]
+    )
+    enc = read_encoded(spark, out_dir).filter(F.col("part_id").isin(targets))
+    manifest = read_manifest(out_dir)
+    rows = decode_dataframe(enc, manifest=manifest, with_pos=True)
+    survivors = (
+        rows.join(
+            F.broadcast(
+                tomb.select(
+                    F.col("part_id").alias("_part_id"),
+                    F.col("row_pos").alias("_row_pos"),
+                )
+            ),
+            ["_part_id", "_row_pos"],
+            "left_anti",
+        )
+        .withColumn("part_id", id_map[F.col("_part_id")].cast("long"))
+        .drop("_part_id", "_row_pos")
+    )
+    rid = run_id or f"rewrite-{uuid.uuid4().hex[:8]}"
+    res = encode_with_resume(
+        spark, survivors, out_dir, cfg, run_id=rid, retire_part_ids=targets
+    )
+    n_rows = (
+        read_ledger(spark, out_dir)
+        .filter((F.col("run_id") == rid) & (F.col("status") == "done"))
+        .agg(F.sum("n_rows"))
+        .collect()[0][0]
+        or 0
+    )
+    return {
+        "partitions_rewritten": len(targets),
+        "rows_materialized": int(n_rows),
+        **res,
+    }
+
+
 def compact_deletes(spark: SparkSession, out_dir: str) -> dict:
     """Rewrite the tombstone table into one file — the small-file half
     of Iceberg's ``rewrite_position_delete_files``. Every delete commit

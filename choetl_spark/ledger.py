@@ -127,7 +127,10 @@ def _commit_join(chunks: DataFrame, done: DataFrame, how: str) -> DataFrame:
 
 
 def read_encoded(
-    spark: SparkSession, out_dir: str, as_of: int | None = None
+    spark: SparkSession,
+    out_dir: str,
+    as_of: int | None = None,
+    include_retired: bool = False,
 ) -> DataFrame:
     """Committed chunks only (semi-join against the ledger on the
     ``(part_id, attempt_id)`` commit key — see the module docstring for
@@ -138,7 +141,15 @@ def read_encoded(
     ``run_seq <= as_of`` are visible. Sound because committed partitions
     are immutable — later runs only APPEND new partitions — so epoch
     ``k``'s table is exactly the ``run_seq <= k`` subset. ``None`` reads
-    the latest snapshot."""
+    the latest snapshot.
+
+    Partitions RETIRED by a rewrite (``status="retired"`` ledger rows —
+    tombstone materialization, :func:`choetl_spark.deletes.
+    rewrite_partitions`) are invisible from their retirement epoch
+    onward; ``as_of`` an earlier epoch still reads them (the rewrite is
+    a snapshot like any other). ``include_retired=True`` keeps them
+    regardless — for maintenance passes (``compact_store``) that must
+    preserve time-travel-reachable chunks."""
     chunks = _read_chunks(spark, out_dir)
     ledger = read_ledger(spark, out_dir)
     if ledger is None:
@@ -146,6 +157,15 @@ def read_encoded(
     done = ledger.filter(F.col("status") == "done")
     if as_of is not None:
         done = done.filter(F.col("run_seq") <= int(as_of))
+    if not include_retired:
+        retired = ledger.filter(F.col("status") == "retired")
+        if as_of is not None:
+            retired = retired.filter(F.col("run_seq") <= int(as_of))
+        done = done.join(
+            F.broadcast(retired.select("part_id").distinct()),
+            "part_id",
+            "left_anti",
+        )
     return _commit_join(chunks, done, "semi")
 
 
@@ -388,7 +408,10 @@ def compact_store(
         # chunks (all "orphan" by the semi-join) must not be rewritten
         # away — same guard as vacuum()
         return {"files_before": 0, "files_after": 0}
-    committed = read_encoded(spark, out_dir)
+    # include_retired: a rewritten-away partition's chunks are still
+    # reachable by as_of reads before its retirement epoch — compaction
+    # must carry them (snapshot expiry, not compaction, reclaims them)
+    committed = read_encoded(spark, out_dir, include_retired=True)
     total = (
         committed.agg(F.sum("encoded_bytes").alias("b")).collect()[0]["b"]
         or 0
@@ -445,8 +468,17 @@ def encode_with_resume(
     out_dir: str,
     cfg: EncodeConfig | None = None,
     run_id: str | None = None,
+    retire_part_ids: list | None = None,
 ) -> dict:
     """Encode ``df`` to ``out_dir``, skipping partitions already done.
+
+    ``retire_part_ids`` makes this a REPLACE commit (the Iceberg
+    rewrite shape): ``status="retired"`` rows for those partitions ride
+    in the SAME ledger append as the new partitions' ``done`` rows at
+    the same epoch, so readers switch from the old copies to the new
+    ones in one commit — no window where both (duplicates) or neither
+    (missing rows) are visible. Used by
+    :func:`choetl_spark.deletes.rewrite_partitions`.
 
     Returns a summary dict with partitions done before/this run.
     """
@@ -592,9 +624,23 @@ def encode_with_resume(
             F.lit(attempt_id).alias("attempt_id"),
         )
     )
+    if retire_part_ids:
+        retire_rows = spark.createDataFrame(
+            [
+                (int(p), None, 0, 0, 0, 0, None, run_id,
+                 int(run_seq), "retired", attempt_id)
+                for p in retire_part_ids
+            ],
+            LEDGER_SCHEMA_DDL,
+        )
+        ledger_rows = ledger_rows.unionByName(retire_rows)
     before = ledger.count() if ledger is not None else 0
     ledger_rows.write.mode("append").parquet(_ledger_dir(out_dir))
-    newly = read_ledger(spark, out_dir).count() - before
+    newly = (
+        read_ledger(spark, out_dir).count()
+        - before
+        - len(retire_part_ids or [])
+    )
     return {
         "run_id": run_id,
         "partitions_already_done": already,

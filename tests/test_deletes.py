@@ -19,6 +19,7 @@ from choetl_spark.deletes import (
     delete_matching,
     delete_where,
     read_delete_positions,
+    rewrite_partitions,
     upsert,
 )
 from choetl_spark.engine import EncodeConfig, decode_dataframe
@@ -166,6 +167,72 @@ def test_delete_then_later_ingest_epochs(spark, store):
     assert n(2) == n0 - n_fr
     assert n(3) == n0 - n_fr + 100
     assert n(None) == n0 - n_fr + 100
+
+
+def test_rewrite_partitions_materializes_tombstones(spark, store):
+    """Major compaction: partitions past the deleted-fraction threshold
+    are re-encoded without their tombstoned rows and the old copies
+    retired in the SAME commit — the scan result is unchanged, the
+    rewritten partitions carry no tombstones any more, below-threshold
+    partitions never move, and every earlier snapshot still reads
+    exactly what it read before (retired chunks stay reachable)."""
+    out, pages = store
+    cfg = EncodeConfig(
+        num_partitions=5, chunk_rows=128, chunk_bytes=1 << 20,
+        bloom_columns=("url",),
+    )
+    # tombstone ~half of ONE partition's rows: pick the part that holds
+    # a known url, then delete a stretch of its urls via the positions
+    enc = read_encoded(spark, out)
+    pos = decode_dataframe(enc, columns=["url"], manifest=None, with_pos=True)
+    by_part = {
+        r["_part_id"]: r["n"]
+        for r in pos.groupBy("_part_id").agg(F.count("*").alias("n")).collect()
+    }
+    target_part = max(by_part, key=by_part.get)
+    part_urls = sorted(
+        r["url"]
+        for r in pos.filter(F.col("_part_id") == target_part).collect()
+    )
+    victims = part_urls[: len(part_urls) // 2]
+    delete_where(spark, out, equals={"url": victims})
+    survivors_want = _rows(
+        pages.filter(~F.col("url").isin(victims)).select("url", "text")
+    )
+    pre_delete = _rows(scan_encoded(spark, out, ["url", "text"], as_of=1))
+    assert _rows(scan_encoded(spark, out, ["url", "text"])) == survivors_want
+
+    res = rewrite_partitions(spark, out, min_deleted_fraction=0.3, cfg=cfg)
+    assert res["partitions_rewritten"] == 1
+    assert res["rows_materialized"] == len(part_urls) - len(victims)
+    # scan identical after the rewrite; the old part is invisible
+    assert _rows(scan_encoded(spark, out, ["url", "text"])) == survivors_want
+    visible_parts = {
+        r["part_id"]
+        for r in read_encoded(spark, out).select("part_id").distinct().collect()
+    }
+    assert target_part not in visible_parts
+    # rewritten rows live in a fresh part with NO tombstones pointing
+    # at it (materialization happened)
+    new_part = max(visible_parts)
+    tomb_parts = {
+        r["part_id"]
+        for r in read_delete_positions(spark, out).select("part_id")
+        .distinct().collect()
+    }
+    assert new_part not in tomb_parts
+    # below-threshold partitions kept their original ids (never moved)
+    assert (set(by_part) - {target_part}) <= visible_parts
+    # time travel: pre-delete and pre-rewrite snapshots are intact
+    assert _rows(scan_encoded(spark, out, ["url", "text"], as_of=1)) == pre_delete
+    assert _rows(scan_encoded(spark, out, ["url", "text"], as_of=2)) == survivors_want
+    # idempotent: nothing left above threshold
+    res2 = rewrite_partitions(spark, out, min_deleted_fraction=0.3, cfg=cfg)
+    assert res2["partitions_rewritten"] == 0
+    # point lookup through the rewritten store
+    u, t = sorted(survivors_want)[0]
+    hit = point_lookup(spark, out, "url", u, ["url", "text"]).collect()
+    assert len(hit) == 1 and hit[0]["text"] == t
 
 
 def test_delete_batch_equals_and_matching_frame(spark, store):
