@@ -60,6 +60,21 @@ def _manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, "_manifest.json")
 
 
+def _expiry_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_expiry.json")
+
+
+def min_time_travel_seq(out_dir: str) -> int:
+    """The oldest ledger epoch ``as_of`` may still read — 1 until
+    :func:`expire_snapshots` raises it (a tiny driver-side sidecar,
+    the Iceberg oldest-retained-snapshot pointer)."""
+    try:
+        with open(_expiry_path(out_dir), encoding="utf-8") as fh:
+            return int(json.load(fh)["min_as_of_seq"])
+    except (OSError, KeyError, ValueError):
+        return 1
+
+
 def read_manifest(out_dir: str) -> dict | None:
     """Per-column storage manifest persisted at encode time (a tiny
     driver-side sidecar — the Iceberg-catalog analog of table-property
@@ -150,6 +165,12 @@ def read_encoded(
     a snapshot like any other). ``include_retired=True`` keeps them
     regardless — for maintenance passes (``compact_store``) that must
     preserve time-travel-reachable chunks."""
+    if as_of is not None and int(as_of) < min_time_travel_seq(out_dir):
+        raise ValueError(
+            f"snapshot as_of={as_of} has been expired; the oldest "
+            f"readable epoch is {min_time_travel_seq(out_dir)} "
+            "(expire_snapshots reclaimed earlier history)"
+        )
     chunks = _read_chunks(spark, out_dir)
     ledger = read_ledger(spark, out_dir)
     if ledger is None:
@@ -395,10 +416,7 @@ def compact_store(
     documented sandbox analog.
     """
     import math
-    import shutil
-    import time
 
-    chunks_dir = _chunks_dir(out_dir)
     ledger = read_ledger(spark, out_dir)
     if (
         ledger is None
@@ -417,6 +435,103 @@ def compact_store(
         or 0
     )
     n_files = max(1, math.ceil(total / max(1, target_file_bytes)))
+    return _swap_chunk_table(spark, out_dir, committed, n_files, grace_sec)
+
+
+def expire_snapshots(
+    spark: SparkSession,
+    out_dir: str,
+    older_than_seq: int,
+    target_file_bytes: int = 128 << 20,
+    grace_sec: float = 0.0,
+) -> dict:
+    """Give up time travel BEFORE epoch ``older_than_seq`` and reclaim
+    the storage it pinned — the Iceberg ``expire_snapshots`` action.
+
+    What becomes reclaimable is exactly the chunks only old snapshots
+    could reach: partitions RETIRED (by ``rewrite_partitions``) at or
+    before ``older_than_seq``. Their chunk rows are dropped in a chunk-
+    table rewrite (same swap machinery and ``grace_sec`` in-flight
+    protection as ``compact_store``), along with the tombstones that
+    pointed at them. Live partitions are untouched no matter how old —
+    they are still referenced by the latest snapshot (the Iceberg
+    still-referenced-data-files rule).
+
+    Ordering makes the crash window safe: the ``_expiry.json`` floor is
+    written FIRST, so from that moment every ``as_of`` below it refuses
+    loudly (``read_encoded`` guard) instead of silently reading a
+    partially-reclaimed snapshot; a crash after the floor but before
+    the rewrite merely leaves the storage unreclaimed (rerun to
+    finish). Ledger rows for expired partitions are kept as lineage —
+    harmless, since no readable epoch resolves to their chunks."""
+    import math
+    import shutil
+
+    floor = max(min_time_travel_seq(out_dir), int(older_than_seq))
+    res = {
+        "min_as_of_seq": floor,
+        "partitions_reclaimed": 0,
+        "files_before": 0,
+        "files_after": 0,
+    }
+    ledger = read_ledger(spark, out_dir)
+    if ledger is None:
+        return res
+    with open(_expiry_path(out_dir), "w", encoding="utf-8") as fh:
+        json.dump({"min_as_of_seq": floor}, fh)
+    expired = [
+        r["part_id"]
+        for r in ledger.filter(
+            (F.col("status") == "retired")
+            & (F.col("run_seq") <= int(older_than_seq))
+        )
+        .select("part_id")
+        .distinct()
+        .collect()
+    ]
+    if not expired:
+        return res
+    keep = read_encoded(spark, out_dir, include_retired=True).filter(
+        ~F.col("part_id").isin(expired)
+    )
+    total = keep.agg(F.sum("encoded_bytes").alias("b")).collect()[0]["b"] or 0
+    n_files = max(1, math.ceil(total / max(1, target_file_bytes)))
+    swap = _swap_chunk_table(spark, out_dir, keep, n_files, grace_sec)
+    # tombstones that pointed at expired partitions are dead weight now
+    from choetl_spark.deletes import _deletes_dir
+
+    ddir = _deletes_dir(out_dir)
+    try:
+        tomb = spark.read.parquet(ddir)
+    except Exception:
+        tomb = None
+    if tomb is not None:
+        staging = os.path.join(out_dir, f"_deletes_expire_{uuid.uuid4().hex[:8]}")
+        tomb.filter(~F.col("part_id").isin(expired)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        trash = os.path.join(out_dir, f"_deletes_trash_{uuid.uuid4().hex[:8]}")
+        os.rename(ddir, trash)
+        os.rename(staging, ddir)
+        shutil.rmtree(trash, ignore_errors=True)
+    return {**res, "partitions_reclaimed": len(expired), **swap}
+
+
+def _swap_chunk_table(
+    spark: SparkSession,
+    out_dir: str,
+    keep_rows: DataFrame,
+    n_files: int,
+    grace_sec: float,
+) -> dict:
+    """Rewrite the chunk table to exactly ``keep_rows`` (range-clustered
+    into ``n_files`` files) and swap directories, carrying over
+    grace-protected in-flight files — the shared tail of
+    ``compact_store`` and ``expire_snapshots``."""
+    import shutil
+    import time
+
+    chunks_dir = _chunks_dir(out_dir)
     # in-flight protection list BEFORE the rewrite (the rewrite itself
     # takes time, during which an in-flight run may still be writing)
     cutoff = time.time() - grace_sec
@@ -428,7 +543,7 @@ def compact_store(
     snapshot_files = set(os.listdir(chunks_dir))
     staging = os.path.join(out_dir, f"_compact_{uuid.uuid4().hex[:8]}")
     (
-        committed.repartitionByRange(n_files, "part_id", "column", "chunk_seq")
+        keep_rows.repartitionByRange(n_files, "part_id", "column", "chunk_seq")
         .write.mode("overwrite")
         .option("compression", "none")
         .parquet(staging)

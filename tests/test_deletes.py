@@ -235,6 +235,64 @@ def test_rewrite_partitions_materializes_tombstones(spark, store):
     assert len(hit) == 1 and hit[0]["text"] == t
 
 
+def test_expire_snapshots_reclaims_retired_chunks(spark, store):
+    """Snapshot expiry: after a rewrite, expiring history at the
+    rewrite epoch physically drops the retired partition's chunks and
+    its tombstones, the latest scan is unchanged, and expired as_of
+    reads refuse loudly instead of returning partial data."""
+    import os
+
+    from choetl_spark.ledger import expire_snapshots
+
+    out, pages = store
+    cfg = EncodeConfig(
+        num_partitions=5, chunk_rows=128, chunk_bytes=1 << 20,
+        bloom_columns=("url",),
+    )
+    urls = sorted(r["url"] for r in pages.select("url").collect())
+    # delete enough of SOME partition to cross a low threshold
+    delete_where(spark, out, equals={"url": urls[:200]})
+    rw = rewrite_partitions(spark, out, min_deleted_fraction=0.01, cfg=cfg)
+    assert rw["partitions_rewritten"] >= 1
+    want = _rows(scan_encoded(spark, out, ["url", "text"]))
+    retire_epoch = 3  # ingest=1, delete=2, rewrite=3
+
+    res = expire_snapshots(spark, out, older_than_seq=retire_epoch)
+    assert res["partitions_reclaimed"] == rw["partitions_rewritten"]
+    assert res["min_as_of_seq"] == retire_epoch
+    # latest read identical; physical chunks for retired parts gone
+    assert _rows(scan_encoded(spark, out, ["url", "text"])) == want
+    all_chunks = spark.read.parquet(os.path.join(out, "chunks"))
+    enc_visible = read_encoded(spark, out)
+    leftover = (
+        all_chunks.select("part_id")
+        .distinct()
+        .join(enc_visible.select("part_id").distinct(), "part_id", "left_anti")
+        .count()
+    )
+    assert leftover == 0  # every surviving chunk is latest-reachable
+    # tombstones pointing at expired parts are gone too; the survivors
+    # (none here — all deletes hit the rewritten parts) stay consistent
+    tomb = read_delete_positions(spark, out)
+    if tomb is not None:
+        assert (
+            tomb.join(
+                enc_visible.select("part_id").distinct(), "part_id", "left_anti"
+            ).count()
+            == 0
+        )
+    # expired as_of refuses loudly
+    with pytest.raises(ValueError, match="expired"):
+        scan_encoded(spark, out, ["url"], as_of=1).count()
+    # the floor epoch itself still reads
+    assert _rows(scan_encoded(spark, out, ["url", "text"],
+                              as_of=retire_epoch)) == want
+    # point lookup through the expired store
+    u, t = sorted(want)[0]
+    hit = point_lookup(spark, out, "url", u, ["url", "text"]).collect()
+    assert len(hit) == 1 and hit[0]["text"] == t
+
+
 def test_delete_batch_equals_and_matching_frame(spark, store):
     """equals accepts a value LIST (IN-list delete) and delete_matching
     takes a whole key frame — the decontamination / CDC shapes. Both
@@ -289,6 +347,27 @@ def test_upsert_replaces_matched_keys(spark, store):
               for r in scan_encoded(spark, out, ["url", "text"], as_of=1)
               .collect()}
     assert before == old
+
+
+def test_scan_without_tombstones_pays_zero_delete_overhead(spark, store):
+    """The merge-on-read tax is opt-in: a store with NO tombstones must
+    scan through the plain (positionless, no anti-join) decode plan —
+    the hot 100TB read path cannot pay for a feature it doesn't use."""
+    from choetl_spark.plans import explain_str
+
+    out, _ = store
+    plan = explain_str(scan_encoded(spark, out, ["url", "text"]), "simple")
+    assert "_row_pos" not in plan and "_part_id" not in plan, plan
+    # once tombstones exist the anti-join appears — as a BROADCAST join
+    delete_where(spark, out, equals={"url": ["nonexistent-url"]})
+    # (an all-miss predicate commits nothing: still the plain plan)
+    plan2 = explain_str(scan_encoded(spark, out, ["url", "text"]), "simple")
+    assert "_row_pos" not in plan2, plan2
+    urls = [r["url"] for r in scan_encoded(spark, out, ["url"]).limit(1).collect()]
+    delete_where(spark, out, equals={"url": urls})
+    plan3 = explain_str(scan_encoded(spark, out, ["url", "text"]), "simple")
+    assert "_row_pos" in plan3, plan3
+    assert "BroadcastHashJoin" in plan3 and "LeftAnti" in plan3, plan3
 
 
 def test_decode_with_pos_exact_coordinates(spark, store):
