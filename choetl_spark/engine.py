@@ -576,6 +576,274 @@ def _make_decode_kernel(
     return kernel
 
 
+def _pushdown_values_compatible(vals: list, t: pa.DataType) -> bool:
+    """True only when every predicate value is in the same type FAMILY
+    as the storage type, so the Arrow comparison agrees with the Spark
+    residual filter's comparison (same byte/numeric ordering, no silent
+    cross-family casts). Anything else is rejected — the kernel then
+    passes all rows through and the residual filter decides."""
+    import datetime as _dt
+
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return all(isinstance(v, str) for v in vals)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return all(isinstance(v, bytes) for v in vals)
+    if pa.types.is_boolean(t):
+        return all(isinstance(v, bool) for v in vals)
+    if pa.types.is_timestamp(t):
+        if not all(isinstance(v, _dt.datetime) for v in vals):
+            return False
+        # naive datetimes are interpreted as UTC by Arrow's cast but as
+        # the SESSION timezone by Spark's literal — only equivalent when
+        # the store's recorded tz is UTC/absent; aware datetimes convert
+        # identically on both sides
+        return all(
+            v.tzinfo is not None for v in vals
+        ) or t.tz in (None, "UTC")
+    if pa.types.is_date(t):
+        return all(
+            isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
+            for v in vals
+        )
+    if pa.types.is_integer(t) or pa.types.is_floating(t):
+        return all(
+            isinstance(v, (int, float)) and not isinstance(v, bool)
+            for v in vals
+        )
+    return False
+
+
+def _eval_chunk_mask(payload: bytes, meta: dict, op: tuple) -> "object":
+    """Evaluate one pushdown predicate over one encoded chunk without
+    materializing more than it must. Returns a numpy bool mask (True =
+    row may match). SUPERSET semantics: any evaluation failure (type
+    coercion, exotic logical column) degrades to all-True — the caller
+    re-applies the predicate exactly on the decoded result, so a
+    too-wide kernel mask costs bytes, never correctness.
+
+    Dict fast path (the compute-on-compressed half of C-Store-style
+    late materialization, Abadi et al. ICDE 2007 — public work): for a
+    dict-coded chunk the predicate runs over the SYMBOL TABLE (NDV
+    values, not n rows) and the row mask is one vectorized gather of
+    the per-symbol verdicts through the index array — the full string
+    column is never rebuilt. Chunks whose symbol table misses every
+    probe value short-circuit to all-False without touching indices.
+    """
+    import numpy as np
+
+    from choetl_spark.codecs import zstd as _zstd
+    from choetl_spark.codecs.base import unpack_uints
+
+    def eval_values(arr: pa.Array) -> "np.ndarray":
+        vals = list(op[1]) if op[0] == "in" else [op[1], op[2]]
+        if not _pushdown_values_compatible(vals, arr.type):
+            # a cross-family coercion (int bounds on a string column,
+            # naive datetimes against a non-UTC store, ...) can be
+            # EVALUABLE in Arrow yet mean something different than the
+            # caller's residual Spark filter ("01" < "1" bytewise but
+            # equal once Spark casts) — that would break the superset
+            # guarantee, so refuse and let the except-arm pass all rows
+            raise TypeError("pushdown value family mismatch")
+        if op[0] == "in":
+            vs = pa.array(vals).cast(arr.type)
+            m = pa.compute.is_in(arr, value_set=vs)
+        elif op[0] == "range":
+            lo = pa.scalar(op[1]).cast(arr.type)
+            hi = pa.scalar(op[2]).cast(arr.type)
+            m = pa.compute.and_kleene(
+                pa.compute.greater_equal(arr, lo),
+                pa.compute.less_equal(arr, hi),
+            )
+        else:  # pragma: no cover - spec built by scan_encoded
+            raise ValueError(f"unknown pushdown op {op[0]!r}")
+        return np.asarray(pa.compute.fill_null(m, False))
+
+    try:
+        m, p = meta, payload
+        if m["codec"] == "zstd":
+            p, m = _zstd.unwrap(p, m)
+        if m["codec"] == "dict" and "logical" not in meta:
+            ib = m["idx_bytes"]
+            values = decode_array(p[ib:], m["values"])
+            vmask = eval_values(values)
+            if not vmask.any():
+                return np.zeros(m["n"], dtype=bool)
+            indices = unpack_uints(p[:ib], m["n"], m["idx_width"]).astype(
+                np.int64
+            )
+            mask = vmask[indices]
+        else:
+            if "logical" in meta:
+                # logical columns ride as JSON/cast strings; predicate
+                # values are in the LOGICAL domain — superset fallback
+                return np.ones(meta.get("n", m.get("n", 0)) or 0, dtype=bool)
+            arr = decode_array(payload, meta)
+            mask = eval_values(arr)
+        nulls = m.get("nulls") or meta.get("nulls")
+        if nulls and nulls.get("n_nulls"):
+            import base64
+
+            packed = np.frombuffer(
+                base64.b64decode(nulls["validity_b64"]), dtype=np.uint8
+            )
+            valid = np.unpackbits(
+                packed, count=len(mask), bitorder="little"
+            ).astype(bool)
+            mask &= valid
+        return mask
+    except Exception:
+        n = meta.get("n") or 0
+        if not n and meta.get("codec") == "zstd":
+            n = (meta.get("child") or {}).get("n", 0)
+        import numpy as np  # local, mirrors top of function
+
+        return np.ones(int(n), dtype=bool)
+
+
+def _make_filtered_decode_kernel(
+    col_order: list[str],
+    out_schema: pa.Schema,
+    batch_rows: int,
+    pushdown: dict[str, tuple],
+    with_pos: bool = False,
+):
+    """Decode kernel with partition-local late materialization: buffer a
+    logical partition's chunk rows UNDECODED, evaluate the pushdown
+    predicates over just the predicate columns' chunks (dict chunks via
+    their symbol tables — see :func:`_eval_chunk_mask`), intersect the
+    surviving row positions, then decode ONLY the chunks of the other
+    columns that overlap a surviving position and emit ONLY matching
+    rows. For a selective scan this cuts both the Python-side decode
+    work and — the dominant cost — the Arrow transfer back to the JVM
+    from O(partition rows x columns) to O(matches x columns).
+
+    Same alignment contract as the plain kernel (all present columns of
+    a partition tile the same global row positions, co-located in one
+    input partition); masks are SUPERSETS, the caller's residual filter
+    restores exact semantics.
+    """
+    if with_pos:
+        full_schema = pa.schema(
+            [
+                ("_part_id", pa.int64()),
+                ("_row_pos", pa.int64()),
+                *out_schema,
+            ]
+        )
+    else:
+        full_schema = out_schema
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
+        cur_part: int | None = None
+        # col -> [(row_start, n_rows, payload bytes, meta str)], arrival
+        # (row_start) order; payloads stay ENCODED until needed
+        raw: dict[str, list[tuple[int, int, bytes, str]]] = {}
+
+        def flush() -> Iterator[pa.RecordBatch]:
+            nonlocal raw
+            if not raw:
+                return
+            # 1. predicate pass: surviving global positions per pred col
+            matched: "np.ndarray | None" = None
+            for name, op in pushdown.items():
+                pieces = raw.get(name, [])
+                pos_parts = [
+                    start
+                    + np.nonzero(
+                        _eval_chunk_mask(payload, json.loads(meta), op)
+                    )[0]
+                    for start, _, payload, meta in pieces
+                ]
+                pos = (
+                    np.concatenate(pos_parts)
+                    if pos_parts
+                    else np.empty(0, dtype=np.int64)
+                )
+                # pieces are disjoint ascending spans -> pos is sorted
+                matched = (
+                    pos
+                    if matched is None
+                    else np.intersect1d(matched, pos, assume_unique=True)
+                )
+                if matched.size == 0:
+                    break
+            matched = (
+                matched
+                if matched is not None
+                else np.empty(0, dtype=np.int64)
+            )
+            n_out = int(matched.size)
+            # 2. fetch pass: decode only chunks overlapping a match
+            cols = []
+            for name in col_order:
+                pieces = raw.get(name, [])
+                if not pieces:
+                    cols.append(
+                        pa.nulls(n_out, type=out_schema.field(name).type)
+                    )
+                    continue
+                got = 0
+                vals: list[pa.Array] = []
+                for start, n_rows, payload, meta in pieces:
+                    lo = int(np.searchsorted(matched, start, side="left"))
+                    hi = int(
+                        np.searchsorted(
+                            matched, start + n_rows, side="left"
+                        )
+                    )
+                    if hi <= lo:
+                        continue
+                    arr = decode_array(payload, json.loads(meta))
+                    idx = matched[lo:hi] - start
+                    vals.append(arr.take(pa.array(idx)))
+                    got += hi - lo
+                if got != n_out:
+                    raise ValueError(
+                        f"column {name}: chunks cover {got} of {n_out} "
+                        f"matched rows (part {cur_part} incomplete?)"
+                    )
+                arr = (
+                    pa.concat_arrays(vals)
+                    if vals
+                    else pa.nulls(0, type=out_schema.field(name).type)
+                )
+                if arr.type != out_schema.field(name).type:
+                    arr = arr.cast(out_schema.field(name).type)
+                cols.append(arr)
+            if with_pos:
+                cols = [
+                    pa.array(np.full(n_out, cur_part, dtype=np.int64)),
+                    pa.array(matched),
+                    *cols,
+                ]
+            raw = {}
+            if n_out == 0:
+                return
+            table = pa.Table.from_arrays(cols, schema=full_schema)
+            for offset in range(0, table.num_rows, batch_rows):
+                yield from table.slice(offset, batch_rows).to_batches()
+
+        for batch in batches:
+            pids = batch.column(0).to_pylist()
+            names = batch.column(1).to_pylist()
+            payloads = batch.column(2)
+            metas = batch.column(3).to_pylist()
+            starts = batch.column(4).to_pylist()
+            nrows = batch.column(5).to_pylist()
+            for i in range(len(pids)):
+                if pids[i] != cur_part:
+                    yield from flush()
+                    cur_part = pids[i]
+                raw.setdefault(names[i], []).append(
+                    (starts[i], nrows[i], payloads[i].as_py(), metas[i])
+                )
+        yield from flush()
+
+    return kernel
+
+
 def decode_dataframe(
     enc_df: DataFrame,
     columns: list[str] | None = None,
@@ -584,6 +852,7 @@ def decode_dataframe(
     assume_colocated: bool = False,
     manifest: dict | None = None,
     with_pos: bool = False,
+    pushdown: dict[str, tuple] | None = None,
 ) -> DataFrame:
     """Decode an encoded-chunk DataFrame back to source rows.
 
@@ -591,6 +860,18 @@ def decode_dataframe(
     logical partition and its exact global offset within it (from the
     chunks' ``row_start``) — the coordinates row-level delete tombstones
     and the late-materialization fetch pass address rows by.
+
+    ``pushdown`` pushes simple predicates INTO the decode kernel —
+    ``{col: ("in", [v, ...])}`` / ``{col: ("range", lo, hi)}`` — which
+    then evaluates them partition-locally over just the predicate
+    columns (dict-coded chunks via their symbol tables, never
+    rebuilding the strings), decodes other columns only for chunks
+    overlapping a surviving row, and ships ONLY matching rows back to
+    the JVM (see :func:`_make_filtered_decode_kernel`). Masks are
+    SUPERSETS (anything the kernel cannot evaluate passes through), so
+    callers must re-apply the predicate on the decoded result —
+    :func:`choetl_spark.ledger.scan_encoded` does. Predicate columns
+    need not be in ``columns``.
 
     Column pruning happens BEFORE the shuffle — unrequested columns'
     payload bytes never move (the analog of the reference reader's
@@ -626,7 +907,11 @@ def decode_dataframe(
         types = {c: _meta_storage_type(m) for c, m in metas.items()}
         logicals = {c: m.get("logical") for c, m in metas.items()}
     cols = columns or sorted(types)
-    missing = [c for c in cols if c not in types]
+    pushdown = pushdown or {}
+    # predicate columns ride through the kernel input even when not
+    # requested; they are dropped from the output schema
+    scan_cols = list(dict.fromkeys([*cols, *pushdown]))
+    missing = [c for c in scan_cols if c not in types]
     if missing:
         raise KeyError(f"columns not in encoded table: {missing}")
     out_schema = pa.schema([(c, types[c]) for c in cols])
@@ -639,10 +924,13 @@ def decode_dataframe(
                 "with_pos=True reserves _part_id/_row_pos column names"
             )
         ddl = "`_part_id` bigint, `_row_pos` bigint, " + ddl
-    pruned = enc_df.filter(F.col("column").isin(cols)).select(
-        "part_id", "column", "payload", "meta", "row_start"
+    pruned = enc_df.filter(F.col("column").isin(scan_cols)).select(
+        "part_id", "column", "payload", "meta", "row_start", "n_rows"
     )
-    if len(cols) == 1 or assume_colocated:
+    # shuffle elision keys off the SCAN set: a one-column decode whose
+    # predicate touches a second column still needs its partitions'
+    # chunks co-located for the position intersect
+    if len(scan_cols) == 1 or assume_colocated:
         shuffled = pruned.sortWithinPartitions(
             "part_id", "column", "row_start"
         )
@@ -653,10 +941,15 @@ def decode_dataframe(
         shuffled = pruned.repartition(int(p), "part_id").sortWithinPartitions(
             "part_id", "column", "row_start"
         )
-    decoded = shuffled.mapInArrow(
-        _make_decode_kernel(cols, out_schema, batch_rows, with_pos=with_pos),
-        ddl,
-    )
+    if pushdown:
+        kernel = _make_filtered_decode_kernel(
+            cols, out_schema, batch_rows, pushdown, with_pos=with_pos
+        )
+    else:
+        kernel = _make_decode_kernel(
+            cols, out_schema, batch_rows, with_pos=with_pos
+        )
+    decoded = shuffled.mapInArrow(kernel, ddl)
     # restore nested logical types from their JSON-string storage form
     restores = {}
     for c in cols:

@@ -317,14 +317,20 @@ def scan_encoded(
     equals: dict | None = None,
     as_of: int | None = None,
 ) -> DataFrame:
-    """Query the encoded store with metadata pruning in one call: read
-    committed chunks (ledger semi-join), prune partitions by the chunk
-    stats — ``ranges={col: (lo, hi)}`` via the min/max zone maps,
-    ``equals={col: value}`` via the per-chunk Bloom filters — then
-    decode only ``columns`` and re-apply the predicates EXACTLY (the
-    metadata pass is partition-granular and Blooms admit false
-    positives; the residual filter restores precise semantics — the
-    same contract as Parquet row-group skipping + post-filter).
+    """Query the encoded store with metadata pruning AND kernel-level
+    predicate pushdown in one call: read committed chunks (ledger
+    semi-join), prune partitions by the chunk stats —
+    ``ranges={col: (lo, hi)}`` via the min/max zone maps,
+    ``equals={col: value_or_list}`` via the per-chunk Bloom filters —
+    then decode only ``columns`` WITH the predicates pushed into the
+    decode kernel (partition-local late materialization: dict chunks
+    evaluate over their symbol tables, non-predicate columns decode
+    only chunks overlapping a surviving row, and only matching rows
+    cross the Python->JVM boundary), and finally re-apply the
+    predicates EXACTLY (partition pruning is coarse, Blooms admit
+    false positives, and kernel masks are supersets; the residual
+    filter restores precise semantics — the same contract as Parquet
+    row-group skipping + post-filter).
 
     Predicate columns are auto-added to the decode set, so
     ``scan_encoded(spark, p, ["text"], equals={"url": u})`` works.
@@ -364,6 +370,17 @@ def scan_encoded(
             dict.fromkeys([*columns, *ranges, *equals])
         )  # ordered union
     tombstones = read_delete_positions(spark, out_dir, as_of=as_of)
+    # push the predicates INTO the decode kernel (partition-local late
+    # materialization): only matching rows are decoded in full and ship
+    # back to the JVM. Kernel masks are supersets; the residual filters
+    # below keep the semantics exact.
+    pushdown: dict[str, tuple] = {
+        **{c: ("range", lo, hi) for c, (lo, hi) in ranges.items()},
+        **{
+            c: ("in", list(v) if isinstance(v, (list, tuple, set)) else [v])
+            for c, v in equals.items()
+        },
+    }
     # manifest sidecar (written by encode_with_resume): decode plans
     # build with ZERO Spark jobs instead of a chunk-metadata aggregate
     out = decode_dataframe(
@@ -371,13 +388,17 @@ def scan_encoded(
         columns=dec_cols,
         manifest=manifest,
         with_pos=tombstones is not None,
+        pushdown=pushdown or None,
     )
     if tombstones is not None:
         out = apply_delete_filter(out, tombstones)
     for col, (lo, hi) in ranges.items():
         out = out.filter((F.col(col) >= lo) & (F.col(col) <= hi))
     for col, value in equals.items():
-        out = out.filter(F.col(col) == value)
+        if isinstance(value, (list, tuple, set)):
+            out = out.filter(F.col(col).isin(list(value)))
+        else:
+            out = out.filter(F.col(col) == value)
     return out.select(*columns) if columns is not None else out
 
 
