@@ -965,6 +965,78 @@ def _messy_urls(spark, sf_dir):
     )
 
 
+def q_agg_pushdown_store(spark, sf_dir):
+    """Aggregate pushdown over the checkpointed store
+    (choetl_spark/ledger.py agg_encoded, the Iceberg/Parquet
+    footer-stats aggregate pushdown analog): count/min/max/sum answered
+    from the per-chunk statistics without decoding payloads — except
+    where exactness demands a decode (min(text) falls back because the
+    64-char string zone maps truncate; the post-delete phase merges
+    exact re-aggregation of ONLY the tombstoned partitions with stats
+    for the rest). Two phases: the full store, then after tombstoning
+    lang='de'. The oracle recomputes every aggregate from the documents
+    table — a stale stat, a truncated bound treated as exact, an int64
+    sum overflow, or a tombstone-blind stats read each flip it.
+    Timestamps are emitted as epoch micros so the comparison is
+    presentation-free. Collected eagerly so the temp store can be
+    deleted."""
+    import datetime as _dt
+    import shutil
+    import tempfile
+
+    from choetl_spark.deletes import delete_where
+    from choetl_spark.engine import EncodeConfig
+    from choetl_spark.ledger import agg_encoded, encode_with_resume
+    from choetl_spark.synth import webpages_from_documents
+
+    pages = webpages_from_documents(spark, sf_dir).withColumn(
+        "text_len", F.length("text").cast("long")
+    )
+    spec = {
+        "n": ("count", "*"),
+        "n_lang": ("count", "lang"),
+        "min_ts": ("min", "warc_ts"),
+        "max_ts": ("max", "warc_ts"),
+        "min_url": ("min", "url"),
+        "max_url": ("max", "url"),
+        "sum_len": ("sum", "text_len"),
+        "min_text": ("min", "text"),
+    }
+    epoch = _dt.datetime(1970, 1, 1)
+
+    def us(v):
+        return (v - epoch) // _dt.timedelta(microseconds=1)
+
+    out = tempfile.mkdtemp(prefix="choetl_agg_")
+    rows = []
+    try:
+        cfg = EncodeConfig(
+            num_partitions=8, chunk_rows=2048, chunk_bytes=4 << 20,
+            deterministic=True,
+        )
+        encode_with_resume(spark, pages, out, cfg)
+        for phase in ("full", "after_delete"):
+            if phase == "after_delete":
+                delete_where(spark, out, equals={"lang": "de"})
+            r = agg_encoded(spark, out, spec).collect()[0]
+            rows.append(
+                (
+                    phase, r["n"], r["n_lang"],
+                    us(r["min_ts"]), us(r["max_ts"]),
+                    r["min_url"], r["max_url"],
+                    int(r["sum_len"]), r["min_text"],
+                )
+            )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "phase string, n long, n_lang long, min_ts_us long, "
+        "max_ts_us long, min_url string, max_url string, "
+        "sum_len long, min_text string",
+    )
+
+
 def q_url_normalize_webpages(spark, sf_dir):
     """URL parse + canonicalization over the planted messy-URL corpus:
     lowercased scheme/host, userinfo and default ports stripped,
@@ -1200,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_time_travel": q_store_time_travel,
         "delete_rows_store": q_delete_rows_store,
         "upsert_store": q_upsert_store,
+        "agg_pushdown_store": q_agg_pushdown_store,
     }
 
 
@@ -2043,5 +2116,28 @@ def oracle_sql() -> dict[str, str]:
                         THEN 'UPDATED-' || CAST(doc_id AS VARCHAR)
                         ELSE text END AS text
             FROM documents
+        """,
+        "agg_pushdown_store": f"""
+            WITH pages AS (
+              SELECT {_URL_SQL} AS url,
+                     1690000000000000 + doc_id * 37000000 AS ts_us,
+                     text, lang, LENGTH(text) AS text_len
+              FROM documents
+            ), phases AS (
+              SELECT 'full' AS phase, * FROM pages
+              UNION ALL
+              SELECT 'after_delete' AS phase, * FROM pages
+              WHERE lang <> 'de'
+            )
+            SELECT phase,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(lang) AS BIGINT) AS n_lang,
+                   CAST(MIN(ts_us) AS BIGINT) AS min_ts_us,
+                   CAST(MAX(ts_us) AS BIGINT) AS max_ts_us,
+                   MIN(url) AS min_url,
+                   MAX(url) AS max_url,
+                   CAST(SUM(text_len) AS BIGINT) AS sum_len,
+                   MIN(text) AS min_text
+            FROM phases GROUP BY phase
         """,
     }

@@ -402,6 +402,351 @@ def scan_encoded(
     return out.select(*columns) if columns is not None else out
 
 
+_AGG_STATS_DDL = (
+    "min_val long, max_val long, sum_val string, sum_f double, "
+    "min_str string, max_str string, "
+    "min_str_trunc boolean, max_str_trunc boolean"
+)
+
+
+def _per_column_stats_frame(enc: DataFrame) -> DataFrame:
+    """Per-column rollup of the chunk statistics — the metadata-only
+    frame :func:`agg_encoded` aggregates. Reads NO payload bytes (the
+    parquet scan's ReadSchema carries only the stats columns; a
+    plan-guard test pins it)."""
+    s = F.from_json("stats", _AGG_STATS_DDL).alias("_s")
+    has_vals = F.col("n_rows") > F.col("n_nulls")
+    return (
+        enc.select("column", "n_rows", "n_nulls", s)
+        .groupBy("column")
+        .agg(
+            F.sum("n_rows").alias("rows"),
+            F.sum(F.col("n_rows") - F.col("n_nulls")).alias("nonnull"),
+            F.min("_s.min_val").alias("min_val"),
+            F.max("_s.max_val").alias("max_val"),
+            F.min("_s.min_str").alias("min_str"),
+            F.max("_s.max_str").alias("max_str"),
+            F.sum(F.col("_s.sum_val").cast("decimal(38,0)")).alias("sum_dec"),
+            F.sum("_s.sum_f").alias("sum_f"),
+            # exactness guards: any value-bearing chunk missing a stat
+            # (older store, unsupported type) or carrying a truncated
+            # string bound makes that stat inexact for the column
+            F.max(
+                F.when(has_vals & F.col("_s.min_val").isNull(), True)
+                .otherwise(False)
+            ).alias("minmax_missing"),
+            F.max(
+                F.when(has_vals & F.col("_s.sum_val").isNull(), True)
+                .otherwise(False)
+            ).alias("sum_missing"),
+            F.max(
+                F.when(has_vals & F.col("_s.sum_f").isNull(), True)
+                .otherwise(False)
+            ).alias("sumf_missing"),
+            F.max(
+                F.when(
+                    has_vals
+                    & (
+                        F.col("_s.min_str").isNull()
+                        | F.coalesce("_s.min_str_trunc", F.lit(True))
+                    ),
+                    True,
+                ).otherwise(False)
+            ).alias("minstr_inexact"),
+            F.max(
+                F.when(
+                    has_vals
+                    & (
+                        F.col("_s.max_str").isNull()
+                        | F.coalesce("_s.max_str_trunc", F.lit(True))
+                    ),
+                    True,
+                ).otherwise(False)
+            ).alias("maxstr_inexact"),
+        )
+    )
+
+
+def agg_encoded(
+    spark: SparkSession,
+    out_dir: str,
+    aggs: dict[str, tuple],
+    as_of: int | None = None,
+) -> DataFrame:
+    """Aggregate pushdown over the encoded store: answer
+    ``count``/``min``/``max``/``sum`` from the per-chunk statistics
+    WITHOUT decoding any payload — the Iceberg/Parquet footer-stats
+    aggregate pushdown, over our chunk table. ``aggs`` maps output
+    alias -> ``(fn, column)``; ``("count", "*")`` counts rows.
+
+        agg_encoded(spark, p, {"n": ("count", "*"),
+                               "first_ts": ("min", "warc_ts"),
+                               "bytes": ("sum", "content_len")})
+
+    At 10^12 rows this is the difference between a metadata read (one
+    aggregate over chunk-stat rows, payload column never scanned) and a
+    full decode of the aggregated columns.
+
+    Exactness is never traded away — the stats path is used only where
+    it is provably exact, everything else falls back to decoding
+    precisely the affected slices:
+
+    - partitions with committed delete tombstones (their stats predate
+      the deletes) are re-aggregated EXACTLY by decoding just those
+      partitions with the tombstone anti-join applied — cost
+      O(tombstoned partitions), the merge-on-read tax, not O(store);
+    - string min/max falls back when any chunk's 64-char zone-map bound
+      is truncated (a prefix under-estimates both bounds);
+    - columns whose chunks predate a stat (older store) fall back for
+      that aggregate;
+    - ``sum`` is defined for integer and floating columns (int sums are
+      exact at any magnitude — chunk stats carry decimal strings).
+
+    SQL semantics throughout: ``count(col)`` skips nulls, ``min``/
+    ``max``/``sum`` ignore nulls, ``count(*)`` counts rows. Schema
+    evolution composes: a late-added column's missing rows are null in
+    old partitions, so per-column stats are already correct; for
+    ``count(*)`` the row count comes from the widest column (exact
+    whenever any original column spans the store — the same caveat as
+    ``decode_dataframe``). Returns a ONE-ROW DataFrame typed like the
+    source columns (timestamp/date bounds come back as timestamps/
+    dates, not epoch ints).
+    """
+    import datetime as _dt
+    from decimal import Decimal
+
+    from choetl_spark.codecs.base import str_to_type
+    from choetl_spark.deletes import (
+        apply_delete_filter,
+        read_delete_positions,
+    )
+    from choetl_spark.engine import decode_dataframe
+
+    import pyarrow as pa
+
+    manifest = read_manifest(out_dir)
+    if manifest is None:
+        raise ValueError(
+            "agg_encoded needs the encode-time manifest sidecar "
+            "(_manifest.json); this store predates it"
+        )
+
+    def family(col: str) -> tuple[str, "pa.DataType | None"]:
+        m = manifest.get(col)
+        if m is None:
+            raise KeyError(f"column not in encoded store: {col}")
+        if m.get("logical"):
+            return "logical", None
+        t = str_to_type(m["dtype"])
+        if pa.types.is_timestamp(t):
+            return "timestamp", t
+        if pa.types.is_date(t):
+            return "date", t
+        if pa.types.is_boolean(t):
+            return "bool", t
+        if pa.types.is_integer(t):
+            return "int", t
+        if pa.types.is_floating(t):
+            return "float", t
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "string", t
+        return "other", t
+
+    # -- validate the spec up front ------------------------------------
+    for alias, (fn, col) in aggs.items():
+        if fn not in ("count", "min", "max", "sum"):
+            raise ValueError(f"{alias}: unsupported aggregate {fn!r}")
+        if col == "*":
+            if fn != "count":
+                raise ValueError(f"{alias}: only count supports '*'")
+            continue
+        fam = family(col)[0]
+        if fn == "sum" and fam not in ("int", "float"):
+            raise ValueError(
+                f"{alias}: sum needs a numeric column, {col} is {fam}"
+            )
+        if fn in ("min", "max") and fam in ("other",):
+            raise ValueError(f"{alias}: min/max unsupported for {col}")
+
+    enc = read_encoded(spark, out_dir, as_of=as_of)
+    tombstones = read_delete_positions(spark, out_dir, as_of=as_of)
+    dirty: list[int] = []
+    if tombstones is not None:
+        dirty = [
+            r["part_id"]
+            for r in tombstones.select("part_id").distinct().collect()
+        ]
+    enc_clean = (
+        enc.filter(~F.col("part_id").isin(dirty)) if dirty else enc
+    )
+
+    # -- one metadata-only job over the clean partitions ---------------
+    stats_rows = {
+        r["column"]: r.asDict()
+        for r in _per_column_stats_frame(enc_clean).collect()
+    }
+
+    def typed(v: "int | None", fam: str) -> object:
+        """Storage int -> driver value, matching what a Spark aggregate
+        over the decoded column returns (naive-UTC datetimes under the
+        UTC session convention) so clean/fallback/dirty merge cleanly."""
+        if v is None:
+            return None
+        if fam == "timestamp":
+            return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
+        if fam == "date":
+            return _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
+        if fam == "bool":
+            return bool(v)
+        return int(v)
+
+    def clean_value(fn: str, col: str) -> tuple[object, bool]:
+        """(value, exact) for the clean-partition share of one agg."""
+        if col == "*":
+            rows = max(
+                (r["rows"] for r in stats_rows.values()), default=0
+            )
+            return int(rows or 0), True
+        r = stats_rows.get(col)
+        if r is None:  # column has no chunks in the clean set
+            return (0 if fn == "count" else None), True
+        fam = family(col)[0]
+        if fn == "count":
+            return int(r["nonnull"] or 0), True
+        if fam == "logical" or fam == "other":
+            return None, False
+        if fn in ("min", "max"):
+            if fam == "string":
+                inexact = r[f"{fn}str_inexact"]
+                return r[f"{fn}_str"], not inexact
+            if fam == "float":
+                return None, False  # no float zone maps in stats
+            return typed(r[f"{fn}_val"], fam), not r["minmax_missing"]
+        # sum
+        if fam == "float":
+            return r["sum_f"], not r["sumf_missing"]
+        v = r["sum_dec"]
+        return (None if v is None else int(v)), not r["sum_missing"]
+
+    clean: dict[str, object] = {}
+    fallback_cols: list[str] = []
+    for alias, (fn, col) in aggs.items():
+        v, exact = clean_value(fn, col)
+        if exact:
+            clean[alias] = v
+        else:
+            fallback_cols.append(col)
+
+    # -- exact Spark aggregation for the slices stats cannot answer ----
+    def spark_agg(df: DataFrame, items: list[tuple[str, str, str]]) -> dict:
+        exprs = []
+        for alias, fn, col in items:
+            if col == "*":
+                exprs.append(F.count(F.lit(1)).alias(alias))
+            elif fn == "count":
+                exprs.append(F.count(F.col(col)).alias(alias))
+            elif fn == "sum" and family(col)[0] == "int":
+                # exact at any magnitude, matching the stats path
+                exprs.append(
+                    F.sum(F.col(col).cast("decimal(38,0)")).alias(alias)
+                )
+            else:
+                exprs.append(getattr(F, fn)(F.col(col)).alias(alias))
+        row = df.agg(*exprs).collect()[0].asDict()
+        return {
+            k: (int(v) if isinstance(v, Decimal) else v)
+            for k, v in row.items()
+        }
+
+    need_cols = sorted(
+        {c for _, (fn, c) in aggs.items() if c != "*"}
+    )
+    fb_vals: dict[str, object] = {}
+    if fallback_cols:
+        fb_df = decode_dataframe(
+            enc_clean,
+            columns=sorted(set(fallback_cols)),
+            manifest=manifest,
+        )
+        fb_vals = spark_agg(
+            fb_df,
+            [
+                (alias, fn, col)
+                for alias, (fn, col) in aggs.items()
+                if alias not in clean
+            ],
+        )
+
+    dirty_vals: dict[str, object] = {}
+    if dirty:
+        d_df = decode_dataframe(
+            enc.filter(F.col("part_id").isin(dirty)),
+            # a pure count(*) spec still needs one decoded column for
+            # the row count — the manifest's first (original) column
+            columns=need_cols or [next(iter(manifest))],
+            manifest=manifest,
+            with_pos=True,
+        )
+        d_df = apply_delete_filter(d_df, tombstones)
+        dirty_vals = spark_agg(
+            d_df, [(a, fn, c) for a, (fn, c) in aggs.items()]
+        )
+
+    # -- merge and type the one-row result ------------------------------
+    def merge(alias: str, fn: str) -> object:
+        parts = [
+            v
+            for v in (
+                clean.get(alias, fb_vals.get(alias)),
+                dirty_vals.get(alias) if dirty else None,
+            )
+            if v is not None
+        ]
+        if not parts:
+            return 0 if fn == "count" else None
+        if fn in ("count", "sum"):
+            return sum(parts)
+        return min(parts) if fn == "min" else max(parts)
+
+    out_vals: list[object] = []
+    out_ddl: list[str] = []
+    _DDL = {
+        "timestamp": "timestamp",
+        "date": "date",
+        "bool": "boolean",
+        "float": "double",
+        "string": "string",
+        "int": "bigint",
+    }
+    for alias, (fn, col) in aggs.items():
+        v = merge(alias, fn)
+        # min/max/dirty values arrive already typed (naive-UTC datetime
+        # under the UTC session convention, date, bool, int, float, str)
+        if fn == "count":
+            out_vals.append(int(v))
+            out_ddl.append(f"`{alias}` bigint")
+            continue
+        fam = family(col)[0]
+        if fn == "sum":
+            # int sums ride as decimal(38,0): exact at magnitudes where
+            # a bigint result column would itself overflow
+            out_vals.append(
+                None
+                if v is None
+                else (float(v) if fam == "float" else Decimal(int(v)))
+            )
+            out_ddl.append(
+                f"`{alias}` "
+                + ("double" if fam == "float" else "decimal(38,0)")
+            )
+            continue
+        if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        out_vals.append(v)
+        out_ddl.append(f"`{alias}` {_DDL[fam]}")
+    return spark.createDataFrame([tuple(out_vals)], ", ".join(out_ddl))
+
+
 def compact_store(
     spark: SparkSession,
     out_dir: str,

@@ -36,11 +36,19 @@ class ChunkStats:
     min_val: int | None = None
     max_val: int | None = None
     delta_width: int | None = None
-    # string zone map (64-char bounds; a truncated max is flagged so the
-    # pruner treats it as unbounded above — a prefix UNDER-estimates)
+    # string zone map (64-char bounds; a truncated bound is flagged so
+    # the pruner treats it as unbounded above — a prefix UNDER-estimates
+    # — and aggregate pushdown refuses to call it exact)
     min_str: str | None = None
     max_str: str | None = None
     max_str_trunc: bool = False
+    min_str_trunc: bool = False
+    # exact per-chunk sums for aggregate pushdown (agg_encoded): ints
+    # (incl. the int views of timestamp/date/bool) as a decimal STRING —
+    # a chunk of large int64s can overflow int64 when summed — floats as
+    # a plain double
+    sum_val: str | None = None
+    sum_f: float | None = None
     avg_len: float = 0.0
     byte_entropy: float = 8.0
     ascii_frac: float = 0.0
@@ -82,15 +90,33 @@ def compute_stats(arr: pa.Array, level: str = "full") -> ChunkStats:
         lo, hi = mm["min"], mm["max"]
         st.min_val = int(lo.as_py()) if lo.is_valid else None
         st.max_val = int(hi.as_py()) if hi.is_valid else None
+        # exact chunk sum for aggregate pushdown. An int64 accumulator
+        # can WRAP on large values (timestamp micros x 64k rows exceeds
+        # 2^63), so sum the 32-bit halves separately (floor-shift makes
+        # the split exact for negatives too) and recombine as a Python
+        # int — exact at any magnitude, still two vectorized passes
+        if st.n_nulls < n:
+            v = np.asarray(
+                pa.compute.fill_null(mm_src.cast(pa.int64()), 0)
+            )
+            hi_sum = int((v >> 32).sum(dtype=np.int64))
+            lo_sum = int((v & 0xFFFFFFFF).sum(dtype=np.int64))
+            st.sum_val = str((hi_sum << 32) + lo_sum)
+    elif pa.types.is_floating(t):
+        s = pa.compute.sum(arr)
+        st.sum_f = float(s.as_py()) if s.is_valid else None
     elif pa.types.is_string(t) or pa.types.is_large_string(t):
         # string zone map over the FULL chunk (same pre-sample discipline
         # as the int min/max above: prune_partitions_by_stats must see
         # real extremes). min truncates safely (a prefix only lowers the
-        # bound); a truncated max is flagged unbounded-above.
+        # bound); truncated bounds are flagged (unbounded-above for the
+        # pruner, inexact for aggregate pushdown).
         mm = pa.compute.min_max(arr)
         lo, hi = mm["min"], mm["max"]
         if lo.is_valid:
-            st.min_str = lo.as_py()[:64]
+            full_lo = lo.as_py()
+            st.min_str = full_lo[:64]
+            st.min_str_trunc = len(full_lo) > 64
         if hi.is_valid:
             full = hi.as_py()
             st.max_str = full[:64]
