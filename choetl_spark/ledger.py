@@ -872,14 +872,23 @@ def expire_snapshots(
     except Exception:
         tomb = None
     if tomb is not None:
-        staging = os.path.join(out_dir, f"_deletes_expire_{uuid.uuid4().hex[:8]}")
-        tomb.filter(~F.col("part_id").isin(expired)).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(staging)
-        trash = os.path.join(out_dir, f"_deletes_trash_{uuid.uuid4().hex[:8]}")
-        os.rename(ddir, trash)
-        os.rename(staging, ddir)
-        shutil.rmtree(trash, ignore_errors=True)
+        kept_tomb = tomb.filter(~F.col("part_id").isin(expired))
+        if kept_tomb.limit(1).count() == 0:
+            # nothing survives: drop the tombstone table entirely so
+            # readers skip the positional decode again (an EMPTY
+            # _deletes dir would still trigger the merge-on-read path)
+            shutil.rmtree(ddir, ignore_errors=True)
+        else:
+            staging = os.path.join(
+                out_dir, f"_deletes_expire_{uuid.uuid4().hex[:8]}"
+            )
+            kept_tomb.coalesce(1).write.mode("overwrite").parquet(staging)
+            trash = os.path.join(
+                out_dir, f"_deletes_trash_{uuid.uuid4().hex[:8]}"
+            )
+            os.rename(ddir, trash)
+            os.rename(staging, ddir)
+            shutil.rmtree(trash, ignore_errors=True)
     return {**res, "partitions_reclaimed": len(expired), **swap}
 
 
