@@ -1037,6 +1037,48 @@ def q_agg_pushdown_store(spark, sf_dir):
     )
 
 
+def q_store_partitions_meta(spark, sf_dir):
+    """Metadata tables over the checkpointed store
+    (choetl_spark/ledger.py store_partitions — the Iceberg .partitions
+    metadata-table analog): per-partition row counts, delete debt, and
+    live rows, answered from the ledger + tombstone table alone. The
+    store is built with EXPLICIT part_id = doc_id % 8 so DuckDB can
+    recompute every rollup from the documents table — a ledger row
+    count drift, a tombstone attributed to the wrong partition, or a
+    stale live_rows after a delete each flip it. Collected eagerly so
+    the temp store can be deleted."""
+    import shutil
+    import tempfile
+
+    from choetl_spark.deletes import delete_matching
+    from choetl_spark.engine import EncodeConfig
+    from choetl_spark.ledger import encode_with_resume, store_partitions
+
+    docs = _read(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 8).alias("part_id"), "doc_id", "text"
+    )
+    out = tempfile.mkdtemp(prefix="choetl_meta_")
+    try:
+        cfg = EncodeConfig(
+            key_col="doc_id", chunk_rows=2048, deterministic=True
+        )
+        encode_with_resume(spark, docs, out, cfg)
+        delete_matching(
+            spark, out, "doc_id",
+            docs.filter(F.col("doc_id") % 10 == 0).select("doc_id"),
+        )
+        rows = store_partitions(spark, out).select(
+            "part_id", "n_rows", "n_columns", "n_deleted", "live_rows"
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "part_id long, n_rows long, n_columns long, n_deleted long, "
+        "live_rows long",
+    )
+
+
 def q_url_normalize_webpages(spark, sf_dir):
     """URL parse + canonicalization over the planted messy-URL corpus:
     lowercased scheme/host, userinfo and default ports stripped,
@@ -1273,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_rows_store": q_delete_rows_store,
         "upsert_store": q_upsert_store,
         "agg_pushdown_store": q_agg_pushdown_store,
+        "store_partitions_meta": q_store_partitions_meta,
     }
 
 
@@ -2139,5 +2182,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(text_len) AS BIGINT) AS sum_len,
                    MIN(text) AS min_text
             FROM phases GROUP BY phase
+        """,
+        "store_partitions_meta": """
+            SELECT CAST(doc_id % 8 AS BIGINT) AS part_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(2 AS BIGINT) AS n_columns,
+                   CAST(COUNT(*) FILTER (doc_id % 10 = 0) AS BIGINT)
+                       AS n_deleted,
+                   CAST(COUNT(*) FILTER (doc_id % 10 <> 0) AS BIGINT)
+                       AS live_rows
+            FROM documents GROUP BY doc_id % 8
         """,
     }

@@ -402,6 +402,142 @@ def scan_encoded(
     return out.select(*columns) if columns is not None else out
 
 
+def store_partitions(
+    spark: SparkSession, out_dir: str, as_of: int | None = None
+) -> DataFrame:
+    """Per-partition metadata rollup — the Iceberg ``.partitions``
+    metadata table analog, answered entirely from the ledger and the
+    tombstone table (no chunk payload, no chunk metadata scan):
+    ``(part_id, run_seq, n_rows, n_chunks, n_columns, raw_bytes,
+    encoded_bytes, n_deleted, live_rows)`` for every partition VISIBLE
+    at ``as_of`` (committed, not retired, in a readable epoch).
+    ``n_deleted`` counts committed tombstones at the same epoch;
+    ``live_rows`` is what a scan would return. The operational surface
+    for skew checks ('is a partition oversized?'), delete-debt triage
+    ('which partitions want rewrite_partitions?'), and storage
+    accounting — all driver-light, O(partitions) metadata."""
+    if as_of is not None and int(as_of) < min_time_travel_seq(out_dir):
+        raise ValueError(
+            f"snapshot as_of={as_of} has been expired; the oldest "
+            f"readable epoch is {min_time_travel_seq(out_dir)}"
+        )
+    from choetl_spark.deletes import read_delete_positions
+
+    empty_ddl = (
+        "part_id long, run_seq long, n_rows long, n_chunks long, "
+        "n_columns long, raw_bytes long, encoded_bytes long, "
+        "n_deleted long, live_rows long"
+    )
+    ledger = read_ledger(spark, out_dir)
+    if ledger is None:
+        return spark.createDataFrame([], empty_ddl)
+    done = ledger.filter(F.col("status") == "done")
+    retired = ledger.filter(F.col("status") == "retired")
+    if as_of is not None:
+        done = done.filter(F.col("run_seq") <= int(as_of))
+        retired = retired.filter(F.col("run_seq") <= int(as_of))
+    live = done.join(
+        F.broadcast(retired.select("part_id").distinct()),
+        "part_id",
+        "left_anti",
+    )
+    cmap = F.from_json(
+        "codec_map", "array<struct<column string, codec string>>"
+    )
+    live = live.select(
+        "part_id",
+        "run_seq",
+        "n_rows",
+        "n_chunks",
+        F.size(
+            F.array_distinct(F.transform(cmap, lambda x: x["column"]))
+        ).cast("long").alias("n_columns"),
+        "raw_bytes",
+        "encoded_bytes",
+    )
+    tomb = read_delete_positions(spark, out_dir, as_of=as_of)
+    if tomb is None:
+        dels = None
+    else:
+        dels = tomb.groupBy("part_id").agg(
+            F.count("*").alias("n_deleted")
+        )
+    if dels is not None:
+        live = live.join(F.broadcast(dels), "part_id", "left")
+    else:
+        live = live.withColumn("n_deleted", F.lit(None).cast("long"))
+    return live.select(
+        "part_id", "run_seq", "n_rows", "n_chunks", "n_columns",
+        "raw_bytes", "encoded_bytes",
+        F.coalesce("n_deleted", F.lit(0)).cast("long").alias("n_deleted"),
+        (F.col("n_rows") - F.coalesce("n_deleted", F.lit(0)))
+        .cast("long")
+        .alias("live_rows"),
+    )
+
+
+def store_files(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Physical file inventory — the Iceberg ``.files`` metadata table
+    analog: one row per chunk-table parquet file,
+    ``(file, size_bytes, n_chunk_rows, n_partitions, n_columns,
+    encoded_bytes, part_id_min, part_id_max)``. ``part_id_min/max``
+    show whether the layout supports FILE-level footer pruning (tight
+    after ``compact_store``'s range clustering, interleaved after many
+    small appends — the 'do I need compaction?' signal). Reads only
+    chunk METADATA columns plus the driver's directory listing (the
+    catalog read an Iceberg deployment gets for free)."""
+    chunks_dir = _chunks_dir(out_dir)
+    sizes = [
+        (f, os.path.getsize(os.path.join(chunks_dir, f)))
+        for f in sorted(os.listdir(chunks_dir))
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    size_df = spark.createDataFrame(
+        sizes or [("", 0)], "file string, size_bytes long"
+    ).filter(F.col("file") != "")
+    per_file = (
+        _read_chunks(spark, out_dir)
+        .select(
+            # basename: input_file_name's scheme form (file:/ vs
+            # file:///) varies; names are unique within the directory
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias(
+                "file"
+            ),
+            "part_id",
+            "column",
+            "encoded_bytes",
+        )
+        .groupBy("file")
+        .agg(
+            F.count("*").alias("n_chunk_rows"),
+            F.countDistinct("part_id").alias("n_partitions"),
+            F.countDistinct("column").alias("n_columns"),
+            F.sum("encoded_bytes").alias("encoded_bytes"),
+            F.min("part_id").alias("part_id_min"),
+            F.max("part_id").alias("part_id_max"),
+        )
+    )
+    # the physical listing drives: a zero-row file (a task that wrote
+    # no chunks) is still inventory — it never appears in
+    # input_file_name rollups
+    return size_df.join(per_file, "file", "left").select(
+        "file",
+        "size_bytes",
+        F.coalesce("n_chunk_rows", F.lit(0)).cast("long").alias(
+            "n_chunk_rows"
+        ),
+        F.coalesce("n_partitions", F.lit(0)).cast("long").alias(
+            "n_partitions"
+        ),
+        F.coalesce("n_columns", F.lit(0)).cast("long").alias("n_columns"),
+        F.coalesce("encoded_bytes", F.lit(0)).cast("long").alias(
+            "encoded_bytes"
+        ),
+        "part_id_min",
+        "part_id_max",
+    )
+
+
 _AGG_STATS_DDL = (
     "min_val long, max_val long, sum_val string, sum_f double, "
     "min_str string, max_str string, "
