@@ -203,6 +203,18 @@ def _bench_store(spark, sf_dir: str) -> dict:
         _STORE["url_chunks_total"] = probed.count()
         _STORE["url_chunks_hit"] = probed.filter("_bloom_hit").count()
         probed.unpersist()
+        # ~5% warc_ts window for the selective-scan benches, from the
+        # chunk stats (agg pushdown — no decode)
+        import datetime as _dt
+
+        from choetl_spark.ledger import agg_encoded
+
+        b = agg_encoded(
+            spark, path,
+            {"lo": ("min", "warc_ts"), "hi": ("max", "warc_ts")},
+        ).collect()[0]
+        _STORE["ts_lo"] = b["lo"]
+        _STORE["ts_hi"] = b["lo"] + (b["hi"] - b["lo"]) / 20
     return _STORE
 
 
@@ -260,6 +272,42 @@ def bench_full_scan_filter(spark, sf_dir: str) -> None:
     dec.filter(F.col("url") == st["target"]).count()
 
 
+def bench_selective_scan(spark, sf_dir: str) -> None:
+    """Range scan through the FILTERED decode kernel (predicate pushdown
+    / partition-local late materialization): a ~5% warc_ts window over
+    the salted store, where zone maps cannot prune (every partition
+    spans the whole time range) so the win is pure kernel-side — only
+    matching rows are fully decoded and shipped back to the JVM. The
+    control (selective_scan_residual) decodes everything and filters
+    after; at 10^12 rows the gap is the transfer itself."""
+    from choetl_spark.ledger import scan_encoded
+
+    st = _bench_store(spark, sf_dir)
+    scan_encoded(
+        spark, st["path"], ["url", "html", "text"],
+        ranges={"warc_ts": (st["ts_lo"], st["ts_hi"])},
+    ).count()
+
+
+def bench_selective_scan_control(spark, sf_dir: str) -> None:
+    """Control for selective_scan: full decode of all four columns, the
+    same predicate applied AFTER the Python->JVM transfer."""
+    from pyspark.sql import functions as F
+
+    from choetl_spark.engine import decode_dataframe
+    from choetl_spark.ledger import read_encoded, read_manifest
+
+    st = _bench_store(spark, sf_dir)
+    dec = decode_dataframe(
+        read_encoded(spark, st["path"]),
+        columns=["url", "html", "text", "warc_ts"],
+        manifest=read_manifest(st["path"]),
+    )
+    dec.filter(
+        (F.col("warc_ts") >= st["ts_lo"]) & (F.col("warc_ts") <= st["ts_hi"])
+    ).count()
+
+
 BENCHES = {
     "encode_webpages": bench_encode,
     "encode_speed_profile": bench_encode_speed,
@@ -272,6 +320,8 @@ BENCHES = {
     "pruned_point_lookup": bench_pruned_lookup,
     "late_mat_point_lookup": bench_point_lookup,
     "full_scan_filter": bench_full_scan_filter,
+    "selective_scan_pushdown": bench_selective_scan,
+    "selective_scan_residual": bench_selective_scan_control,
 }
 
 
@@ -320,10 +370,65 @@ def run_default() -> None:
                     "key_chunks_total": _STORE.get("url_chunks_total"),
                     "key_chunks_bloom_hit": _STORE.get("url_chunks_hit"),
                 },
+                "cluster_evidence": _cluster_evidence(spark),
             }
         )
     )
     spark.stop()
+
+
+def _cluster_evidence(spark) -> dict:
+    """Zone-map pruning before/after a sort-clustering rewrite
+    (rewrite_clustered), measured UNTIMED on a narrow url+warc_ts store:
+    chunk-metadata rows a ~5% url-range scan keeps. At 10^12 rows the
+    kept fraction IS the scan cost — the wall-clock column at sf0.1 is
+    scheduler-bound and would hide it."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from choetl_spark.clustering import rewrite_clustered
+    from choetl_spark.engine import (
+        EncodeConfig,
+        prune_partitions_by_stats,
+    )
+    from choetl_spark.ledger import encode_with_resume, read_encoded
+
+    path = tempfile.mkdtemp(prefix="bench_cluster_")
+    try:
+        pages = _pages(spark, SF_DIR).select("url", "warc_ts")
+        cfg = EncodeConfig(
+            num_partitions=64, chunk_rows=8192, chunk_bytes=8 << 20,
+            shuffle="salted", optimize_for="speed",
+            columns=("url", "warc_ts"),
+        )
+        encode_with_resume(spark, pages, path, cfg)
+        urls = (
+            pages.select("url").orderBy("url")
+            .limit(max(pages.count() // 20, 2)).collect()
+        )
+        lo, hi = urls[0][0], urls[-1][0]
+
+        def kept():
+            enc = read_encoded(spark, path).filter(F.col("column") == "url")
+            return (
+                prune_partitions_by_stats(enc, "url", lo, hi).count(),
+                enc.count(),
+            )
+
+        kept_before, total_before = kept()
+        rewrite_clustered(spark, path, ["url"], cfg=cfg)
+        kept_after, total_after = kept()
+        return {
+            "url_range_selectivity": "~5%",
+            "chunks_kept_before_clustering": kept_before,
+            "chunks_total_before": total_before,
+            "chunks_kept_after_clustering": kept_after,
+            "chunks_total_after": total_after,
+        }
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 SCALING_ROWS = int(os.environ.get("SPARK_GRAFT_SCALING_ROWS", "480000"))

@@ -158,17 +158,28 @@ def delete_matching(
     key: str,
     keys_df: DataFrame,
     run_id: str | None = None,
+    exclude_part_range: tuple | None = None,
 ) -> dict:
     """Delete every store row whose ``key`` appears in ``keys_df`` —
     the frame-predicate shape of :func:`delete_where` and the delete
     half of :func:`upsert`. One positional decode of the KEY column
     (never payloads) semi-joined against the broadcast key set; at
     10^12 docs that is one narrow-column pass + O(matches) tombstones,
-    the same cost an Iceberg MERGE pays for its match scan."""
+    the same cost an Iceberg MERGE pays for its match scan.
+
+    ``exclude_part_range=(lo, hi)`` leaves partitions with
+    ``lo <= part_id < hi`` untouched — :func:`upsert` passes its own
+    epoch's partition range so a RETRY never tombstones the rows its
+    first attempt already ingested."""
     from choetl_spark.engine import decode_dataframe
     from choetl_spark.ledger import read_encoded, read_manifest
 
     enc = read_encoded(spark, out_dir)
+    if exclude_part_range is not None:
+        lo, hi = exclude_part_range
+        enc = enc.filter(
+            (F.col("part_id") < int(lo)) | (F.col("part_id") >= int(hi))
+        )
     manifest = read_manifest(out_dir)
     keyed = decode_dataframe(
         enc, columns=[key], manifest=manifest, with_pos=True
@@ -293,7 +304,13 @@ def upsert(
         epoch = max(max_seq, (max_part + cfg.num_partitions)
                     // cfg.num_partitions) + 1
     del_res = delete_matching(
-        spark, out_dir, key, df.select(key), run_id=run_id
+        spark, out_dir, key, df.select(key), run_id=run_id,
+        # a retry must never tombstone the rows the first attempt's
+        # ingest half already committed into this epoch's range
+        exclude_part_range=(
+            int(epoch) * cfg.num_partitions,
+            (int(epoch) + 1) * cfg.num_partitions,
+        ),
     )
     planned = plan_partitions(
         df,

@@ -402,6 +402,180 @@ def scan_encoded(
     return out.select(*columns) if columns is not None else out
 
 
+def read_changes(
+    spark: SparkSession,
+    out_dir: str,
+    from_seq: int,
+    to_seq: int | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Incremental changelog read — the Iceberg incremental scan /
+    changelog-table analog: exactly the NET row difference between the
+    snapshots at ``from_seq`` and ``to_seq`` (default: latest), as the
+    data columns plus ``_change_type`` (``insert`` / ``delete``).
+
+    The contract (and the invariant the tests pin):
+
+        scan(as_of=from_seq)  +  inserts  -  deletes  ==  scan(as_of=to_seq)
+
+    so a downstream consumer (an index, a feature store, a training-set
+    materializer) can stay in sync by reading only the delta —
+    O(changed partitions + tombstones in range), never O(store).
+
+    Composition rules (all derived from the ledger, no guessing):
+
+    - partitions ADDED in the range emit their rows live at ``to_seq``
+      as inserts;
+    - partitions RETIRED in the range (rewrites, clustering) emit their
+      rows live at ``from_seq`` as deletes — together with the
+      replacement partitions' inserts this nets a rewrite to zero for
+      any consumer that applies both sides;
+    - partitions added AND retired inside the range net to nothing and
+      are skipped entirely;
+    - row-level tombstones committed in the range against partitions
+      that SURVIVE the range emit just those rows as deletes (decoded
+      by position, late-materialization style).
+
+    Needs the chunks of ``from_seq``-visible partitions to still exist:
+    raises if ``expire_snapshots`` already reclaimed history at or
+    before ``from_seq``. ``from_seq=0`` is a full bootstrap (everything
+    at ``to_seq`` as inserts).
+    """
+    from choetl_spark.deletes import read_delete_positions
+    from choetl_spark.engine import decode_dataframe
+
+    ledger = read_ledger(spark, out_dir)
+    if ledger is None:
+        raise ValueError(f"no committed store at {out_dir}")
+    if to_seq is None:
+        to_seq = (
+            ledger.agg(F.max("run_seq")).collect()[0][0] or 0
+        )
+    from_seq, to_seq = int(from_seq), int(to_seq)
+    if from_seq > 0 and from_seq < min_time_travel_seq(out_dir):
+        raise ValueError(
+            f"changelog from_seq={from_seq} has been expired; the "
+            f"oldest readable epoch is {min_time_travel_seq(out_dir)}"
+        )
+
+    def visible(seq: int) -> set[int]:
+        done = ledger.filter(
+            (F.col("status") == "done") & (F.col("run_seq") <= seq)
+        ).select("part_id")
+        ret = ledger.filter(
+            (F.col("status") == "retired") & (F.col("run_seq") <= seq)
+        ).select("part_id").distinct()
+        return {
+            r["part_id"]
+            for r in done.join(
+                F.broadcast(ret), "part_id", "left_anti"
+            ).collect()
+        }
+
+    v_from = visible(from_seq) if from_seq > 0 else set()
+    v_to = visible(to_seq)
+    added = sorted(v_to - v_from)
+    removed = sorted(v_from - v_to)
+    stayed = v_from & v_to
+
+    manifest = read_manifest(out_dir)
+    out_parts: list[DataFrame] = []
+
+    def live_rows(part_ids: list[int], seq: int) -> DataFrame | None:
+        if not part_ids:
+            return None
+        enc = read_encoded(spark, out_dir, as_of=seq).join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(int(p),) for p in part_ids], "part_id long"
+                )
+            ),
+            "part_id",
+            "semi",
+        )
+        tomb = read_delete_positions(spark, out_dir, as_of=seq)
+        df = decode_dataframe(
+            enc, columns=columns, manifest=manifest,
+            with_pos=tomb is not None,
+        )
+        if tomb is not None:
+            from choetl_spark.deletes import apply_delete_filter
+
+            df = apply_delete_filter(df, tomb)
+        return df
+
+    ins = live_rows(added, to_seq)
+    if ins is not None:
+        out_parts.append(ins.withColumn("_change_type", F.lit("insert")))
+    rem = live_rows(removed, from_seq)
+    if rem is not None:
+        out_parts.append(rem.withColumn("_change_type", F.lit("delete")))
+
+    # positional deletes in range against surviving partitions
+    if stayed:
+        t_to = read_delete_positions(spark, out_dir, as_of=to_seq)
+        t_from = (
+            read_delete_positions(spark, out_dir, as_of=from_seq)
+            if from_seq > 0
+            else None
+        )
+        if t_to is not None:
+            new_tombs = t_to
+            if t_from is not None:
+                new_tombs = t_to.exceptAll(t_from)
+            new_tombs = new_tombs.join(
+                F.broadcast(
+                    spark.createDataFrame(
+                        [(int(p),) for p in sorted(stayed)], "part_id long"
+                    )
+                ),
+                "part_id",
+                "semi",
+            )
+            enc = read_encoded(spark, out_dir, as_of=from_seq or to_seq)
+            hit = decode_dataframe(
+                enc.join(
+                    F.broadcast(new_tombs.select("part_id").distinct()),
+                    "part_id",
+                    "semi",
+                ),
+                columns=columns,
+                manifest=manifest,
+                with_pos=True,
+            ).join(
+                F.broadcast(
+                    new_tombs.select(
+                        F.col("part_id").alias("_part_id"),
+                        F.col("row_pos").alias("_row_pos"),
+                    )
+                ),
+                ["_part_id", "_row_pos"],
+                "semi",
+            ).drop("_part_id", "_row_pos")
+            out_parts.append(
+                hit.withColumn("_change_type", F.lit("delete"))
+            )
+
+    if not out_parts:
+        from choetl_spark.codecs.base import str_to_type
+        from choetl_spark.engine import _spark_type_ddl
+
+        cols = columns or sorted((manifest or {}).keys())
+        pieces = []
+        for c in cols:
+            m = (manifest or {}).get(c) or {}
+            ddl_c = m.get("logical") or _spark_type_ddl(
+                str_to_type(m.get("dtype", "string"))
+            )
+            pieces.append(f"`{c}` {ddl_c}")
+        pieces.append("`_change_type` string")
+        return spark.createDataFrame([], ", ".join(pieces))
+    res = out_parts[0]
+    for p in out_parts[1:]:
+        res = res.unionByName(p)
+    return res
+
+
 def store_partitions(
     spark: SparkSession, out_dir: str, as_of: int | None = None
 ) -> DataFrame:

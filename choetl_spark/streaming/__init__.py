@@ -67,6 +67,63 @@ def dedup_stream(
     )
 
 
+def upsert_sink(
+    spark: SparkSession,
+    out_dir: str,
+    key: str,
+    cfg: EncodeConfig | None = None,
+    epoch_base: int | None = None,
+):
+    """CDC-apply sink: a ``foreachBatch`` callable that MERGEs each
+    micro-batch into the encoded store by ``key`` — existing rows with
+    a matching key are tombstoned and the batch ingests into its own
+    epoch-namespaced partition range (:func:`choetl_spark.deletes.
+    upsert`), so the store always reflects the latest version of every
+    key.
+
+        query = (updates.writeStream.foreachBatch(
+            upsert_sink(spark, out_dir, key="url", cfg=cfg)
+        ).start())
+
+    Idempotent under Spark's batch-retry contract: a re-run of batch N
+    reuses the same epoch (``epoch_base + N``) and run_id, so the
+    delete half re-applies harmlessly and the ledger resume skips the
+    partitions that already committed. ``epoch_base`` is derived once
+    from the ledger at sink creation (clears every existing epoch and
+    partition id); a store fed by MULTIPLE concurrent writers needs
+    explicitly disjoint bases — same single-writer-per-table caveat as
+    an Iceberg streaming MERGE."""
+    from choetl_spark.deletes import upsert
+    from choetl_spark.ledger import read_ledger
+
+    cfg = cfg or EncodeConfig()
+    if epoch_base is None:
+        ledger = read_ledger(spark, out_dir)
+        max_seq, max_part = 0, -1
+        if ledger is not None:
+            r = ledger.agg(
+                F.max("run_seq").alias("s"), F.max("part_id").alias("p")
+            ).collect()[0]
+            max_seq = r["s"] or 0
+            max_part = r["p"] if r["p"] is not None else -1
+        epoch_base = (
+            max(
+                max_seq,
+                (max_part + cfg.num_partitions) // cfg.num_partitions,
+            )
+            + 1
+        )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        upsert(
+            spark, out_dir, batch_df, key, cfg=cfg,
+            epoch=int(epoch_base) + int(batch_id),
+            run_id=f"upsert-batch-{int(batch_id)}",
+        )
+
+    return apply_batch
+
+
 def incremental_encode(
     spark: SparkSession,
     batch_df: DataFrame,
