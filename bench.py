@@ -211,10 +211,24 @@ def _bench_store(spark, sf_dir: str) -> dict:
 
         b = agg_encoded(
             spark, path,
-            {"lo": ("min", "warc_ts"), "hi": ("max", "warc_ts")},
+            {"lo": ("min", "warc_ts"), "hi": ("max", "warc_ts"),
+             "n": ("count", "*")},
         ).collect()[0]
         _STORE["ts_lo"] = b["lo"]
         _STORE["ts_hi"] = b["lo"] + (b["hi"] - b["lo"]) / 20
+        _STORE["store_rows"] = b["n"]
+        # transfer evidence for the pushdown bench: the filtered kernel
+        # ships ONLY matching rows back to the JVM (pinned by
+        # tests/test_pushdown.py::test_kernel_filters_before_transfer),
+        # so matches/store_rows is the Python->JVM byte fraction the
+        # residual control pays in full. At sf0.1 both queries are
+        # fixed-stage-bound; at 10^12 rows the transfer IS the scan.
+        from choetl_spark.ledger import scan_encoded
+
+        _STORE["selective_scan_matches"] = scan_encoded(
+            spark, path, ["url"],
+            ranges={"warc_ts": (_STORE["ts_lo"], _STORE["ts_hi"])},
+        ).count()
     return _STORE
 
 
@@ -369,6 +383,12 @@ def run_default() -> None:
                     "parts_kept_for_point_lookup": _STORE.get("parts_kept"),
                     "key_chunks_total": _STORE.get("url_chunks_total"),
                     "key_chunks_bloom_hit": _STORE.get("url_chunks_hit"),
+                },
+                "pushdown_evidence": {
+                    "store_rows": _STORE.get("store_rows"),
+                    "selective_scan_rows_shipped": _STORE.get(
+                        "selective_scan_matches"
+                    ),
                 },
                 "cluster_evidence": _cluster_evidence(spark),
             }

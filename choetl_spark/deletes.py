@@ -135,8 +135,19 @@ def delete_where(
     for col, value in equals.items():
         enc = prune_partitions_by_bloom(enc, col, value)
     pred_cols = list(dict.fromkeys([*ranges, *equals]))
+    # predicates ride into the decode kernel (superset masks): only
+    # candidate rows' coordinates ship back; the exact filters below
+    # keep the tombstone set precise
+    pushdown = {
+        **{c: ("range", lo, hi) for c, (lo, hi) in ranges.items()},
+        **{
+            c: ("in", list(v) if isinstance(v, (list, tuple, set)) else [v])
+            for c, v in equals.items()
+        },
+    }
     pos = decode_dataframe(
-        enc, columns=pred_cols, manifest=manifest, with_pos=True
+        enc, columns=pred_cols, manifest=manifest, with_pos=True,
+        pushdown=pushdown,
     )
     for col, (lo, hi) in ranges.items():
         pos = pos.filter((F.col(col) >= lo) & (F.col(col) <= hi))

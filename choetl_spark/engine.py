@@ -1097,7 +1097,9 @@ def prune_partitions_by_bloom(
     return enc_df.join(F.broadcast(keep), "part_id", "semi")
 
 
-def bloom_probe_frame(enc_df: DataFrame, column: str, value) -> DataFrame:
+def bloom_probe_frame(
+    enc_df: DataFrame, column: str, value, restrict: bool = True
+) -> DataFrame:
     """``column``'s chunk-metadata rows with a boolean ``_bloom_hit``:
     False ONLY when the chunk's Bloom filter definitely excludes
     ``value`` (missing/legacy blooms answer True — over-keep, never
@@ -1117,16 +1119,20 @@ def bloom_probe_frame(enc_df: DataFrame, column: str, value) -> DataFrame:
     )
     if not values:
         raise ValueError("bloom probe needs at least one value")
-    target = (
-        enc_df.filter(F.col("column") == column)
-        .withColumn(
-            "_b",
-            F.from_json(
-                "stats", "bloom struct<m:bigint,k:int,bits:string>"
-            )["bloom"],
-        )
-        .withColumn("_bin", F.unbase64(F.col("_b.bits")))
+    target = enc_df if not restrict else enc_df.filter(
+        F.col("column") == column
     )
+    # ``restrict=False`` keeps EVERY chunk row and just annotates —
+    # single-pass callers filter `(column != c) | _bloom_hit` instead of
+    # paying a second scan + union of the chunk table; rows of other
+    # columns probe their own (irrelevant) blooms and are kept by the
+    # caller's disjunct
+    target = target.withColumn(
+        "_b",
+        F.from_json(
+            "stats", "bloom struct<m:bigint,k:int,bits:string>"
+        )["bloom"],
+    ).withColumn("_bin", F.unbase64(F.col("_b.bits")))
     any_hit = None
     for v in values:
         h1, h2 = _hash_value(v)

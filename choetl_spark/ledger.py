@@ -353,6 +353,8 @@ def scan_encoded(
         prune_partitions_by_stats,
     )
 
+    from choetl_spark.engine import bloom_probe_frame
+
     enc = read_encoded(spark, out_dir, as_of=as_of)
     manifest = read_manifest(out_dir)
     ranges = ranges or {}
@@ -364,6 +366,23 @@ def scan_encoded(
         enc = prune_partitions_by_stats(enc, col, lo, hi, dtype=dtype)
     for col, value in equals.items():
         enc = prune_partitions_by_bloom(enc, col, value)
+        # chunk-granular on top of partition-granular: predicate-column
+        # chunks whose Bloom definitely excludes the probe never ship
+        # to the Python workers at all — the filtered kernel treats a
+        # missing predicate chunk as matching nothing, which is exactly
+        # what the Bloom proved (missing/legacy blooms keep; the probe
+        # only over-keeps)
+        vals = (
+            list(value)
+            if isinstance(value, (list, tuple, set))
+            else [value]
+        )
+        if 0 < len(vals) <= 32:
+            enc = (
+                bloom_probe_frame(enc, col, vals, restrict=False)
+                .filter((F.col("column") != col) | F.col("_bloom_hit"))
+                .drop("_bloom_hit")
+            )
     dec_cols = columns
     if columns is not None:
         dec_cols = list(
