@@ -1079,6 +1079,54 @@ def q_store_partitions_meta(spark, sf_dir):
     )
 
 
+def q_changelog_store(spark, sf_dir):
+    """Incremental changelog read over the checkpointed store
+    (choetl_spark/ledger.py read_changes — the Iceberg incremental scan
+    / changelog analog): two ingest epochs with explicit disjoint
+    part_ids, then a row-level delete; the changelog for (epoch1,
+    latest] must contain exactly epoch-2's rows as inserts and the
+    tombstoned epoch-1 rows as deletes. The oracle recomputes both
+    sides from the documents table — a leaked unchanged row, a missed
+    tombstone, or an insert/delete mislabel each flip it. Collected
+    eagerly so the temp store can be deleted."""
+    import shutil
+    import tempfile
+
+    from choetl_spark.deletes import delete_matching
+    from choetl_spark.engine import EncodeConfig
+    from choetl_spark.ledger import encode_with_resume, read_changes
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    epoch1 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") % 2).alias("part_id"), "doc_id", "text"
+    )
+    epoch2 = docs.filter(F.col("doc_id") % 3 != 0).select(
+        (F.col("doc_id") % 2 + 2).alias("part_id"), "doc_id", "text"
+    )
+    out = tempfile.mkdtemp(prefix="choetl_cl_")
+    try:
+        cfg = EncodeConfig(
+            key_col="doc_id", chunk_rows=2048, deterministic=True
+        )
+        encode_with_resume(spark, epoch1, out, cfg, run_id="e1")
+        encode_with_resume(spark, epoch2, out, cfg, run_id="e2")
+        # delete every epoch-1 row whose doc_id % 5 == 0
+        delete_matching(
+            spark, out, "doc_id",
+            docs.filter(
+                (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 5 == 0)
+            ).select("doc_id"),
+        )
+        rows = read_changes(
+            spark, out, 1, columns=["doc_id"]
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, _change_type string"
+    ).select("doc_id", F.col("_change_type").alias("change_type"))
+
+
 def q_url_normalize_webpages(spark, sf_dir):
     """URL parse + canonicalization over the planted messy-URL corpus:
     lowercased scheme/host, userinfo and default ports stripped,
@@ -1316,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert_store": q_upsert_store,
         "agg_pushdown_store": q_agg_pushdown_store,
         "store_partitions_meta": q_store_partitions_meta,
+        "changelog_store": q_changelog_store,
     }
 
 
@@ -2192,5 +2241,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) FILTER (doc_id % 10 <> 0) AS BIGINT)
                        AS live_rows
             FROM documents GROUP BY doc_id % 8
+        """,
+        "changelog_store": """
+            SELECT doc_id, 'insert' AS change_type FROM documents
+            WHERE doc_id % 3 <> 0
+            UNION ALL
+            SELECT doc_id, 'delete' AS change_type FROM documents
+            WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
         """,
     }

@@ -291,8 +291,10 @@ def upsert(
     as "already done" by — any prior run's ids. Defaults to the next
     ledger ``run_seq``; a RETRY of a crashed upsert must pass the same
     ``epoch`` and ``run_id`` back so the ledger resume skips exactly
-    the partitions that committed (the delete half is idempotent
-    either way).
+    the partitions that committed. The delete half excludes this
+    epoch's own partition range, so a retry after a (partial) ingest
+    commit re-tombstones only PRE-upsert copies — never the rows the
+    first attempt already ingested.
     """
     from choetl_spark.engine import EncodeConfig
     from choetl_spark.ledger import encode_with_resume, read_ledger

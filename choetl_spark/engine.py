@@ -613,7 +613,9 @@ def _pushdown_values_compatible(vals: list, t: pa.DataType) -> bool:
     return False
 
 
-def _eval_chunk_mask(payload: bytes, meta: dict, op: tuple) -> "object":
+def _eval_chunk_mask(
+    payload: bytes, meta: dict, op: tuple, n_rows: int | None = None
+) -> "object":
     """Evaluate one pushdown predicate over one encoded chunk without
     materializing more than it must. Returns a numpy bool mask (True =
     row may match). SUPERSET semantics: any evaluation failure (type
@@ -690,13 +692,16 @@ def _eval_chunk_mask(payload: bytes, meta: dict, op: tuple) -> "object":
                 packed, count=len(mask), bitorder="little"
             ).astype(bool)
             mask &= valid
+        if n_rows is not None and len(mask) != n_rows:
+            # metadata/row-count inconsistency: over-keep, never drop
+            raise ValueError("mask length != chunk n_rows")
         return mask
     except Exception:
-        n = meta.get("n") or 0
-        if not n and meta.get("codec") == "zstd":
-            n = (meta.get("child") or {}).get("n", 0)
         import numpy as np  # local, mirrors top of function
 
+        n = n_rows if n_rows is not None else (meta.get("n") or 0)
+        if not n and meta.get("codec") == "zstd":
+            n = (meta.get("child") or {}).get("n", 0)
         return np.ones(int(n), dtype=bool)
 
 
@@ -752,9 +757,11 @@ def _make_filtered_decode_kernel(
                 pos_parts = [
                     start
                     + np.nonzero(
-                        _eval_chunk_mask(payload, json.loads(meta), op)
+                        _eval_chunk_mask(
+                            payload, json.loads(meta), op, n_rows=nr
+                        )
                     )[0]
-                    for start, _, payload, meta in pieces
+                    for start, nr, payload, meta in pieces
                 ]
                 pos = (
                     np.concatenate(pos_parts)
