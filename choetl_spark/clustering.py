@@ -171,6 +171,8 @@ def rewrite_clustered(
     )
 
     cfg = cfg or EncodeConfig()
+    if not by:
+        raise ValueError("rewrite_clustered needs at least one column")
     if zorder and not 2 <= len(by) <= 4:
         raise ValueError("zorder takes 2-4 columns")
     ledger = read_ledger(spark, out_dir)

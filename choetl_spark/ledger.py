@@ -915,14 +915,26 @@ def agg_encoded(
         for r in _per_column_stats_frame(enc_clean).collect()
     }
 
+    session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+
     def typed(v: "int | None", fam: str) -> object:
         """Storage int -> driver value, matching what a Spark aggregate
-        over the decoded column returns (naive-UTC datetimes under the
-        UTC session convention) so clean/fallback/dirty merge cleanly."""
+        over the decoded column returns: a NAIVE datetime in the
+        SESSION timezone (stats store the UTC-epoch micros; converting
+        through the session tz keeps the stats path and the
+        decode-fallback path merge-compatible on any session, not just
+        UTC)."""
         if v is None:
             return None
         if fam == "timestamp":
-            return _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v)
+            from zoneinfo import ZoneInfo
+
+            dt_utc = _dt.datetime(
+                1970, 1, 1, tzinfo=_dt.timezone.utc
+            ) + _dt.timedelta(microseconds=v)
+            return dt_utc.astimezone(ZoneInfo(session_tz)).replace(
+                tzinfo=None
+            )
         if fam == "date":
             return _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
         if fam == "bool":
@@ -1070,7 +1082,10 @@ def agg_encoded(
             )
             continue
         if isinstance(v, _dt.datetime) and v.tzinfo is not None:
-            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            # createDataFrame reads naive datetimes in the session tz
+            from zoneinfo import ZoneInfo
+
+            v = v.astimezone(ZoneInfo(session_tz)).replace(tzinfo=None)
         out_vals.append(v)
         out_ddl.append(f"`{alias}` {_DDL[fam]}")
     return spark.createDataFrame([tuple(out_vals)], ", ".join(out_ddl))
