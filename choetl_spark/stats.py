@@ -121,6 +121,13 @@ def compute_stats(arr: pa.Array, level: str = "full") -> ChunkStats:
             full = hi.as_py()
             st.max_str = full[:64]
             st.max_str_trunc = len(full) > 64
+    if level == "pinned":
+        # codec choice is already pinned for this column (engine
+        # trial-cache): only the fields that ride into the encoded
+        # table's stats column (min/max zone maps, sums, null counts —
+        # all computed above) are needed; the selector-only sampling
+        # below (NDV, run lengths, entropy, token census) is skipped.
+        return st
     sample_rows = _SAMPLE_ROWS if level == "full" else 512
     sample = arr.slice(0, min(n, sample_rows))
     sample = sample.drop_null() if sample.null_count else sample
