@@ -103,7 +103,10 @@ def decode_plain(payload: bytes, meta: dict) -> pa.Array:
         w = meta["len_width"]
         lb = meta["len_bytes"]
         lengths = unpack_uints(payload[:lb], n, w).astype(np.int64)
-        blob = payload[lb:]
+        # zero-copy view of the value bytes: pa.py_buffer holds a
+        # reference to the base payload, so no blob-sized copy is made
+        # (payload[lb:] would copy the whole blob per chunk)
+        blob = memoryview(payload)[lb:]
         return _strings_from_blob(blob, lengths, t)
     if pa.types.is_boolean(t):
         bits = np.unpackbits(
@@ -120,7 +123,9 @@ def decode_plain(payload: bytes, meta: dict) -> pa.Array:
     raise TypeError(f"plain codec: unsupported type {t}")
 
 
-def _strings_from_blob(blob: bytes, lengths: np.ndarray, t: pa.DataType) -> pa.Array:
+def _strings_from_blob(
+    blob: bytes | memoryview, lengths: np.ndarray, t: pa.DataType
+) -> pa.Array:
     n = len(lengths)
     big = pa.types.is_large_string(t) or pa.types.is_large_binary(t)
     odt = pa.int64() if big else pa.int32()

@@ -65,26 +65,61 @@ def read_delete_positions(
     Orphan tombstone files (a crashed :func:`delete_where`) are
     filtered out by the semi-join against ledger ``status="delete"``
     commit rows on ``delete_id`` — the same commit discipline as
-    chunks."""
-    from choetl_spark.ledger import read_ledger
+    chunks. The output is DISTINCT positions, so exact-duplicate
+    tombstone rows (the survivable crash state of
+    :func:`replace_tombstone_files`) never skew anti-joins, changelog
+    diffs, or ``n_deleted`` counts.
 
+    A store whose ledger carries delete commits but whose ``_deletes``
+    table cannot be read raises instead of returning ``None`` —
+    treating lost tombstones as "no deletes" would silently resurrect
+    every deleted row. The one legitimate tombstone-free-with-commits
+    state is post-``expire_snapshots`` (it drops the table when every
+    survivor pointed at expired partitions), which is recognized by the
+    expiry sidecar it always writes first."""
+    import os as _os
+
+    from choetl_spark.ledger import _expiry_path, read_ledger
+
+    ledger = read_ledger(spark, out_dir)
     try:
         tomb = spark.read.parquet(_deletes_dir(out_dir))
     except Exception:
+        if ledger is not None and not _os.path.exists(
+            _expiry_path(out_dir)
+        ):
+            n_commits = (
+                ledger.filter(F.col("status") == "delete").limit(1).count()
+            )
+            if n_commits:
+                raise RuntimeError(
+                    f"store at {out_dir} has committed delete epochs in "
+                    "its ledger but no readable _deletes tombstone table "
+                    "— refusing to read (it would resurrect deleted "
+                    "rows). Restore the _deletes directory (a crashed "
+                    "maintenance run may have left a _deletes_trash_* "
+                    "or _deletes_compact_* sibling) or expire the "
+                    "delete snapshots explicitly."
+                )
         return None
-    ledger = read_ledger(spark, out_dir)
     if ledger is None:
         return None
     commits = ledger.filter(F.col("status") == "delete")
     if as_of is not None:
         commits = commits.filter(F.col("run_seq") <= int(as_of))
-    return tomb.join(
-        F.broadcast(
-            commits.select(F.col("attempt_id").alias("delete_id")).distinct()
-        ),
-        "delete_id",
-        "semi",
-    ).select("part_id", "row_pos")
+    return (
+        tomb.join(
+            F.broadcast(
+                commits.select(
+                    F.col("attempt_id").alias("delete_id")
+                ).distinct()
+            ),
+            "delete_id",
+            "semi",
+        )
+        .select("part_id", "row_pos")
+        .distinct()
+    )
 
 
 def delete_where(
@@ -123,8 +158,21 @@ def delete_where(
         read_manifest,
     )
 
-    equals = equals or {}
-    ranges = ranges or {}
+    from choetl_spark.engine import normalize_predicate_value as _n
+
+    # naive datetime bounds -> the aware instants Spark's literals mean
+    # (one interpretation for the pruner, kernel AND residual filter)
+    equals = {
+        c: (
+            [_n(x) for x in v]
+            if isinstance(v, (list, tuple, set))
+            else _n(v)
+        )
+        for c, v in (equals or {}).items()
+    }
+    ranges = {
+        c: (_n(lo), _n(hi)) for c, (lo, hi) in (ranges or {}).items()
+    }
     if not equals and not ranges:
         raise ValueError("delete_where needs at least one predicate")
     enc = read_encoded(spark, out_dir)
@@ -170,6 +218,7 @@ def delete_matching(
     keys_df: DataFrame,
     run_id: str | None = None,
     exclude_part_range: tuple | None = None,
+    defer_commit: bool = False,
 ) -> dict:
     """Delete every store row whose ``key`` appears in ``keys_df`` —
     the frame-predicate shape of :func:`delete_where` and the delete
@@ -201,16 +250,32 @@ def delete_matching(
         F.col("_part_id").alias("part_id"),
         F.col("_row_pos").alias("row_pos"),
     )
-    return _commit_tombstones(spark, out_dir, tomb, run_id)
+    return _commit_tombstones(
+        spark, out_dir, tomb, run_id, defer_commit=defer_commit
+    )
 
 
 def _commit_tombstones(
-    spark: SparkSession, out_dir: str, tomb: DataFrame, run_id: str | None
+    spark: SparkSession,
+    out_dir: str,
+    tomb: DataFrame,
+    run_id: str | None,
+    defer_commit: bool = False,
 ) -> dict:
     """Shared delete commit: drop already-tombstoned coordinates
     (idempotence), write tombstone files, THEN append the ledger
     ``status="delete"`` row at the next epoch — the crash window
-    between the two leaves orphans readers never see."""
+    between the two leaves orphans readers never see.
+
+    ``defer_commit=True`` writes the tombstone FILES but skips the
+    ledger append (``run_seq`` comes back ``None``): the tombstones
+    stay invisible orphans until the caller commits the returned
+    ``delete_id`` itself — :func:`upsert` rides it in
+    ``encode_with_resume``'s single ledger append so the delete half
+    and the insert half become visible at the SAME epoch (an atomic
+    MERGE snapshot; separate epochs would expose — and ``as_of`` time
+    travel would permanently preserve — a state where matched keys
+    have neither their old nor their new row)."""
     from choetl_spark.ledger import LEDGER_SCHEMA_DDL, _ledger_dir, read_ledger
 
     prior = read_delete_positions(spark, out_dir)
@@ -221,8 +286,12 @@ def _commit_tombstones(
     if ledger is not None:
         next_seq = (ledger.agg(F.max("run_seq")).collect()[0][0] or 0) + 1
     delete_id = uuid.uuid4().hex
+    # del_seq in the FILES is informational (visibility is governed by
+    # the ledger commit row's run_seq); a deferred commit doesn't know
+    # its final epoch yet
+    file_seq = -1 if defer_commit else next_seq
     tomb = (
-        tomb.withColumn("del_seq", F.lit(next_seq).cast("long"))
+        tomb.withColumn("del_seq", F.lit(file_seq).cast("long"))
         .withColumn("delete_id", F.lit(delete_id))
         .persist()
     )
@@ -242,6 +311,13 @@ def _commit_tombstones(
         tomb.write.mode("append").parquet(_deletes_dir(out_dir))
     finally:
         tomb.unpersist()
+    if defer_commit:
+        return {
+            "rows_deleted": int(n),
+            "partitions_touched": int(parts),
+            "run_seq": None,
+            "delete_id": delete_id,
+        }
     commit = spark.createDataFrame(
         [
             (
@@ -270,6 +346,30 @@ def _commit_tombstones(
     }
 
 
+def next_free_epoch(
+    spark: SparkSession, out_dir: str, num_partitions: int
+) -> int:
+    """First epoch whose partition-id range
+    ``[epoch*num_partitions, (epoch+1)*num_partitions)`` cannot collide
+    with any existing partition id OR commit sequence. The epoch must
+    clear BOTH: a scan-local ingest uses one id per input split, which
+    can exceed ``num_partitions``, and a colliding id would be silently
+    resume-skipped, dropping rows. Shared by :func:`upsert` and
+    ``streaming.upsert_sink`` — the collision guard must not drift
+    between the batch and streaming paths."""
+    from choetl_spark.ledger import read_ledger
+
+    ledger = read_ledger(spark, out_dir)
+    max_seq, max_part = 0, -1
+    if ledger is not None:
+        r = ledger.agg(
+            F.max("run_seq").alias("s"), F.max("part_id").alias("p")
+        ).collect()[0]
+        max_seq = r["s"] or 0
+        max_part = r["p"] if r["p"] is not None else -1
+    return max(max_seq, (max_part + num_partitions) // num_partitions) + 1
+
+
 def upsert(
     spark: SparkSession,
     out_dir: str,
@@ -285,6 +385,14 @@ def upsert(
     merge-on-read end to end, no data rewrite (the Iceberg
     ``MERGE INTO ... WHEN MATCHED DELETE+INSERT`` shape).
 
+    ATOMIC: both halves commit in ONE ledger append at one epoch — the
+    tombstone files are written first as invisible orphans
+    (``defer_commit``) and their ``status="delete"`` row rides in the
+    ingest's append (``delete_commits``), exactly like Iceberg's
+    single-snapshot MERGE. Concurrent readers and ``as_of`` time travel
+    see either the full pre-upsert state or the full post-upsert state,
+    never deleted-but-not-reinserted keys.
+
     ``epoch`` namespaces the new partition ids
     (``epoch * num_partitions + planned_id``, the streaming sink's
     scheme) so they can never collide with — and be silently skipped
@@ -297,25 +405,13 @@ def upsert(
     first attempt already ingested.
     """
     from choetl_spark.engine import EncodeConfig
-    from choetl_spark.ledger import encode_with_resume, read_ledger
+    from choetl_spark.ledger import encode_with_resume
     from choetl_spark.partitioning import plan_partitions
 
     cfg = cfg or EncodeConfig()
     fresh_epoch = epoch is None
     if fresh_epoch:
-        # the epoch must clear BOTH the commit sequence and the highest
-        # existing part id (a scan-local ingest uses one id per input
-        # split, which can exceed num_partitions — colliding ids would
-        # be silently resume-skipped, dropping upsert rows)
-        ledger = read_ledger(spark, out_dir)
-        max_seq, max_part = 0, -1
-        if ledger is not None:
-            r = ledger.agg(
-                F.max("run_seq").alias("s"), F.max("part_id").alias("p")
-            ).collect()[0]
-            max_seq, max_part = r["s"] or 0, r["p"] if r["p"] is not None else -1
-        epoch = max(max_seq, (max_part + cfg.num_partitions)
-                    // cfg.num_partitions) + 1
+        epoch = next_free_epoch(spark, out_dir, cfg.num_partitions)
     del_res = delete_matching(
         spark, out_dir, key, df.select(key), run_id=run_id,
         # a retry must never tombstone the rows the first attempt's
@@ -324,6 +420,11 @@ def upsert(
             int(epoch) * cfg.num_partitions,
             (int(epoch) + 1) * cfg.num_partitions,
         ),
+        # tombstone files only — the ledger "delete" row rides in the
+        # ingest's single append below, so both MERGE halves become
+        # visible at the SAME epoch (no window, and no as_of snapshot,
+        # where matched keys have neither their old nor their new row)
+        defer_commit=True,
     )
     planned = plan_partitions(
         df,
@@ -337,7 +438,12 @@ def upsert(
         F.col("part_id") + F.lit(int(epoch)) * F.lit(cfg.num_partitions),
     )
     enc_res = encode_with_resume(
-        spark, planned, out_dir, cfg, run_id=run_id or f"upsert-{epoch}"
+        spark, planned, out_dir, cfg, run_id=run_id or f"upsert-{epoch}",
+        delete_commits=(
+            [(del_res["delete_id"], del_res["rows_deleted"])]
+            if del_res["rows_deleted"]
+            else None
+        ),
     )
     if fresh_epoch and enc_res["partitions_already_done"]:
         raise RuntimeError(
@@ -512,10 +618,45 @@ def compact_deletes(spark: SparkSession, out_dir: str) -> dict:
             return 0
 
     before = _n_files(d)
+    # full-row dedup collapses duplicates a previous crashed compaction
+    # left behind (legitimate rows are unique: one delete_id tombstones
+    # a given (part_id, row_pos) at most once)
+    replace_tombstone_files(spark, out_dir, keep.dropDuplicates())
+    return {"files_before": before, "files_after": _n_files(d)}
+
+
+def replace_tombstone_files(
+    spark: SparkSession, out_dir: str, keep: DataFrame
+) -> None:
+    """Rewrite the ``_deletes`` parquet table to exactly ``keep``'s rows
+    without ever leaving a missing-directory window.
+
+    A directory swap (rename away + rename staging in) has a crash
+    window in which ``_deletes`` does not exist — and tombstone absence
+    is a legitimate "no deletes" state, so readers would silently
+    RESURRECT every deleted row. Instead: write staging, MOVE the new
+    parts into the live directory under fresh names (same filesystem —
+    atomic per file), then unlink the old files. A crash at any point
+    leaves the directory holding a row SUPERSET (old + new coexist as
+    exact duplicates) — duplicates are harmless to the anti-join
+    subtraction and the next compaction's ``dropDuplicates`` collapses
+    them; rows are never lost."""
+    import shutil
+
+    d = _deletes_dir(out_dir)
+    old_files = [f for f in os.listdir(d) if f.endswith(".parquet")]
     staging = os.path.join(out_dir, f"_deletes_compact_{uuid.uuid4().hex[:8]}")
     keep.coalesce(1).write.mode("overwrite").parquet(staging)
-    trash = os.path.join(out_dir, f"_deletes_trash_{uuid.uuid4().hex[:8]}")
-    os.rename(d, trash)
-    os.rename(staging, d)
-    shutil.rmtree(trash, ignore_errors=True)
-    return {"files_before": before, "files_after": _n_files(d)}
+    tag = uuid.uuid4().hex[:8]
+    for name in os.listdir(staging):
+        if name.endswith(".parquet"):
+            os.rename(
+                os.path.join(staging, name),
+                os.path.join(d, f"compact_{tag}_{name}"),
+            )
+    for name in old_files:
+        try:
+            os.remove(os.path.join(d, name))
+        except OSError:
+            pass
+    shutil.rmtree(staging, ignore_errors=True)

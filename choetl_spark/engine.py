@@ -610,6 +610,28 @@ def _make_decode_kernel(
     return kernel
 
 
+def normalize_predicate_value(v):
+    """Naive datetime predicate values -> the aware UTC instant Spark's
+    own literal conversion produces for them (py4j DatetimeConverter /
+    TimestampType.toInternal: ``time.mktime`` on the DRIVER'S OS
+    timezone). Applied once at the query entry (scan_encoded /
+    delete_where), so the zone-map pruner, the decode kernel, and the
+    residual Spark filter all evaluate the SAME instant on any driver
+    tz — a naive bound interpreted as UTC by the kernel but as a
+    non-UTC OS tz by the residual would make the kernel mask a
+    non-superset and silently drop matching rows. Aware datetimes and
+    non-datetimes pass through unchanged."""
+    import datetime as _dt
+    import time as _time
+
+    if isinstance(v, _dt.datetime) and v.tzinfo is None:
+        secs = int(_time.mktime(v.timetuple()))
+        return _dt.datetime.fromtimestamp(secs, _dt.timezone.utc).replace(
+            microsecond=v.microsecond
+        )
+    return v
+
+
 def _pushdown_values_compatible(vals: list, t: pa.DataType) -> bool:
     """True only when every predicate value is in the same type FAMILY
     as the storage type, so the Arrow comparison agrees with the Spark
@@ -627,13 +649,16 @@ def _pushdown_values_compatible(vals: list, t: pa.DataType) -> bool:
     if pa.types.is_timestamp(t):
         if not all(isinstance(v, _dt.datetime) for v in vals):
             return False
-        # naive datetimes are interpreted as UTC by Arrow's cast but as
-        # the SESSION timezone by Spark's literal — only equivalent when
-        # the store's recorded tz is UTC/absent; aware datetimes convert
-        # identically on both sides
-        return all(
-            v.tzinfo is not None for v in vals
-        ) or t.tz in (None, "UTC")
+        # naive datetimes are interpreted as UTC by Arrow's cast but
+        # via the driver's OS timezone (time.mktime) by Spark's
+        # literal — those disagree on any non-UTC driver, which would
+        # break the kernel mask's superset contract, so naive values
+        # never push down (the residual filter still answers exactly;
+        # scan_encoded/delete_where normalize naive bounds to aware
+        # instants up front via normalize_predicate_value, so the
+        # pruning loss only affects direct decode_dataframe callers).
+        # Aware datetimes convert identically on both sides.
+        return all(v.tzinfo is not None for v in vals)
     if pa.types.is_date(t):
         return all(
             isinstance(v, _dt.date) and not isinstance(v, _dt.datetime)
@@ -648,7 +673,11 @@ def _pushdown_values_compatible(vals: list, t: pa.DataType) -> bool:
 
 
 def _eval_chunk_mask(
-    payload: bytes, meta: dict, op: tuple, n_rows: int | None = None
+    payload: bytes,
+    meta: dict,
+    op: tuple,
+    n_rows: int | None = None,
+    decoded_out: dict | None = None,
 ) -> "object":
     """Evaluate one pushdown predicate over one encoded chunk without
     materializing more than it must. Returns a numpy bool mask (True =
@@ -714,6 +743,11 @@ def _eval_chunk_mask(
                 # values are in the LOGICAL domain — superset fallback
                 return np.ones(meta.get("n", m.get("n", 0)) or 0, dtype=bool)
             arr = decode_array(payload, meta)
+            if decoded_out is not None:
+                # the predicate pass had to materialize the full chunk;
+                # hand it to the caller so the fetch pass doesn't pay
+                # the same decode (and zstd inflate) a second time
+                decoded_out["arr"] = arr
             mask = eval_values(arr)
         nulls = m.get("nulls") or meta.get("nulls")
         if nulls and nulls.get("n_nulls"):
@@ -784,19 +818,27 @@ def _make_filtered_decode_kernel(
             nonlocal raw
             if not raw:
                 return
-            # 1. predicate pass: surviving global positions per pred col
+            # 1. predicate pass: surviving global positions per pred col.
+            # Chunks the mask evaluation had to FULLY decode (plain/
+            # foref/... — everything but the dict symbol-table path) are
+            # kept for the fetch pass below, so a requested predicate
+            # column pays decode+inflate once, not twice; peak memory is
+            # one partition's predicate columns decoded, the same order
+            # as the unfiltered kernel's accumulation.
+            decoded_cache: dict[tuple, pa.Array] = {}
             matched: "np.ndarray | None" = None
             for name, op in pushdown.items():
                 pieces = raw.get(name, [])
-                pos_parts = [
-                    start
-                    + np.nonzero(
-                        _eval_chunk_mask(
-                            payload, json.loads(meta), op, n_rows=nr
-                        )
-                    )[0]
-                    for start, nr, payload, meta in pieces
-                ]
+                pos_parts = []
+                for start, nr, payload, meta in pieces:
+                    sink: dict = {}
+                    mask = _eval_chunk_mask(
+                        payload, json.loads(meta), op, n_rows=nr,
+                        decoded_out=sink,
+                    )
+                    if "arr" in sink and name in col_order:
+                        decoded_cache[(name, start)] = sink["arr"]
+                    pos_parts.append(start + np.nonzero(mask)[0])
                 pos = (
                     np.concatenate(pos_parts)
                     if pos_parts
@@ -836,7 +878,9 @@ def _make_filtered_decode_kernel(
                     )
                     if hi <= lo:
                         continue
-                    arr = decode_array(payload, json.loads(meta))
+                    arr = decoded_cache.pop((name, start), None)
+                    if arr is None:
+                        arr = decode_array(payload, json.loads(meta))
                     idx = matched[lo:hi] - start
                     vals.append(arr.take(pa.array(idx)))
                     got += hi - lo
@@ -1054,13 +1098,13 @@ def prune_partitions_by_stats(
     def _to_i64(v):
         # zone maps are the chunk cast to int64: MICROS since epoch for
         # timestamp columns, DAYS for date32 columns. Naive datetimes
-        # are UTC — the engine contract pins the session timezone to
-        # UTC (see tests/conftest, verify recipe).
+        # are first normalized to the instant Spark's own literal
+        # conversion would produce (driver-OS mktime), so pruning
+        # agrees with the caller's residual filter on any driver tz.
         if isinstance(v, _dt.datetime):
             if dtype in ("date", "date32"):
                 return (v.date() - _dt.date(1970, 1, 1)).days
-            if v.tzinfo is None:
-                v = v.replace(tzinfo=_dt.timezone.utc)
+            v = normalize_predicate_value(v)
             return int(v.timestamp() * 1_000_000)
         if isinstance(v, _dt.date):
             if dtype in ("date", "date32"):
@@ -1111,7 +1155,7 @@ def prune_partitions_by_stats(
 
 
 def prune_partitions_by_bloom(
-    enc_df: DataFrame, column: str, value
+    enc_df: DataFrame, column: str, value, probe_cap: int = 32
 ) -> DataFrame:
     """Point-lookup pruning: drop partitions where EVERY chunk's Bloom
     filter rules ``value`` out (encode with
@@ -1128,7 +1172,21 @@ def prune_partitions_by_bloom(
     is still all-set, so this can only over-keep, never over-skip. (At
     10^12 docs the chunk table is ~10^7 metadata rows — noise next to
     the payload scan this avoids.)
+
+    Batch semantics: an EMPTY value list matches nothing (``col IN ()``)
+    and returns zero chunk rows; a list longer than ``probe_cap`` skips
+    Bloom pruning entirely and returns ``enc_df`` unchanged — each
+    probed value adds k nested bit-test expressions, so an unbounded
+    IN-list would blow up the Catalyst expression tree / codegen method
+    size (same cap-and-skip fallback as ``lookup.point_lookup``); the
+    caller's residual filter keeps semantics exact either way.
     """
+    if isinstance(value, (list, tuple, set)):
+        vals = list(value)
+        if not vals:
+            return enc_df.filter(F.lit(False))
+        if len(vals) > probe_cap:
+            return enc_df
     keep = (
         bloom_probe_frame(enc_df, column, value)
         .filter("_bloom_hit")

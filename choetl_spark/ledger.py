@@ -355,10 +355,23 @@ def scan_encoded(
 
     from choetl_spark.engine import bloom_probe_frame
 
+    from choetl_spark.engine import normalize_predicate_value as _norm
+
     enc = read_encoded(spark, out_dir, as_of=as_of)
     manifest = read_manifest(out_dir)
-    ranges = ranges or {}
-    equals = equals or {}
+    # naive datetime bounds -> the aware instants Spark's literals mean
+    # (one interpretation for the pruner, kernel AND residual filter)
+    ranges = {
+        c: (_norm(lo), _norm(hi)) for c, (lo, hi) in (ranges or {}).items()
+    }
+    equals = {
+        c: (
+            [_norm(x) for x in v]
+            if isinstance(v, (list, tuple, set))
+            else _norm(v)
+        )
+        for c, v in (equals or {}).items()
+    }
     for col, (lo, hi) in ranges.items():
         # the manifest dtype disambiguates the zone-map unit for
         # date/datetime bounds (micros vs days — see the pruner)
@@ -915,25 +928,27 @@ def agg_encoded(
         for r in _per_column_stats_frame(enc_clean).collect()
     }
 
-    session_tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
-
     def typed(v: "int | None", fam: str) -> object:
         """Storage int -> driver value, matching what a Spark aggregate
-        over the decoded column returns: a NAIVE datetime in the
-        SESSION timezone (stats store the UTC-epoch micros; converting
-        through the session tz keeps the stats path and the
-        decode-fallback path merge-compatible on any session, not just
-        UTC)."""
+        over the decoded column returns through classic ``collect()``:
+        stats store UTC-epoch micros, and PySpark's
+        ``TimestampType.fromInternal`` converts those to a naive
+        datetime in the DRIVER'S OS timezone
+        (``datetime.fromtimestamp(ts // 1e6)`` — pyspark/sql/types.py),
+        NOT the session timezone. Replicating that call exactly keeps
+        the stats path merge-compatible with the decode-fallback and
+        dirty-partition ``collect()`` paths on any driver tz, and the
+        final ``createDataFrame`` (``toInternal`` = ``time.mktime``,
+        the OS-tz inverse) round-trips the value back to the same
+        micros. Session-tz conversion here was wrong twice: classic
+        collect ignores the session tz, and offset-style session values
+        ("GMT+05:30") crash ZoneInfo."""
         if v is None:
             return None
         if fam == "timestamp":
-            from zoneinfo import ZoneInfo
-
-            dt_utc = _dt.datetime(
-                1970, 1, 1, tzinfo=_dt.timezone.utc
-            ) + _dt.timedelta(microseconds=v)
-            return dt_utc.astimezone(ZoneInfo(session_tz)).replace(
-                tzinfo=None
+            # exact replica of TimestampType.fromInternal
+            return _dt.datetime.fromtimestamp(v // 1_000_000).replace(
+                microsecond=v % 1_000_000
             )
         if fam == "date":
             return _dt.date(1970, 1, 1) + _dt.timedelta(days=v)
@@ -1061,8 +1076,8 @@ def agg_encoded(
     }
     for alias, (fn, col) in aggs.items():
         v = merge(alias, fn)
-        # min/max/dirty values arrive already typed (naive-UTC datetime
-        # under the UTC session convention, date, bool, int, float, str)
+        # min/max/dirty values arrive already typed (naive OS-local
+        # datetime per fromInternal, date, bool, int, float, str)
         if fn == "count":
             out_vals.append(int(v))
             out_ddl.append(f"`{alias}` bigint")
@@ -1082,10 +1097,10 @@ def agg_encoded(
             )
             continue
         if isinstance(v, _dt.datetime) and v.tzinfo is not None:
-            # createDataFrame reads naive datetimes in the session tz
-            from zoneinfo import ZoneInfo
-
-            v = v.astimezone(ZoneInfo(session_tz)).replace(tzinfo=None)
+            # createDataFrame's toInternal reads naive datetimes in the
+            # driver's OS tz (time.mktime) — convert aware values to
+            # OS-local naive so the round-trip lands on the same micros
+            v = v.astimezone().replace(tzinfo=None)
         out_vals.append(v)
         out_ddl.append(f"`{alias}` {_DDL[fam]}")
     return spark.createDataFrame([tuple(out_vals)], ", ".join(out_ddl))
@@ -1223,16 +1238,11 @@ def expire_snapshots(
             # _deletes dir would still trigger the merge-on-read path)
             shutil.rmtree(ddir, ignore_errors=True)
         else:
-            staging = os.path.join(
-                out_dir, f"_deletes_expire_{uuid.uuid4().hex[:8]}"
-            )
-            kept_tomb.coalesce(1).write.mode("overwrite").parquet(staging)
-            trash = os.path.join(
-                out_dir, f"_deletes_trash_{uuid.uuid4().hex[:8]}"
-            )
-            os.rename(ddir, trash)
-            os.rename(staging, ddir)
-            shutil.rmtree(trash, ignore_errors=True)
+            # crash-safe rewrite: never leaves a missing-_deletes window
+            # (absence reads as "no deletes" — silent resurrection)
+            from choetl_spark.deletes import replace_tombstone_files
+
+            replace_tombstone_files(spark, out_dir, kept_tomb)
     return {**res, "partitions_reclaimed": len(expired), **swap}
 
 
@@ -1303,6 +1313,7 @@ def encode_with_resume(
     cfg: EncodeConfig | None = None,
     run_id: str | None = None,
     retire_part_ids: list | None = None,
+    delete_commits: list[tuple[str, int]] | None = None,
 ) -> dict:
     """Encode ``df`` to ``out_dir``, skipping partitions already done.
 
@@ -1313,6 +1324,12 @@ def encode_with_resume(
     ones in one commit — no window where both (duplicates) or neither
     (missing rows) are visible. Used by
     :func:`choetl_spark.deletes.rewrite_partitions`.
+
+    ``delete_commits=[(delete_id, n_rows), ...]`` likewise rides
+    ``status="delete"`` rows in the same append, committing tombstone
+    files a caller pre-wrote with ``defer_commit=True`` at the SAME
+    epoch as this run's ingest — the atomic-MERGE half of
+    :func:`choetl_spark.deletes.upsert`.
 
     Returns a summary dict with partitions done before/this run.
     """
@@ -1468,12 +1485,23 @@ def encode_with_resume(
             LEDGER_SCHEMA_DDL,
         )
         ledger_rows = ledger_rows.unionByName(retire_rows)
+    if delete_commits:
+        delete_rows = spark.createDataFrame(
+            [
+                (-1, None, int(n), 0, 0, 0, None, run_id,
+                 int(run_seq), "delete", str(delete_id))
+                for delete_id, n in delete_commits
+            ],
+            LEDGER_SCHEMA_DDL,
+        )
+        ledger_rows = ledger_rows.unionByName(delete_rows)
     before = ledger.count() if ledger is not None else 0
     ledger_rows.write.mode("append").parquet(_ledger_dir(out_dir))
     newly = (
         read_ledger(spark, out_dir).count()
         - before
         - len(retire_part_ids or [])
+        - len(delete_commits or [])
     )
     return {
         "run_id": run_id,

@@ -321,6 +321,12 @@ def point_lookup(
             _make_fetch_kernel(positions, list(columns), types), fetch_ddl
         )
     )
+    # a matched row whose partition has NO chunk of ANY requested
+    # column (every requested column late-added after that partition
+    # was written) never reaches the kernel — left-joining the match
+    # coordinates back restores decode_dataframe's null-fill semantics
+    # (two <= max_matches-row frames, broadcast join, no extra action)
+    fetched = m.join(fetched, ["part_id", "row_pos"], "left")
     restores = {}
     for c in columns:
         ddl_l = logicals.get(c)

@@ -93,26 +93,12 @@ def upsert_sink(
     partition id); a store fed by MULTIPLE concurrent writers needs
     explicitly disjoint bases — same single-writer-per-table caveat as
     an Iceberg streaming MERGE."""
-    from choetl_spark.deletes import upsert
-    from choetl_spark.ledger import read_ledger
+    from choetl_spark.deletes import next_free_epoch, upsert
 
     cfg = cfg or EncodeConfig()
     if epoch_base is None:
-        ledger = read_ledger(spark, out_dir)
-        max_seq, max_part = 0, -1
-        if ledger is not None:
-            r = ledger.agg(
-                F.max("run_seq").alias("s"), F.max("part_id").alias("p")
-            ).collect()[0]
-            max_seq = r["s"] or 0
-            max_part = r["p"] if r["p"] is not None else -1
-        epoch_base = (
-            max(
-                max_seq,
-                (max_part + cfg.num_partitions) // cfg.num_partitions,
-            )
-            + 1
-        )
+        # shared collision guard with the batch path (deletes.upsert)
+        epoch_base = next_free_epoch(spark, out_dir, cfg.num_partitions)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         upsert(

@@ -233,3 +233,61 @@ def test_agg_rejects_bad_specs(spark, astore):
         agg_encoded(spark, out, {"m": ("min", "nope")})
     with pytest.raises(ValueError, match="only count supports"):
         agg_encoded(spark, out, {"m": ("min", "*")})
+
+
+def test_agg_timestamps_non_utc_driver(spark, astore):
+    """Timestamp min/max from stats must equal what a Spark aggregate
+    over the decoded column returns THROUGH CLASSIC collect() — which
+    converts internal UTC micros to a naive datetime in the driver's
+    OS timezone (TimestampType.fromInternal), NOT the session tz. A
+    stats path converting through the session tz returned values 9h off
+    on a Tokyo driver with a UTC session, and the merge with the
+    dirty-partition collect() path compared across conventions."""
+    from conftest import driver_tz
+
+    out, pages = astore
+    with driver_tz("Asia/Tokyo"):
+        got = agg_encoded(
+            spark, out,
+            {"lo": ("min", "warc_ts"), "hi": ("max", "warc_ts")},
+        ).collect()[0]
+        want = pages.agg(
+            F.min("warc_ts").alias("lo"), F.max("warc_ts").alias("hi")
+        ).collect()[0]
+        assert got["lo"] == want["lo"]
+        assert got["hi"] == want["hi"]
+
+
+def test_agg_timestamps_merge_with_dirty_partitions_tokyo(spark, tmp_path):
+    """The stats-path value and the dirty-partition collect() value meet
+    in merge(): both must be the SAME naive convention (driver OS tz) or
+    min/max picks the wrong extremum. Tokyo driver + tombstones force
+    both paths in one aggregate."""
+    from conftest import driver_tz
+
+    out = str(tmp_path / "aggtz")
+    pages = webpages(spark, 400, partitions=2).cache()
+    pages.count()
+    encode_with_resume(
+        spark, pages, out,
+        EncodeConfig(num_partitions=3, chunk_rows=128),
+        run_id="i1",
+    )
+    # tombstone one row -> its partition becomes dirty (re-aggregated
+    # via decode+collect), the rest answer from stats
+    victim = pages.orderBy("url").limit(1).collect()[0]["url"]
+    delete_where(spark, out, equals={"url": victim})
+    with driver_tz("Asia/Tokyo"):
+        got = agg_encoded(
+            spark, out,
+            {"lo": ("min", "warc_ts"), "hi": ("max", "warc_ts"),
+             "n": ("count", "*")},
+        ).collect()[0]
+        want = pages.filter(F.col("url") != victim).agg(
+            F.min("warc_ts").alias("lo"), F.max("warc_ts").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        assert got["n"] == want["n"]
+        assert got["lo"] == want["lo"]
+        assert got["hi"] == want["hi"]
+    pages.unpersist()

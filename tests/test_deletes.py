@@ -398,3 +398,136 @@ def test_decode_with_pos_exact_coordinates(spark, store):
     assert (
         pos.select("url").exceptAll(plain.select("url")).count() == 0
     )
+
+
+def test_upsert_commits_one_atomic_epoch(spark, store):
+    """The MERGE is one snapshot: the tombstone commit row and the
+    ingest's done rows share ONE run_seq (single ledger append), so no
+    as_of epoch — and no concurrent-reader window — exists where
+    matched keys have neither their old nor their new row."""
+    from choetl_spark.ledger import read_ledger
+
+    out, pages = store
+    old = {r["url"]: r["text"] for r in pages.select("url", "text").collect()}
+    some = sorted(old)[:4]
+    updates = spark.createDataFrame(
+        [(u, b"<html/>", f"v2-{u}", "en") for u in some],
+        "url string, html binary, text string, lang string",
+    ).withColumn("warc_ts", F.lit("2024-02-02 00:00:00").cast("timestamp"))
+    res = upsert(spark, out, updates, "url", EncodeConfig(num_partitions=4))
+    assert res["rows_deleted"] == len(some)
+
+    led = read_ledger(spark, out)
+    del_seqs = [
+        r["run_seq"]
+        for r in led.filter(F.col("status") == "delete").collect()
+    ]
+    done_max = (
+        led.filter(F.col("status") == "done")
+        .agg(F.max("run_seq"))
+        .collect()[0][0]
+    )
+    assert del_seqs == [done_max]  # same epoch, single delete row
+
+    # every historical snapshot shows each matched key exactly once
+    max_seq = led.agg(F.max("run_seq")).collect()[0][0]
+    for e in range(1, int(max_seq) + 1):
+        snap = {
+            r["url"]: r["text"]
+            for r in scan_encoded(
+                spark, out, ["url", "text"], as_of=e,
+                equals={"url": list(some)},
+            ).collect()
+        }
+        assert set(snap) == set(some), f"epoch {e} lost matched keys"
+        for u in some:
+            assert snap[u] in (old[u], f"v2-{u}")
+
+
+def test_tombstone_loss_refuses_loudly(spark, tmp_path):
+    """A store whose ledger has delete commits but whose _deletes table
+    vanished (crashed maintenance, manual damage) must REFUSE to read —
+    treating the loss as 'no deletes' would silently resurrect every
+    deleted row."""
+    import shutil
+
+    from choetl_spark.deletes import _deletes_dir
+
+    out = str(tmp_path / "lossy")
+    pages = webpages(spark, 200, partitions=2)
+    encode_with_resume(
+        spark, pages, out, EncodeConfig(num_partitions=2), run_id="i1"
+    )
+    victim = pages.orderBy("url").limit(1).collect()[0]["url"]
+    res = delete_where(spark, out, equals={"url": victim})
+    assert res["rows_deleted"] == 1
+    shutil.rmtree(_deletes_dir(out))
+    with pytest.raises(RuntimeError, match="resurrect"):
+        scan_encoded(spark, out, ["url"]).collect()
+
+
+def test_tombstone_duplicate_files_are_harmless(spark, tmp_path):
+    """replace_tombstone_files' survivable crash state is a row
+    SUPERSET (old + new files coexist as exact duplicates). Readers
+    must subtract the same rows and count the same n_deleted; the next
+    compaction collapses the duplicates."""
+    import glob
+    import shutil
+
+    from choetl_spark.deletes import _deletes_dir
+    from choetl_spark.ledger import store_partitions
+
+    out = str(tmp_path / "dupes")
+    pages = webpages(spark, 300, partitions=2).cache()
+    pages.count()
+    encode_with_resume(
+        spark, pages, out, EncodeConfig(num_partitions=2), run_id="i1"
+    )
+    victims = [r["url"] for r in pages.orderBy("url").limit(3).collect()]
+    delete_where(spark, out, equals={"url": victims})
+    want = _rows(
+        pages.filter(~F.col("url").isin(victims)).select("url", "text")
+    )
+    n_del_before = (
+        store_partitions(spark, out).agg(F.sum("n_deleted")).collect()[0][0]
+    )
+
+    # simulate the crash state: every tombstone file duplicated
+    d = _deletes_dir(out)
+    for i, p in enumerate(glob.glob(os.path.join(d, "*.parquet"))):
+        shutil.copy2(p, os.path.join(d, f"crashdup_{i}.parquet"))
+
+    assert _rows(scan_encoded(spark, out, ["url", "text"])) == want
+    n_del_dup = (
+        store_partitions(spark, out).agg(F.sum("n_deleted")).collect()[0][0]
+    )
+    assert n_del_dup == n_del_before == 3
+
+    res = compact_deletes(spark, out)
+    assert res["files_after"] == 1
+    assert _rows(scan_encoded(spark, out, ["url", "text"])) == want
+    # duplicates physically collapsed, not just masked
+    import pyarrow.parquet as pq
+
+    files = glob.glob(os.path.join(d, "*.parquet"))
+    total = sum(pq.read_metadata(p).num_rows for p in files)
+    assert total == 3
+    pages.unpersist()
+
+
+def test_equals_list_empty_and_oversized(spark, store):
+    """Batch-equality edge shapes: an EMPTY IN-list is a valid
+    predicate meaning 'matches nothing' (not a Bloom-internals crash);
+    an IN-list past the Bloom probe cap skips Bloom pruning but stays
+    exact via the residual filter (no Catalyst expression explosion)."""
+    out, pages = store
+    assert (
+        scan_encoded(spark, out, ["url"], equals={"url": []}).count() == 0
+    )
+    urls = sorted(r["url"] for r in pages.select("url").collect())[:40]
+    got = {
+        r["url"]
+        for r in scan_encoded(spark, out, ["url"], equals={"url": urls})
+        .collect()
+    }
+    assert got == set(urls)

@@ -200,3 +200,38 @@ def test_point_lookup_time_travel_and_late_column(spark, tmp_path):
         point_lookup(spark, out, "url", new_url, ["url", "lang_uc"]).count()
         == 1
     )
+
+
+def test_point_lookup_all_late_added_columns_emits_null_row(
+    spark, tmp_path
+):
+    """A matched row whose partition has NO chunk of ANY requested
+    column (every requested column added by a later ingest) must still
+    surface as an all-null row — decode_dataframe's null-fill contract.
+    The fetch kernel never sees chunkless partitions, so the match
+    coordinates are left-joined back."""
+    out = str(tmp_path / "store_latecols")
+    cfg = EncodeConfig(num_partitions=2, chunk_rows=64,
+                       bloom_columns=("url",))
+    first = spark.createDataFrame(
+        [(2 + i % 2, f"https://old.example/{i}", f"t{i}")
+         for i in range(50)],
+        "part_id long, url string, text string",
+    )
+    encode_with_resume(spark, first, out, cfg, run_id="e1")
+    second = spark.createDataFrame(
+        [(4 + i % 2, f"https://new.example/{i}", f"t{i}", float(i))
+         for i in range(50)],
+        "part_id long, url string, text string, score double",
+    )
+    encode_with_resume(spark, second, out, cfg, run_id="e2")
+
+    got = point_lookup(
+        spark, out, "url", "https://old.example/7", ["score"]
+    ).collect()
+    assert len(got) == 1 and got[0]["score"] is None
+    # sanity: a new-epoch row resolves the value
+    got2 = point_lookup(
+        spark, out, "url", "https://new.example/7", ["score"]
+    ).collect()
+    assert len(got2) == 1 and got2[0]["score"] == 7.0

@@ -296,3 +296,55 @@ def test_eval_chunk_mask_dict_fast_path_unit():
     # range over the dictionary domain works too (symbol-table compare)
     m = _eval_chunk_mask(payload, meta, ("range", "e", "f"))
     assert m.tolist() == [False, True, False, False, False, True, False]
+
+
+def test_naive_datetime_bounds_non_utc_driver(spark, pstore):
+    """Timestamp pushdown with NAIVE datetime bounds on a non-UTC
+    driver: Spark's residual filter interprets a naive literal via
+    time.mktime (driver OS tz), so the zone-map pruner and the decode
+    kernel must evaluate the SAME instant — a kernel that read the
+    bound as UTC would mask out rows the residual keeps (silent row
+    loss). scan_encoded normalizes naive bounds once at entry
+    (engine.normalize_predicate_value), so the selective scan must
+    bit-match the plain decode-then-filter ground truth under any
+    driver tz."""
+    import datetime as dt
+
+    from conftest import driver_tz
+
+    out, pages = pstore
+    tsl = sorted(r["warc_ts"] for r in pages.select("warc_ts").collect())
+    # near-full span: the synth data covers ~9.25h (900 rows x 37s), so
+    # the Tokyo reinterpretation (-9h as an instant) still overlaps the
+    # data range and selects a non-empty, DIFFERENT row slice
+    lo_n, hi_n = tsl[5], tsl[880]  # naive (collect is OS-tz naive)
+    assert lo_n.tzinfo is None
+
+    with driver_tz("Asia/Tokyo"):
+        got = _rows(
+            scan_encoded(
+                spark, out, ["url", "warc_ts"],
+                ranges={"warc_ts": (lo_n, hi_n)},
+            ),
+            "url",
+        )
+        # ground truth: residual semantics applied to the FULL decode
+        enc = read_encoded(spark, out)
+        full = decode_dataframe(
+            enc, ["url", "warc_ts"], manifest=read_manifest(out)
+        )
+        want = _rows(
+            full.filter(
+                (F.col("warc_ts") >= lo_n) & (F.col("warc_ts") <= hi_n)
+            ),
+            "url",
+        )
+        assert got == want and len(got) > 0
+        # the test must BITE: under Tokyo the naive bounds mean a
+        # different instant than under UTC (9h shift selects a
+        # different slice of the evenly-spread synth timestamps)
+        from choetl_spark.engine import normalize_predicate_value
+
+        norm = normalize_predicate_value(lo_n)
+        assert norm.tzinfo is not None
+        assert norm != lo_n.replace(tzinfo=dt.timezone.utc)
