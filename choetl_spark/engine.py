@@ -419,7 +419,13 @@ def encode_dataframe(df: DataFrame, cfg: EncodeConfig | None = None) -> DataFram
                 hot_factor=cfg.hot_factor,
                 salt_buckets=cfg.salt_buckets,
             )
-    picked = df.select("part_id", cfg.key_col, *[c for c in cols if c != cfg.key_col])
+    # key_col leads the projection when the table has it (stable chunk
+    # layout + deterministic sort); tables without it (any non-webpage
+    # schema) encode fine — salting/sorting just can't key on it
+    lead = [cfg.key_col] if cfg.key_col in df.columns else []
+    picked = df.select(
+        "part_id", *lead, *[c for c in cols if c not in lead]
+    )
     if cfg.shuffle == "none":
         shuffled = picked  # scan-local: rows stay where the scan put them
     else:
@@ -428,7 +434,9 @@ def encode_dataframe(df: DataFrame, cfg: EncodeConfig | None = None) -> DataFram
         # costs a full string sort for no measured footprint gain (0.1780
         # ratio either way on the web-page table at sf-bench scale).
         sort_cols = (
-            ["part_id", cfg.key_col] if cfg.deterministic else ["part_id"]
+            ["part_id", cfg.key_col]
+            if cfg.deterministic and lead
+            else ["part_id"]
         )
         shuffled = picked.repartition(
             cfg.num_partitions, "part_id"
@@ -1181,12 +1189,18 @@ def prune_partitions_by_bloom(
     size (same cap-and-skip fallback as ``lookup.point_lookup``); the
     caller's residual filter keeps semantics exact either way.
     """
-    if isinstance(value, (list, tuple, set)):
-        vals = list(value)
-        if not vals:
-            return enc_df.filter(F.lit(False))
-        if len(vals) > probe_cap:
-            return enc_df
+    vals = (
+        list(value) if isinstance(value, (list, tuple, set)) else [value]
+    )
+    if not vals:
+        return enc_df.filter(F.lit(False))
+    if len(vals) > probe_cap or not bloom_probeable(vals):
+        # blooms exist only for string/binary columns (hashed over the
+        # utf-8/binary bytes), so a non-str/bytes probe can never hit
+        # one — skip the pruning (equals on an int/timestamp column
+        # stays a kernel-pushdown + residual-filter predicate) instead
+        # of crashing in the probe-hash
+        return enc_df
     keep = (
         bloom_probe_frame(enc_df, column, value)
         .filter("_bloom_hit")
@@ -1194,6 +1208,15 @@ def prune_partitions_by_bloom(
         .distinct()
     )
     return enc_df.join(F.broadcast(keep), "part_id", "semi")
+
+
+def bloom_probeable(vals: list) -> bool:
+    """True when every probe value can hash against a stored Bloom
+    filter: blooms are built over string/binary columns only
+    (``_hash_value`` hashes utf-8/binary bytes), so any other value
+    type means "no bloom can answer this" and callers should skip the
+    probe rather than crash."""
+    return all(isinstance(v, (str, bytes, bytearray)) for v in vals)
 
 
 def bloom_probe_frame(

@@ -385,12 +385,14 @@ def scan_encoded(
         # missing predicate chunk as matching nothing, which is exactly
         # what the Bloom proved (missing/legacy blooms keep; the probe
         # only over-keeps)
+        from choetl_spark.engine import bloom_probeable
+
         vals = (
             list(value)
             if isinstance(value, (list, tuple, set))
             else [value]
         )
-        if 0 < len(vals) <= 32:
+        if 0 < len(vals) <= 32 and bloom_probeable(vals):
             enc = (
                 bloom_probe_frame(enc, col, vals, restrict=False)
                 .filter((F.col("column") != col) | F.col("_bloom_hit"))

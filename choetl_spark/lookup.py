@@ -259,12 +259,17 @@ def point_lookup(
         return spark.createDataFrame([], out_ddl)
 
     # -- key pass: partition prune, then CHUNK-granular bloom prune ----
-    if len(values) <= bloom_probe_cap:
+    from choetl_spark.engine import bloom_probeable
+
+    if len(values) <= bloom_probe_cap and bloom_probeable(values):
         enc_k = prune_partitions_by_bloom(enc, key, values)
         key_chunks = bloom_probe_frame(enc_k, key, values).filter(
             "_bloom_hit"
         )
     else:
+        # past the cap — or a non-str/bytes key (int/timestamp) no
+        # stored bloom can answer — fall back to the full key-column
+        # decode; the exact isin() below keeps semantics
         key_chunks = enc.filter(F.col("column") == key)
     keyed = decode_chunks_with_pos(
         key_chunks, key, types[key], logicals.get(key)

@@ -123,19 +123,22 @@ def test_bloom_point_lookup_pruning(spark):
 
 
 def test_bloom_probe_rejects_non_string_value(spark, enc):
-    """A non-str/bytes probe raises instead of silently hashing garbage
+    """A non-str/bytes probe must never silently hash garbage
     (bytes(123) is 123 NUL bytes — the bloom would rule the value out of
     every chunk and over-SKIP, dropping rows the residual filter's cast
-    semantics would have matched)."""
+    semantics would have matched). The raw hash raises; the pruning
+    entry point SKIPS pruning instead (equals on an int/timestamp
+    column stays a kernel-pushdown + residual predicate)."""
     from choetl_spark.bloom import _hash_value, bloom_maybe_contains
     from choetl_spark.engine import prune_partitions_by_bloom
 
     for bad in (123, 1.5, None, ["x"]):
         with pytest.raises(TypeError, match="str or bytes"):
             _hash_value(bad)
+    n_parts = enc.select("part_id").distinct().count()
     for bad in (123, 1.5, None, [123]):
-        with pytest.raises(TypeError, match="str or bytes"):
-            prune_partitions_by_bloom(enc, "url", bad)
+        kept = prune_partitions_by_bloom(enc, "url", bad)
+        assert kept.select("part_id").distinct().count() == n_parts
     # bytes-like probes are fine; a LIST of str/bytes is a batch probe
     assert bloom_maybe_contains(None, b"abc") is True
     assert _hash_value(bytearray(b"abc")) == _hash_value(b"abc")

@@ -348,3 +348,40 @@ def test_naive_datetime_bounds_non_utc_driver(spark, pstore):
         norm = normalize_predicate_value(lo_n)
         assert norm.tzinfo is not None
         assert norm != lo_n.replace(tzinfo=dt.timezone.utc)
+
+
+def test_equals_on_non_string_columns_skips_bloom(spark, pstore):
+    """equals= on an int/timestamp column must WORK (kernel pushdown +
+    residual), not crash in the Bloom probe hash — blooms only exist
+    for string/binary columns, so non-probeable values skip pruning."""
+    out, pages = pstore
+    one = pages.select("warc_ts").limit(1).collect()[0]["warc_ts"]
+    got = _rows(
+        scan_encoded(spark, out, ["url", "warc_ts"],
+                     equals={"warc_ts": one}),
+        "url",
+    )
+    want = _rows(
+        pages.filter(F.col("warc_ts") == one).select("url"), "url"
+    )
+    assert got == want and len(got) >= 1
+
+
+def test_point_lookup_by_int_key(spark, tmp_path):
+    """point_lookup keyed on an integer column: no bloom can answer an
+    int probe, so the key pass falls back to the full key-column decode
+    and still returns the exact row."""
+    from choetl_spark.lookup import point_lookup
+
+    out = str(tmp_path / "intkey")
+    df = spark.createDataFrame(
+        [(i % 3, i * 7, f"v{i}") for i in range(90)],
+        "part_id long, k long, text string",
+    )
+    encode_with_resume(
+        spark, df, out,
+        EncodeConfig(num_partitions=3, bloom_columns=("k",)),
+        run_id="i1",
+    )
+    got = point_lookup(spark, out, "k", 63, ["k", "text"]).collect()
+    assert len(got) == 1 and got[0]["text"] == "v9"
