@@ -121,6 +121,12 @@ class EncodeConfig:
     # min/max zone maps (a random url sits inside almost every chunk's
     # [min, max], but hits ~0 blooms).
     bloom_columns: tuple = ()
+    # opt-in per-chunk HyperLogLog sketches (stats JSON, 4 KB/chunk):
+    # store-level approx distinct counts from metadata only via
+    # ndv.approx_ndv — the Iceberg-Puffin ANALYZE analog. Any storage
+    # type the store supports (strings hash through the Bloom kernel's
+    # byte pass, fixed-width types through their 64-bit pattern).
+    ndv_columns: tuple = ()
 
 
 # ---------------------------------------------------------------------------
@@ -292,6 +298,12 @@ def _encode_piece(
             from choetl_spark.bloom import bloom_build
 
             st_dict["bloom"] = bloom_build(sl)
+        if name in cfg.ndv_columns:
+            from choetl_spark.ndv import hll_build
+
+            h = hll_build(sl)
+            if h is not None:  # all-null chunks carry no sketch
+                st_dict["hll"] = h
         out["stats"].append(json.dumps(st_dict, separators=(",", ":")))
         row_base[name] += ln
         seq_base[name] += 1
