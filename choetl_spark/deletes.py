@@ -579,6 +579,188 @@ def rewrite_partitions(
     }
 
 
+def rollback_to(
+    spark: SparkSession,
+    out_dir: str,
+    to_seq: int,
+    cfg=None,
+    run_id: str | None = None,
+) -> dict:
+    """Roll the CURRENT table state back to snapshot ``to_seq`` — the
+    Iceberg ``rollback_to_snapshot`` action, expressed as a
+    COMPENSATING replace commit (git-revert, not history erasure): one
+    new epoch whose net effect makes the latest state equal the
+    ``as_of=to_seq`` state. History in between stays time-travel
+    readable until ``expire_snapshots`` reclaims it, and the rollback
+    itself is one ledger append — readers see either the pre- or the
+    post-rollback table, never a partial undo.
+
+    Three kinds of post-``to_seq`` churn are compensated:
+
+    - partitions ADDED after ``to_seq`` → retired (metadata only);
+    - partitions RETIRED after ``to_seq`` (a rewrite/compaction/
+      clustering pass) → their ``as_of=to_seq`` content is re-encoded
+      under fresh partition ids (their chunks still exist — snapshot
+      expiry can only reclaim below the readable floor, and
+      ``to_seq`` is validated against that floor);
+    - partitions visible at both epochs but TOMBSTONED after
+      ``to_seq`` → re-encoded from their ``as_of=to_seq`` rows and the
+      stale copies retired, so the late tombstones die with them.
+
+    Cost is O(rows churned since ``to_seq``), never O(store) —
+    untouched partitions don't move, and a pure-append history rolls
+    back with a metadata-only commit. Pass the store's ``EncodeConfig``
+    so re-encoded partitions keep their Bloom/NDV columns and codec
+    profile.
+    """
+    from choetl_spark.engine import EncodeConfig, decode_dataframe
+    from choetl_spark.ledger import (
+        LEDGER_SCHEMA_DDL,
+        _ledger_dir,
+        encode_with_resume,
+        min_time_travel_seq,
+        read_encoded,
+        read_ledger,
+        read_manifest,
+    )
+
+    cfg = cfg or EncodeConfig()
+    to_seq = int(to_seq)
+    ledger = read_ledger(spark, out_dir)
+    if ledger is None:
+        raise ValueError(f"no ledger at {out_dir}; nothing to roll back")
+    floor = min_time_travel_seq(out_dir)
+    if to_seq < floor:
+        raise ValueError(
+            f"cannot roll back to expired snapshot {to_seq}; the oldest "
+            f"readable epoch is {floor} (expire_snapshots reclaimed "
+            "earlier history)"
+        )
+    latest = ledger.agg(F.max("run_seq")).collect()[0][0] or 0
+    out = {
+        "rolled_back_to": to_seq,
+        "rollback_epoch": None,
+        "partitions_retired": 0,
+        "partitions_rewritten": 0,
+    }
+    if to_seq >= latest:
+        return out  # already at (or past) that snapshot — no-op
+
+    done = ledger.filter(F.col("status") == "done")
+    retired = ledger.filter(F.col("status") == "retired")
+
+    def visible(seq: int | None) -> DataFrame:
+        d, r = done, retired
+        if seq is not None:
+            d = d.filter(F.col("run_seq") <= seq)
+            r = r.filter(F.col("run_seq") <= seq)
+        return (
+            d.select("part_id")
+            .distinct()
+            .join(
+                F.broadcast(r.select("part_id").distinct()),
+                "part_id",
+                "left_anti",
+            )
+        )
+
+    p_t = visible(to_seq)
+    p_now = visible(None)
+    # all three sets are bounded by partitions CHURNED since to_seq
+    retire_only = [
+        r["part_id"]
+        for r in p_now.join(p_t, "part_id", "left_anti").collect()
+    ]
+    resurrect = [
+        r["part_id"]
+        for r in p_t.join(p_now, "part_id", "left_anti").collect()
+    ]
+    # visible-at-both partitions with tombstones committed AFTER to_seq
+    # (read through the hardened tombstone reader so a lost _deletes
+    # table refuses instead of silently rolling deleted rows back in)
+    pos_now = read_delete_positions(spark, out_dir)
+    pos_t = read_delete_positions(spark, out_dir, as_of=to_seq)
+    dirty: list[int] = []
+    if pos_now is not None:
+        late = (
+            pos_now.exceptAll(pos_t)
+            if pos_t is not None
+            else pos_now
+        )
+        dirty = [
+            r["part_id"]
+            for r in late.select("part_id")
+            .distinct()
+            .join(p_t, "part_id", "semi")
+            .join(p_now, "part_id", "semi")
+            .collect()
+        ]
+    rewrite_targets = sorted(set(resurrect) | set(dirty))
+    retire_set = sorted(set(retire_only) | set(dirty))
+    if not rewrite_targets and not retire_set:
+        return out  # nothing changed since to_seq that readers can see
+
+    rid = run_id or f"rollback-{uuid.uuid4().hex[:8]}"
+    out["partitions_retired"] = len(retire_set)
+    out["partitions_rewritten"] = len(rewrite_targets)
+    if not rewrite_targets:
+        # pure-append history: the compensation is metadata only — one
+        # retire-only ledger append at a fresh epoch
+        attempt_id = uuid.uuid4().hex
+        spark.createDataFrame(
+            [
+                (int(p), None, 0, 0, 0, 0, None, rid,
+                 int(latest) + 1, "retired", attempt_id)
+                for p in retire_set
+            ],
+            LEDGER_SCHEMA_DDL,
+        ).write.mode("append").parquet(_ledger_dir(out_dir))
+        out["rollback_epoch"] = int(latest) + 1
+        return out
+
+    manifest = read_manifest(out_dir)
+    enc_t = read_encoded(spark, out_dir, as_of=to_seq).filter(
+        F.col("part_id").isin(rewrite_targets)
+    )
+    rows = decode_dataframe(enc_t, manifest=manifest, with_pos=True)
+    if pos_t is not None:
+        # to_seq-visible tombstones materialize into the restored copy
+        # (keep _part_id — the fresh-id remap below still needs it)
+        rows = rows.join(
+            F.broadcast(
+                pos_t.select(
+                    F.col("part_id").alias("_part_id"),
+                    F.col("row_pos").alias("_row_pos"),
+                )
+            ),
+            ["_part_id", "_row_pos"],
+            "left_anti",
+        )
+    base = (ledger.agg(F.max("part_id")).collect()[0][0] or 0) + 1
+    id_map = F.create_map(
+        *[
+            x
+            for old, new in zip(
+                rewrite_targets, range(base, base + len(rewrite_targets))
+            )
+            for x in (F.lit(int(old)), F.lit(int(new)))
+        ]
+    )
+    survivors = rows.withColumn(
+        "part_id", id_map[F.col("_part_id")].cast("long")
+    ).drop("_part_id", "_row_pos")
+    res = encode_with_resume(
+        spark,
+        survivors,
+        out_dir,
+        cfg,
+        run_id=rid,
+        retire_part_ids=retire_set,
+    )
+    out["rollback_epoch"] = int(latest) + 1
+    return {**out, **res}
+
+
 def compact_deletes(spark: SparkSession, out_dir: str) -> dict:
     """Rewrite the tombstone table into one file — the small-file half
     of Iceberg's ``rewrite_position_delete_files``. Every delete commit

@@ -206,7 +206,7 @@ def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
             " n_partitions long, n_rows long,"
             " raw_bytes long, encoded_bytes long",
         )
-    return (
+    base = (
         ledger.filter(F.col("status").isin("done", "delete"))
         .groupBy("run_seq", "run_id", "status")
         .agg(
@@ -229,8 +229,30 @@ def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
             "raw_bytes",
             "encoded_bytes",
         )
-        .orderBy("run_seq")
     )
+    # epochs holding ONLY "retired" rows (a metadata-only rollback) have
+    # no done/delete row to surface them above — list them as "replace"
+    # so the snapshot history shows where the table state changed
+    retire_only = (
+        ledger.filter(F.col("status") == "retired")
+        .join(
+            F.broadcast(base.select("run_seq").distinct()),
+            "run_seq",
+            "left_anti",
+        )
+        .groupBy("run_seq", "run_id")
+        .agg(F.count("*").alias("n_retired"))
+        .select(
+            "run_seq",
+            "run_id",
+            F.lit("replace").alias("operation"),
+            F.lit(0).cast("long").alias("n_partitions"),
+            F.lit(0).cast("long").alias("n_rows"),
+            F.lit(0).cast("long").alias("raw_bytes"),
+            F.lit(0).cast("long").alias("encoded_bytes"),
+        )
+    )
+    return base.unionByName(retire_only).orderBy("run_seq")
 
 
 def vacuum(
