@@ -872,6 +872,49 @@ def q_delete_rows_store(spark, sf_dir):
     return spark.createDataFrame(rows, "url string, lang string")
 
 
+def q_rollback_store(spark, sf_dir):
+    """Snapshot rollback over the checkpointed store (Iceberg
+    rollback_to_snapshot as a compensating replace commit,
+    choetl_spark/deletes.py rollback_to): ingest, tombstone lang='de',
+    then roll back to the pre-delete snapshot — the deleted rows must
+    resurrect EXACTLY. Emits both phases so the oracle checks the
+    delete half and the undo half: phase='deleted' is the post-delete
+    scan (de rows gone), phase='rolled_back' the post-rollback scan
+    (full table restored from re-encoded as_of content). A rollback
+    that misses rows, duplicates them, or leaks merge-on-read state
+    flips the hash. Rewrite/changelog/expiry corners are pinned by
+    tests/test_rollback.py. Collected eagerly so the temp store can be
+    deleted."""
+    import shutil
+    import tempfile
+
+    from choetl_spark.deletes import delete_where, rollback_to
+    from choetl_spark.engine import EncodeConfig
+    from choetl_spark.ledger import encode_with_resume, scan_encoded
+    from choetl_spark.synth import webpages_from_documents
+
+    pages = webpages_from_documents(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="choetl_rb_")
+    try:
+        cfg = EncodeConfig(
+            num_partitions=8, chunk_rows=2048, chunk_bytes=4 << 20,
+            deterministic=True, bloom_columns=("url",),
+        )
+        encode_with_resume(spark, pages, out, cfg)
+        delete_where(spark, out, equals={"lang": "de"})
+        deleted = scan_encoded(spark, out, ["url", "lang"]).collect()
+        rollback_to(spark, out, 1, cfg=cfg)
+        restored = scan_encoded(spark, out, ["url", "lang"]).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    rows = [("deleted", r["url"], r["lang"]) for r in deleted] + [
+        ("rolled_back", r["url"], r["lang"]) for r in restored
+    ]
+    return spark.createDataFrame(
+        rows, "phase string, url string, lang string"
+    )
+
+
 def q_upsert_store(spark, sf_dir):
     """MERGE (upsert) into the checkpointed store
     (choetl_spark/deletes.py upsert): every doc_id%50==0 page gets its
@@ -1361,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "point_lookup_store": q_point_lookup_store,
         "store_time_travel": q_store_time_travel,
         "delete_rows_store": q_delete_rows_store,
+        "rollback_store": q_rollback_store,
         "upsert_store": q_upsert_store,
         "agg_pushdown_store": q_agg_pushdown_store,
         "store_partitions_meta": q_store_partitions_meta,
@@ -2201,6 +2245,13 @@ def oracle_sql() -> dict[str, str]:
         "delete_rows_store": f"""
             SELECT {_URL_SQL} AS url, lang FROM documents
             WHERE lang <> 'de'
+        """,
+        "rollback_store": f"""
+            SELECT 'deleted' AS phase, {_URL_SQL} AS url, lang
+            FROM documents WHERE lang <> 'de'
+            UNION ALL
+            SELECT 'rolled_back' AS phase, {_URL_SQL} AS url, lang
+            FROM documents
         """,
         "upsert_store": f"""
             SELECT {_URL_SQL} AS url,
