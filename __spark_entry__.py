@@ -915,6 +915,122 @@ def q_rollback_store(spark, sf_dir):
     )
 
 
+def q_wap_publish_store(spark, sf_dir):
+    """Write-audit-publish over the checkpointed store (Iceberg wap.id
+    stage + cherry-pick, choetl_spark/refs.py; snapshot tags via
+    scan_encoded(ref=...)): the non-'de' pages ingest normally, the 'de'
+    pages ingest STAGED — four phases pin the whole flow. phase='staged':
+    the public scan while the stage awaits audit (de rows invisible);
+    phase='audit': read_staged, the only door to the staged rows (de rows
+    only); phase='tagged': a tag created pre-publish, scanned via
+    ref=... AFTER the publish (still no de rows — the tag pins its
+    epoch); phase='published': the post-publish scan (full table). A
+    stage that leaks early, an audit that misses rows, a publish that
+    duplicates, or a tag that drifts to the new epoch flips the hash.
+    Abort/expiry/maintenance corners are pinned by
+    tests/test_refs_wap.py. Collected eagerly so the temp store can be
+    deleted."""
+    import shutil
+    import tempfile
+
+    from choetl_spark.engine import EncodeConfig
+    from choetl_spark.ledger import encode_with_resume, scan_encoded
+    from choetl_spark.refs import create_tag, publish_staged, read_staged
+    from choetl_spark.synth import webpages_from_documents
+
+    pages = webpages_from_documents(spark, sf_dir)
+    base = pages.filter(F.col("lang") != "de").withColumn(
+        "part_id", F.xxhash64("url").cast("long") % 4 + 4
+    )
+    risky = pages.filter(F.col("lang") == "de").withColumn(
+        "part_id", F.xxhash64("url").cast("long") % 4 + 104
+    )
+    out = tempfile.mkdtemp(prefix="choetl_wap_")
+    try:
+        cfg = EncodeConfig(
+            num_partitions=8, chunk_rows=2048, chunk_bytes=4 << 20,
+            deterministic=True, bloom_columns=("url",),
+        )
+        encode_with_resume(spark, base, out, cfg, run_id="base")
+        create_tag(spark, out, "pre-publish")
+        encode_with_resume(
+            spark, risky, out, cfg, run_id="crawl-de", staged=True
+        )
+        staged_scan = scan_encoded(spark, out, ["url", "lang"]).collect()
+        audit = read_staged(
+            spark, out, "crawl-de", ["url", "lang"]
+        ).collect()
+        publish_staged(spark, out, "crawl-de")
+        tagged = scan_encoded(
+            spark, out, ["url", "lang"], ref="pre-publish"
+        ).collect()
+        published = scan_encoded(spark, out, ["url", "lang"]).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    rows = (
+        [("staged", r["url"], r["lang"]) for r in staged_scan]
+        + [("audit", r["url"], r["lang"]) for r in audit]
+        + [("tagged", r["url"], r["lang"]) for r in tagged]
+        + [("published", r["url"], r["lang"]) for r in published]
+    )
+    return spark.createDataFrame(
+        rows, "phase string, url string, lang string"
+    )
+
+
+def q_schema_evolution_store(spark, sf_dir):
+    """Metadata-only schema evolution over the checkpointed store
+    (Iceberg rename/drop/re-add semantics, choetl_spark/
+    schema_evolution.py): ingest the even doc_ids, RENAME text->content
+    and DROP lang, then ingest the odd doc_ids under the new schema
+    (content + a re-added lang). The final scan must show every row's
+    text under the renamed column ACROSS both ingests (one physical
+    storage key), and lang as NULL for the pre-drop rows but real values
+    for the re-added ones — the dropped bytes must never resurface (the
+    re-add claims a fresh physical key, the field-id analog). A rename
+    that misses old chunks, a drop that leaks, or a re-add that
+    resurrects history flips the hash. Rewrite/reclaim corners are
+    pinned by tests/test_schema_evolution.py. Collected eagerly so the
+    temp store can be deleted."""
+    import shutil
+    import tempfile
+
+    from choetl_spark.engine import EncodeConfig
+    from choetl_spark.ledger import encode_with_resume, scan_encoded
+    from choetl_spark.schema_evolution import drop_column, rename_column
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    even = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") % 4).alias("part_id"), "doc_id", "text", "lang"
+    )
+    odd = docs.filter(F.col("doc_id") % 2 == 1).select(
+        (F.col("doc_id") % 4 + 50).alias("part_id"),
+        "doc_id",
+        F.col("text").alias("content"),
+        "lang",
+    )
+    out = tempfile.mkdtemp(prefix="choetl_se_")
+    try:
+        cfg = EncodeConfig(
+            key_col="doc_id", chunk_rows=4096, deterministic=True
+        )
+        encode_with_resume(spark, even, out, cfg, run_id="even")
+        rename_column(out, "text", "content")
+        drop_column(out, "lang")
+        encode_with_resume(spark, odd, out, cfg, run_id="odd")
+        rows = scan_encoded(
+            spark, out, ["doc_id", "content", "lang"]
+        ).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(r["doc_id"], r["content"], r["lang"]) for r in rows],
+        "doc_id long, content string, lang string",
+    )
+
+
 def q_upsert_store(spark, sf_dir):
     """MERGE (upsert) into the checkpointed store
     (choetl_spark/deletes.py upsert): every doc_id%50==0 page gets its
@@ -1405,6 +1521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_time_travel": q_store_time_travel,
         "delete_rows_store": q_delete_rows_store,
         "rollback_store": q_rollback_store,
+        "wap_publish_store": q_wap_publish_store,
+        "schema_evolution_store": q_schema_evolution_store,
         "upsert_store": q_upsert_store,
         "agg_pushdown_store": q_agg_pushdown_store,
         "store_partitions_meta": q_store_partitions_meta,
@@ -2251,6 +2369,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE lang <> 'de'
             UNION ALL
             SELECT 'rolled_back' AS phase, {_URL_SQL} AS url, lang
+            FROM documents
+        """,
+        "wap_publish_store": f"""
+            SELECT 'staged' AS phase, {_URL_SQL} AS url, lang
+            FROM documents WHERE lang <> 'de'
+            UNION ALL
+            SELECT 'audit' AS phase, {_URL_SQL} AS url, lang
+            FROM documents WHERE lang = 'de'
+            UNION ALL
+            SELECT 'tagged' AS phase, {_URL_SQL} AS url, lang
+            FROM documents WHERE lang <> 'de'
+            UNION ALL
+            SELECT 'published' AS phase, {_URL_SQL} AS url, lang
+            FROM documents
+        """,
+        "schema_evolution_store": """
+            SELECT doc_id, text AS content,
+                   CASE WHEN doc_id % 2 = 1 THEN lang END AS lang
             FROM documents
         """,
         "upsert_store": f"""

@@ -1005,8 +1005,11 @@ def decode_dataframe(
     column) in ``columns`` to materialize them.
     """
     if manifest is not None:
-        types = {c: str_to_type(m["dtype"]) for c, m in manifest.items()}
-        logicals = {c: m.get("logical") for c, m in manifest.items()}
+        items = [
+            (c, m) for c, m in manifest.items() if not c.startswith("_")
+        ]  # skip metadata sections (_dropped) kept by schema evolution
+        types = {c: str_to_type(m["dtype"]) for c, m in items}
+        logicals = {c: m.get("logical") for c, m in items}
     else:
         metas = _column_metas(enc_df)
         types = {c: _meta_storage_type(m) for c, m in metas.items()}

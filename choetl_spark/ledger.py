@@ -87,6 +87,70 @@ def read_manifest(out_dir: str) -> dict | None:
         return None
 
 
+def write_manifest(out_dir: str, manifest: dict) -> None:
+    """Atomic manifest replace (temp + same-dir rename): readers see the
+    old or the new manifest, never a torn JSON."""
+    tmp = _manifest_path(out_dir) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_path(out_dir))
+
+
+def manifest_data_items(manifest: dict | None) -> list[tuple[str, dict]]:
+    """The manifest's live column entries, skipping metadata sections
+    (keys starting with ``_`` — e.g. ``_dropped``, the dropped-column
+    reservation list kept by :mod:`choetl_spark.schema_evolution`)."""
+    return [
+        (c, m) for c, m in (manifest or {}).items() if not c.startswith("_")
+    ]
+
+
+def physical_name(entry: dict, display: str) -> str:
+    """The chunk-table column key an entry's bytes are stored under.
+    Identical to the display name unless schema evolution (a rename, or
+    a re-add after drop) detached them — the Iceberg field-id analog."""
+    return entry.get("phys", display)
+
+
+def reserved_physicals(manifest: dict | None) -> set[str]:
+    """Every chunk-table column key already spoken for: live entries'
+    physical names plus dropped columns' (their chunks still exist in
+    un-rewritten partitions, so a new column may not reuse the key)."""
+    taken = {
+        physical_name(m, c) for c, m in manifest_data_items(manifest)
+    }
+    for d in (manifest or {}).get("_dropped", []):
+        taken.add(d.get("phys", d["display"]))
+    return taken
+
+
+def _display_remap(chunks: DataFrame, manifest: dict | None) -> DataFrame:
+    """Rewrite the chunk table's ``column`` values from physical storage
+    keys to the manifest's CURRENT display names, so every downstream
+    consumer (decode, pruners, stats, pushdown) speaks display names
+    only. Identity (no-op plan) for the common store with no renames."""
+    remap = {
+        physical_name(m, c): c
+        for c, m in manifest_data_items(manifest)
+        if physical_name(m, c) != c
+    }
+    # dropped columns' chunks persist until a rewrite sheds them — mask
+    # their physical keys behind an unrequestable name, or a re-added
+    # column with the dropped DISPLAY name would match them in decode's
+    # column filter and resurrect the dropped bytes
+    for d in (manifest or {}).get("_dropped", []):
+        dp = d.get("phys", d["display"])
+        remap.setdefault(dp, f"_dropped:{dp}")
+    if not remap:
+        return chunks
+    m = F.create_map(
+        *[F.lit(x) for kv in remap.items() for x in kv]
+    )
+    return chunks.withColumn(
+        "column", F.coalesce(m[F.col("column")], F.col("column"))
+    )
+
+
 def read_ledger(spark: SparkSession, out_dir: str) -> DataFrame | None:
     path = _ledger_dir(out_dir)
     try:
@@ -111,6 +175,22 @@ def _read_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
     # files with/without the attempt_id column
     return spark.read.option("mergeSchema", "true").parquet(
         _chunks_dir(out_dir)
+    )
+
+
+def staged_live_rows(ledger: DataFrame, run_id: str | None = None) -> DataFrame:
+    """Ledger rows staged by a write-audit-publish run and still awaiting
+    its verdict: status "staged" minus commit keys that were aborted and
+    minus keys already re-committed as "done" (a published stage must not
+    read twice). See :mod:`choetl_spark.refs` for the WAP flow."""
+    staged = ledger.filter(F.col("status") == "staged")
+    if run_id is not None:
+        staged = staged.filter(F.col("run_id") == run_id)
+    dead = ledger.filter(F.col("status").isin("aborted", "done")).select(
+        "part_id", "attempt_id"
+    )
+    return staged.join(
+        F.broadcast(dead.distinct()), ["part_id", "attempt_id"], "left_anti"
     )
 
 
@@ -146,6 +226,9 @@ def read_encoded(
     out_dir: str,
     as_of: int | None = None,
     include_retired: bool = False,
+    include_staged: bool = False,
+    ref: str | None = None,
+    raw_columns: bool = False,
 ) -> DataFrame:
     """Committed chunks only (semi-join against the ledger on the
     ``(part_id, attempt_id)`` commit key — see the module docstring for
@@ -164,7 +247,24 @@ def read_encoded(
     onward; ``as_of`` an earlier epoch still reads them (the rewrite is
     a snapshot like any other). ``include_retired=True`` keeps them
     regardless — for maintenance passes (``compact_store``) that must
-    preserve time-travel-reachable chunks."""
+    preserve time-travel-reachable chunks. ``include_staged=True``
+    additionally keeps write-audit-publish partitions staged and not yet
+    published/aborted (:mod:`choetl_spark.refs`) — maintenance must not
+    reclaim a stage awaiting its audit; normal readers never see them.
+    ``ref`` reads the snapshot a named tag/branch points at.
+
+    Chunk ``column`` values are translated from physical storage keys to
+    the manifest's current DISPLAY names (schema-evolution renames,
+    :mod:`choetl_spark.schema_evolution`) — ``raw_columns=True`` skips
+    that for maintenance passes that persist chunk rows verbatim
+    (``compact_store``/``expire_snapshots``), which must keep the
+    physical keys or later renames would orphan the rewritten chunks."""
+    if ref is not None:
+        if as_of is not None:
+            raise ValueError("pass as_of or ref, not both")
+        from choetl_spark.refs import resolve_ref
+
+        as_of = resolve_ref(out_dir, ref)
     if as_of is not None and int(as_of) < min_time_travel_seq(out_dir):
         raise ValueError(
             f"snapshot as_of={as_of} has been expired; the oldest "
@@ -178,6 +278,8 @@ def read_encoded(
     done = ledger.filter(F.col("status") == "done")
     if as_of is not None:
         done = done.filter(F.col("run_seq") <= int(as_of))
+    if include_staged:
+        done = done.unionByName(staged_live_rows(ledger))
     if not include_retired:
         retired = ledger.filter(F.col("status") == "retired")
         if as_of is not None:
@@ -187,7 +289,8 @@ def read_encoded(
             "part_id",
             "left_anti",
         )
-    return _commit_join(chunks, done, "semi")
+    out = _commit_join(chunks, done, "semi")
+    return out if raw_columns else _display_remap(out, read_manifest(out_dir))
 
 
 def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -310,7 +413,13 @@ def _orphan_chunk_files(spark: SparkSession, out_dir: str) -> list | None:
     ledger = read_ledger(spark, out_dir)
     if ledger is None:
         return None
-    done = ledger.filter(F.col("status") == "done")
+    # staged-but-unpublished WAP partitions are committed (their audit is
+    # pending, not their write); ABORTED stages drop out of the live set,
+    # so their files become orphans here — that is how vacuum reclaims a
+    # failed audit's bytes
+    done = ledger.filter(F.col("status") == "done").unionByName(
+        staged_live_rows(ledger)
+    )
     pairs = chunks.select(
         F.col("_metadata.file_path").alias("file"),
         "part_id",
@@ -338,6 +447,7 @@ def scan_encoded(
     ranges: dict | None = None,
     equals: dict | None = None,
     as_of: int | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
     """Query the encoded store with metadata pruning AND kernel-level
     predicate pushdown in one call: read committed chunks (ledger
@@ -357,8 +467,10 @@ def scan_encoded(
     Predicate columns are auto-added to the decode set, so
     ``scan_encoded(spark, p, ["text"], equals={"url": u})`` works.
     ``as_of`` time-travels to a ledger epoch (see ``read_encoded``);
-    row-level delete tombstones committed at later epochs are likewise
-    invisible (a delete is a snapshot like any other).
+    ``ref`` reads the snapshot a named tag/branch points at
+    (:mod:`choetl_spark.refs`); row-level delete tombstones committed at
+    later epochs are likewise invisible (a delete is a snapshot like any
+    other).
 
     Merge-on-read: tombstones from :func:`choetl_spark.deletes.
     delete_where` are subtracted with a broadcast anti-join on
@@ -379,6 +491,12 @@ def scan_encoded(
 
     from choetl_spark.engine import normalize_predicate_value as _norm
 
+    if ref is not None:
+        if as_of is not None:
+            raise ValueError("pass as_of or ref, not both")
+        from choetl_spark.refs import resolve_ref
+
+        as_of = resolve_ref(out_dir, ref)
     enc = read_encoded(spark, out_dir, as_of=as_of)
     manifest = read_manifest(out_dir)
     # naive datetime bounds -> the aware instants Spark's literals mean
@@ -616,7 +734,7 @@ def read_changes(
         from choetl_spark.codecs.base import str_to_type
         from choetl_spark.engine import _spark_type_ddl
 
-        cols = columns or sorted((manifest or {}).keys())
+        cols = columns or sorted(c for c, _ in manifest_data_items(manifest))
         pieces = []
         for c in cols:
             m = (manifest or {}).get(c) or {}
@@ -1177,8 +1295,13 @@ def compact_store(
         return {"files_before": 0, "files_after": 0}
     # include_retired: a rewritten-away partition's chunks are still
     # reachable by as_of reads before its retirement epoch — compaction
-    # must carry them (snapshot expiry, not compaction, reclaims them)
-    committed = read_encoded(spark, out_dir, include_retired=True)
+    # must carry them (snapshot expiry, not compaction, reclaims them).
+    # include_staged: a WAP stage awaiting audit must survive compaction
+    # too (an ABORTED stage is excluded — compaction reclaims it)
+    committed = read_encoded(
+        spark, out_dir, include_retired=True, include_staged=True,
+        raw_columns=True,
+    )
     total = (
         committed.agg(F.sum("encoded_bytes").alias("b")).collect()[0]["b"]
         or 0
@@ -1216,9 +1339,21 @@ def expire_snapshots(
     import math
     import shutil
 
-    floor = max(min_time_travel_seq(out_dir), int(older_than_seq))
+    from choetl_spark.refs import min_ref_seq
+
+    older_than_seq = int(older_than_seq)
+    ref_floor = min_ref_seq(out_dir)
+    retained_by_ref = ref_floor is not None and ref_floor < older_than_seq
+    if retained_by_ref:
+        # a tag/branch pins its epoch: expiry clamps to the oldest ref so
+        # a named snapshot can never be expired out from under its name
+        # (Iceberg's retained-by-ref rule); drop_ref then re-run to
+        # reclaim further
+        older_than_seq = ref_floor
+    floor = max(min_time_travel_seq(out_dir), older_than_seq)
     res = {
         "min_as_of_seq": floor,
+        "retained_by_ref": retained_by_ref,
         "partitions_reclaimed": 0,
         "files_before": 0,
         "files_after": 0,
@@ -1240,9 +1375,10 @@ def expire_snapshots(
     ]
     if not expired:
         return res
-    keep = read_encoded(spark, out_dir, include_retired=True).filter(
-        ~F.col("part_id").isin(expired)
-    )
+    keep = read_encoded(
+        spark, out_dir, include_retired=True, include_staged=True,
+        raw_columns=True,
+    ).filter(~F.col("part_id").isin(expired))
     total = keep.agg(F.sum("encoded_bytes").alias("b")).collect()[0]["b"] or 0
     n_files = max(1, math.ceil(total / max(1, target_file_bytes)))
     swap = _swap_chunk_table(spark, out_dir, keep, n_files, grace_sec)
@@ -1338,8 +1474,18 @@ def encode_with_resume(
     run_id: str | None = None,
     retire_part_ids: list | None = None,
     delete_commits: list[tuple[str, int]] | None = None,
+    staged: bool = False,
 ) -> dict:
     """Encode ``df`` to ``out_dir``, skipping partitions already done.
+
+    ``staged=True`` is the WRITE half of write-audit-publish
+    (:mod:`choetl_spark.refs`): partitions commit with ledger status
+    ``"staged"`` — durable and crash-resumable exactly like a normal
+    run, but invisible to every reader until :func:`choetl_spark.refs.
+    publish_staged` re-commits them at a fresh epoch (or
+    ``abort_staged`` discards them). Cannot combine with
+    ``retire_part_ids``/``delete_commits`` — those are visible commits
+    and would leak half a transaction around the pending audit.
 
     ``retire_part_ids`` makes this a REPLACE commit (the Iceberg
     rewrite shape): ``status="retired"`` rows for those partitions ride
@@ -1358,6 +1504,11 @@ def encode_with_resume(
     Returns a summary dict with partitions done before/this run.
     """
     cfg = cfg or EncodeConfig()
+    if staged and (retire_part_ids or delete_commits):
+        raise ValueError(
+            "staged=True cannot carry retire/delete commits: they would "
+            "become visible while the staged data awaits its audit"
+        )
     run_id = run_id or uuid.uuid4().hex[:12]
     # run_id is the caller's LOGICAL label (a streaming epoch retry
     # reuses it); attempt_id is unique per attempt and is the commit
@@ -1391,7 +1542,14 @@ def encode_with_resume(
         run_seq = (
             ledger.agg(F.max("run_seq")).collect()[0][0] or 0
         ) + 1  # next commit epoch (metadata-scale agg)
-        done = ledger.filter(F.col("status") == "done").select("part_id").distinct()
+        # staged-live partitions occupy their part_id (a crashed staged
+        # run resumes without re-encoding; publish/abort settle them)
+        done = (
+            ledger.filter(F.col("status") == "done")
+            .unionByName(staged_live_rows(ledger))
+            .select("part_id")
+            .distinct()
+        )
         already = (
             planned.select("part_id")
             .distinct()
@@ -1401,29 +1559,78 @@ def encode_with_resume(
         pending = planned.join(F.broadcast(done), "part_id", "left_anti")
     else:
         pending = planned
-    enc = encode_dataframe(pending, cfg).withColumn(
-        "attempt_id", F.lit(attempt_id)
-    )
     # manifest sidecar BEFORE the chunk write, MERGED with any existing
     # manifest (schema evolution: a later ingest run may add columns —
     # the Iceberg add-column contract; partitions encoded before the
     # column existed decode it as nulls). For columns present in both,
     # this run's storage type wins only if unchanged; a type CHANGE is
-    # an error, not a silent rewrite.
+    # an error, not a silent rewrite. NEW columns claim a free PHYSICAL
+    # chunk key (the field-id analog, :mod:`choetl_spark.
+    # schema_evolution`): the display name, unless a renamed or dropped
+    # column's chunks already occupy it — re-adding a dropped name must
+    # NOT resurrect the old bytes.
     os.makedirs(out_dir, exist_ok=True)
     new_manifest = column_manifest(df, cfg)
     prior = read_manifest(out_dir) or {}
+    taken = reserved_physicals(prior)
+    for col, m in list(new_manifest.items()):
+        pm = prior.get(col)
+        if pm is not None:
+            if m["dtype"] != pm["dtype"]:
+                raise ValueError(
+                    f"schema evolution: column {col!r} changes storage "
+                    f"type {pm['dtype']} -> {m['dtype']}; type changes "
+                    "need a rewrite, not a resume"
+                )
+            if "phys" in pm:
+                m["phys"] = pm["phys"]
+        else:
+            phys, k = col, 2
+            while phys in taken:
+                phys, k = f"{col}#{k}", k + 1
+            if phys != col:
+                m["phys"] = phys
+            taken.add(phys)
     for col, m in prior.items():
         if col not in new_manifest:
             new_manifest[col] = m  # dropped-from-df column stays readable
-        elif new_manifest[col]["dtype"] != m["dtype"]:
-            raise ValueError(
-                f"schema evolution: column {col!r} changes storage type "
-                f"{m['dtype']} -> {new_manifest[col]['dtype']}; type "
-                "changes need a rewrite, not a resume"
-            )
-    with open(_manifest_path(out_dir), "w", encoding="utf-8") as fh:
-        json.dump(new_manifest, fh, indent=1, sort_keys=True)
+    write_manifest(out_dir, new_manifest)
+    # encode under the PHYSICAL keys (only renamed/re-added columns
+    # differ); cfg column references follow the rename
+    phys_map = {
+        c: physical_name(m, c)
+        for c, m in manifest_data_items(new_manifest)
+        if physical_name(m, c) != c and c in pending.columns
+    }
+    cfg_enc = cfg
+    if phys_map:
+        import dataclasses
+
+        pending = pending.select(
+            *[F.col(c).alias(phys_map.get(c, c)) for c in pending.columns]
+        )
+        cfg_enc = dataclasses.replace(
+            cfg,
+            columns=(
+                [phys_map.get(c, c) for c in cfg.columns]
+                if cfg.columns
+                else None
+            ),
+            key_col=phys_map.get(cfg.key_col, cfg.key_col),
+            bloom_columns=tuple(
+                phys_map.get(c, c) for c in cfg.bloom_columns
+            ),
+            ndv_columns=tuple(
+                phys_map.get(c, c) for c in cfg.ndv_columns
+            ),
+            codec_overrides={
+                phys_map.get(c, c): v
+                for c, v in cfg.codec_overrides.items()
+            },
+        )
+    enc = encode_dataframe(pending, cfg_enc).withColumn(
+        "attempt_id", F.lit(attempt_id)
+    )
     enc.write.mode("append").option("compression", "none").parquet(
         _chunks_dir(out_dir)
     )
@@ -1495,7 +1702,7 @@ def encode_with_resume(
             "codec_map",
             F.lit(run_id).alias("run_id"),
             F.lit(run_seq).cast("long").alias("run_seq"),
-            F.lit("done").alias("status"),
+            F.lit("staged" if staged else "done").alias("status"),
             F.lit(attempt_id).alias("attempt_id"),
         )
     )

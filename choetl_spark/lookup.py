@@ -242,8 +242,11 @@ def point_lookup(
     enc = read_encoded(spark, out_dir, as_of=as_of)
     manifest = read_manifest(out_dir)
     if manifest is not None:
-        types = {c: str_to_type(m["dtype"]) for c, m in manifest.items()}
-        logicals = {c: m.get("logical") for c, m in manifest.items()}
+        items = [
+            (c, m) for c, m in manifest.items() if not c.startswith("_")
+        ]  # skip metadata sections (_dropped) kept by schema evolution
+        types = {c: str_to_type(m["dtype"]) for c, m in items}
+        logicals = {c: m.get("logical") for c, m in items}
     else:
         metas = _column_metas(enc)
         types = {c: _meta_storage_type(m) for c, m in metas.items()}

@@ -1,0 +1,203 @@
+"""Column rename / drop (schema_evolution.py) — Iceberg-style
+metadata-only schema evolution over the encoded store.
+
+Contracts pinned: a rename is visible to every reader (scan, pruned
+scan, aggregate pushdown, point lookup) at every epoch without touching
+a chunk; further ingests keep writing the same physical key; a dropped
+column refuses immediately, and a re-added column with the same name
+reads NULL history — the dropped bytes never resurface; rewrites shed
+dropped bytes physically.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from choetl_spark.engine import EncodeConfig
+from choetl_spark.ledger import (
+    agg_encoded,
+    encode_with_resume,
+    read_manifest,
+    scan_encoded,
+    snapshots,
+)
+from choetl_spark.schema_evolution import (
+    drop_column,
+    list_columns,
+    rename_column,
+)
+from choetl_spark.synth import webpages
+
+CFG = EncodeConfig(
+    num_partitions=3, chunk_rows=128, bloom_columns=("url",),
+    deterministic=True,
+)
+
+
+def _ingest(spark, out, pages, run_id, id_base):
+    planned = pages.withColumn(
+        "part_id", (F.xxhash64("url") % 3 + 3) % 3 + id_base
+    )
+    return encode_with_resume(spark, planned, out, CFG, run_id=run_id)
+
+
+def _store(spark, tmp_path, name="se"):
+    out = str(tmp_path / name)
+    pages = webpages(spark, 300, partitions=2).cache()
+    _ingest(spark, out, pages, "i1", 0)
+    return out, pages
+
+
+def test_rename_is_visible_to_every_reader(spark, tmp_path):
+    out, pages = _store(spark, tmp_path)
+    truth = sorted(
+        (r["url"], r["text"]) for r in pages.select("url", "text").collect()
+    )
+    probe = truth[7][0]
+
+    rename_column(out, "url", "page_url")
+
+    # plain scan under the new name, every epoch
+    got = sorted(
+        (r["page_url"], r["text"])
+        for r in scan_encoded(spark, out, ["page_url", "text"]).collect()
+    )
+    assert got == truth
+    assert (
+        scan_encoded(spark, out, ["page_url"], as_of=1).count()
+        == pages.count()
+    )
+    # the old name refuses loudly
+    with pytest.raises(KeyError, match="url"):
+        scan_encoded(spark, out, ["url"]).collect()
+
+    # Bloom/zone-map pruned + kernel-pushdown scan under the new name
+    hit = scan_encoded(
+        spark, out, ["page_url", "text"], equals={"page_url": probe}
+    ).collect()
+    assert [(r["page_url"], r["text"]) for r in hit] == [truth[7]]
+
+    # aggregate pushdown under the new name
+    agg = agg_encoded(spark, out, {"n": ("count", "page_url")}).collect()[0]
+    assert agg["n"] == pages.count()
+
+    # point lookup under the new name
+    from choetl_spark.lookup import point_lookup
+
+    got = point_lookup(spark, out, "page_url", probe, ["text"]).collect()
+    assert [r["text"] for r in got] == [truth[7][1]]
+
+
+def test_rename_then_ingest_shares_physical_key(spark, tmp_path):
+    out, pages = _store(spark, tmp_path)
+    rename_column(out, "url", "page_url")
+    more = (
+        webpages(spark, 200, partitions=2)
+        .withColumn("url", F.concat(F.lit("https://b.example/"), F.col("url")))
+        .cache()
+    )
+    planned = more.withColumn(
+        "part_id", (F.xxhash64("url") % 3 + 3) % 3 + 100
+    ).withColumnRenamed("url", "page_url")
+    encode_with_resume(spark, planned, out, CFG, run_id="i2")
+
+    n = scan_encoded(spark, out, ["page_url"]).count()
+    assert n == pages.count() + more.count()
+    # still ONE physical key: the manifest maps page_url -> url for both
+    # ingests (no second storage column appeared)
+    man = read_manifest(out)
+    assert man["page_url"]["phys"] == "url"
+    assert "url" not in man
+    # rename BACK onto the original key drops the alias entirely
+    rename_column(out, "page_url", "url")
+    assert "phys" not in read_manifest(out)["url"]
+    assert scan_encoded(spark, out, ["url"]).count() == n
+
+
+def test_rename_validations(spark, tmp_path):
+    out, _ = _store(spark, tmp_path)
+    with pytest.raises(ValueError, match="already exists"):
+        rename_column(out, "url", "text")
+    with pytest.raises(ValueError, match="no column"):
+        rename_column(out, "nope", "x")
+    rename_column(out, "url", "page_url")
+    # 'url' is still text's... no: 'url' is page_url's physical key —
+    # renaming ANOTHER column onto it must refuse (remap ambiguity)
+    with pytest.raises(ValueError, match="physical key"):
+        rename_column(out, "lang", "url")
+    with pytest.raises(ValueError, match="reserved"):
+        rename_column(out, "lang", "_secret")
+
+
+def test_drop_refuses_and_readd_gets_null_history(spark, tmp_path):
+    out, pages = _store(spark, tmp_path)
+    drop_column(out, "lang")
+    with pytest.raises(KeyError, match="lang"):
+        scan_encoded(spark, out, ["lang"]).collect()
+    # other columns unaffected
+    assert scan_encoded(spark, out, ["url"]).count() == pages.count()
+    cols = {c["name"]: c for c in list_columns(out)}
+    assert cols["lang"]["dropped"] is True
+
+    # re-add 'lang' in a later ingest: NULL in old partitions, real
+    # values in new ones — the dropped bytes never resurface
+    more = (
+        webpages(spark, 200, partitions=2)
+        .withColumn("url", F.concat(F.lit("https://b.example/"), F.col("url")))
+        .cache()
+    )
+    _ingest(spark, out, more, "i2", 100)
+    got = scan_encoded(spark, out, ["url", "lang"])
+    old = got.filter(~F.col("url").startswith("https://b.example/"))
+    new = got.filter(F.col("url").startswith("https://b.example/"))
+    assert old.count() == pages.count()
+    assert old.filter(F.col("lang").isNotNull()).count() == 0
+    assert new.filter(F.col("lang").isNull()).count() == 0
+    # the re-added column lives under a FRESH physical key
+    assert read_manifest(out)["lang"]["phys"] == "lang#2"
+
+    with pytest.raises(ValueError, match="no column"):
+        drop_column(out, "lang2")
+
+
+def test_rewrite_sheds_dropped_bytes_and_keeps_renames(spark, tmp_path):
+    from choetl_spark.clustering import rewrite_clustered
+    from choetl_spark.ledger import expire_snapshots, read_encoded
+
+    out, pages = _store(spark, tmp_path)
+    truth = sorted(
+        (r["url"], r["text"]) for r in pages.select("url", "text").collect()
+    )
+    drop_column(out, "html")
+    rename_column(out, "url", "page_url")
+
+    rewrite_clustered(spark, out, ["page_url"], cfg=CFG)
+    latest = max(r["run_seq"] for r in snapshots(spark, out).collect())
+    expire_snapshots(spark, out, latest)
+
+    got = sorted(
+        (r["page_url"], r["text"])
+        for r in scan_encoded(spark, out, ["page_url", "text"]).collect()
+    )
+    assert got == truth
+    # dropped column's chunks are physically gone after rewrite+expiry
+    phys_left = {
+        r["column"]
+        for r in read_encoded(spark, out, raw_columns=True)
+        .select("column")
+        .distinct()
+        .collect()
+    }
+    assert "html" not in phys_left
+    # the rewrite re-encoded under the rename's physical key ('url'),
+    # so the alias still resolves
+    assert read_manifest(out)["page_url"]["phys"] == "url"
+
+
+def test_drop_last_column_refuses(spark, tmp_path):
+    out, _ = _store(spark, tmp_path)
+    for c in ["html", "text", "warc_ts", "lang"]:
+        drop_column(out, c)
+    with pytest.raises(ValueError, match="last column"):
+        drop_column(out, "url")
