@@ -28,8 +28,13 @@ from choetl_spark.codecs.core import (
     encode_plain,
     encode_rle,
 )
+from choetl_spark.codecs.core import encode_plain_parts
 from choetl_spark.codecs.fsst import decode_fsst, encode_fsst
-from choetl_spark.codecs.worddict import decode_worddict, encode_worddict
+from choetl_spark.codecs.worddict import (
+    decode_worddict,
+    encode_worddict,
+    encode_worddict_parts,
+)
 
 _ENCODERS = {
     "plain": encode_plain,
@@ -40,6 +45,13 @@ _ENCODERS = {
     "dict": encode_dict,
     "fsst": encode_fsst,
     "worddict": encode_worddict,
+}
+
+_PART_ENCODERS = {
+    # codecs whose payload can reach the zstd pass as PARTS (see
+    # zstd.wrap_parts); everything else assembles as before
+    "plain": encode_plain_parts,
+    "worddict": encode_worddict_parts,
 }
 
 _DECODERS = {
@@ -69,6 +81,15 @@ def encode_array(
 
         codec, opts = choose_codec(arr)
     null_meta, filled = split_nulls(arr)
+    if codec in _PART_ENCODERS and zstd in ("auto", "on"):
+        # hot path: hand zstd the payload PARTS (e.g. plain's lengths
+        # header + the zero-copy Arrow value-bytes view) so the
+        # payload-sized assembly memcpy never happens; on-disk format
+        # is identical (concatenated zstd frames decompress as one)
+        parts, meta = _PART_ENCODERS[codec](filled, **opts)
+        if null_meta["n_nulls"]:
+            meta["nulls"] = null_meta
+        return _zstd.wrap_parts(parts, meta, level=zstd_level)
     payload, meta = _ENCODERS[codec](filled, **opts)
     if null_meta["n_nulls"]:
         meta["nulls"] = null_meta

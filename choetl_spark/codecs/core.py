@@ -34,7 +34,14 @@ from choetl_spark.codecs.base import (
 # ---------------------------------------------------------------------------
 
 
-def encode_plain(arr: pa.Array) -> tuple[bytes, dict]:
+def encode_plain_parts(arr: pa.Array) -> tuple[list, dict]:
+    """Plain encode as a list of buffer-protocol PARTS whose logical
+    concatenation is the plain payload. The hot string/binary path
+    returns ``[lengths_header, value_bytes_view]`` with the view taken
+    zero-copy straight off the Arrow data buffer — the zstd pass
+    (:func:`choetl_spark.codecs.zstd.wrap_parts`) compresses the parts
+    without ever assembling the blob-sized intermediate. Parts may be
+    memoryviews into ``arr``'s buffers: valid only while ``arr`` lives."""
     t = arr.type
     meta: dict = {"codec": "plain", "dtype": type_to_str(t), "n": len(arr)}
     if pa.types.is_string(t) or pa.types.is_large_string(t) or pa.types.is_binary(
@@ -45,28 +52,34 @@ def encode_plain(arr: pa.Array) -> tuple[bytes, dict]:
         len_payload = pack_uints(lengths.astype(np.uint64), w)
         meta["len_width"] = w
         meta["len_bytes"] = len(len_payload)
-        # single-copy assembly: the value bytes are memcpy'd from the
-        # Arrow data buffer straight into the payload (the old
-        # to_pybytes() + bytes-concat pair copied the blob twice — on
-        # the plain+zstd hot path that alone cost ~1.3 CPU-s/GB). The
-        # bytearray result is zstd/Arrow-compatible (buffer protocol).
-        view = _var_data_view(arr)
-        payload = bytearray(len(len_payload) + len(view))
-        payload[: len(len_payload)] = len_payload
-        if len(view):
-            payload[len(len_payload):] = view
-        return payload, meta
+        return [len_payload, _var_data_view(arr)], meta
+    # .data.cast("B"): a multi-byte-dtype memoryview reports ELEMENT
+    # count as its len — every parts consumer (len sums, assembly,
+    # zstd raw_len) needs byte lengths
     if pa.types.is_boolean(t):
-        packed = np.packbits(np.asarray(arr), bitorder="little").tobytes()
-        return packed, meta
+        packed = np.packbits(np.asarray(arr), bitorder="little")
+        return [packed.data.cast("B")], meta
     if is_int_like(t):
         vals = int_view(arr)
-        return vals.astype("<i8").tobytes(), meta
+        return [np.ascontiguousarray(vals, dtype="<i8").data.cast("B")], meta
     if pa.types.is_float32(t):
-        return np.asarray(arr).astype("<f4").tobytes(), meta
+        return [np.ascontiguousarray(arr, dtype="<f4").data.cast("B")], meta
     if pa.types.is_float64(t):
-        return np.asarray(arr).astype("<f8").tobytes(), meta
+        return [np.ascontiguousarray(arr, dtype="<f8").data.cast("B")], meta
     raise TypeError(f"plain codec: unsupported type {t}")
+
+
+def encode_plain(arr: pa.Array) -> tuple[bytes, dict]:
+    # single-copy assembly of the parts (the old to_pybytes() +
+    # bytes-concat pair copied the blob twice — on the plain+zstd hot
+    # path that alone cost ~1.3 CPU-s/GB); callers that zstd the payload
+    # skip even this copy via encode_plain_parts + wrap_parts
+    from choetl_spark.codecs.zstd import assemble_parts
+
+    parts, meta = encode_plain_parts(arr)
+    if len(parts) == 1:
+        return bytes(parts[0]), meta
+    return assemble_parts(parts), meta
 
 
 def _var_data_view(arr: pa.Array) -> memoryview:

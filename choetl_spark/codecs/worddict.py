@@ -55,9 +55,14 @@ def _split_tokens(arr: pa.Array) -> tuple[pa.Array, np.ndarray]:
     )
 
 
-def encode_worddict(
+def encode_worddict_parts(
     arr: pa.Array, values_codec: str = "fsst", **_opts
-) -> tuple[bytes, dict]:
+) -> tuple[list, dict]:
+    """Worddict encode as buffer-protocol PARTS (row widths, index
+    stream, vocab payload) whose concatenation is the worddict payload —
+    the zstd pass (``zstd.wrap_parts``) compresses them without the
+    triple-concat copy, and the index stream rides as a byte view over
+    the astype'd numpy array (no ``tobytes`` copy)."""
     from choetl_spark.codecs import encode_array  # registry, avoids cycle
 
     t = arr.type
@@ -73,12 +78,12 @@ def encode_worddict(
     if isinstance(d, pa.ChunkedArray):
         d = d.combine_chunks()
     # index layout: BYTE-ALIGNED min-width uints, not bit-packed.
-    # Measured (8.6M tokens, 1.1k vocab): astype(uint16).tobytes() is
-    # ~10x faster than the bit-packer AND the final zstd pass compresses
-    # the aligned stream ~14% SMALLER (byte-aligned token ids expose
-    # repetition zstd's match finder can model; packed ids smear it
-    # across byte boundaries). Aligned wins both axes, so it is
-    # unconditional; decode keeps reading the legacy bit-packed layout.
+    # Measured (8.6M tokens, 1.1k vocab): astype(uint16) is ~10x faster
+    # than the bit-packer AND the final zstd pass compresses the aligned
+    # stream ~14% SMALLER (byte-aligned token ids expose repetition
+    # zstd's match finder can model; packed ids smear it across byte
+    # boundaries). Aligned wins both axes, so it is unconditional;
+    # decode keeps reading the legacy bit-packed layout.
     idx = np.asarray(d.indices)  # int32 from arrow, no copy
     n_vocab = len(d.dictionary)
     if n_vocab <= 1 << 8:
@@ -87,8 +92,8 @@ def encode_worddict(
         idx_dtype = np.uint16
     else:
         idx_dtype = np.uint32
-    idx_payload = idx.astype(idx_dtype).tobytes()
-    w = int(np.dtype(idx_dtype).itemsize * 8)
+    idx_arr = np.ascontiguousarray(idx.astype(idx_dtype))
+    w = int(idx_arr.dtype.itemsize * 8)
     # vocab: the distinct tokens, child-encoded (fsst shines here)
     val_payload, val_meta = encode_array(d.dictionary, codec=values_codec)
     # tokens-per-row: bitpacked (rows with k tokens have k-1 separators)
@@ -101,12 +106,21 @@ def encode_worddict(
         "n_tokens": int(len(idx)),
         "idx_width": w,
         "idx_layout": "aligned",
-        "idx_bytes": len(idx_payload),
+        "idx_bytes": idx_arr.nbytes,
         "row_width": tw,
         "row_bytes": len(row_payload),
         "values": val_meta,
     }
-    return row_payload + idx_payload + val_payload, meta
+    return [row_payload, idx_arr.data.cast("B"), val_payload], meta
+
+
+def encode_worddict(
+    arr: pa.Array, values_codec: str = "fsst", **_opts
+) -> tuple[bytes, dict]:
+    from choetl_spark.codecs.zstd import assemble_parts
+
+    parts, meta = encode_worddict_parts(arr, values_codec=values_codec)
+    return bytes(assemble_parts(parts)), meta
 
 
 def decode_worddict(payload: bytes, meta: dict) -> pa.Array:

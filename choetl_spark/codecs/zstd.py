@@ -51,3 +51,44 @@ def wrap(payload: bytes, meta: dict, level: int = 3) -> tuple[bytes, dict]:
 
 def unwrap(payload: bytes, meta: dict) -> tuple[bytes, dict]:
     return decompress(payload, meta["raw_len"]), meta["child"]
+
+
+def assemble_parts(parts: list) -> bytearray:
+    """One-copy concatenation of buffer-protocol parts (the plain
+    codec's lengths header + the Arrow value-bytes view)."""
+    total = sum(len(p) for p in parts)
+    out = bytearray(total)
+    pos = 0
+    for p in parts:
+        if len(p):
+            out[pos:pos + len(p)] = p
+        pos += len(p)
+    return out
+
+
+def wrap_parts(parts: list, meta: dict, level: int = 3) -> tuple[bytes, dict]:
+    """zstd over a MULTI-PART payload without assembling it first.
+
+    Each part (a memoryview straight over the Arrow data buffer — see
+    ``encode_plain_parts``) is compressed as its own zstd frame and the
+    frames are concatenated. zstd's one-shot decompressor consumes
+    concatenated frames as one stream, so ``unwrap``/``decompress`` and
+    the on-disk format are IDENTICAL to the single-payload path — only
+    the blob-sized assembly memcpy (~1.1 CPU-s/GB on the plain+zstd hot
+    path) disappears. Falls back to plain assembly when zstd does not
+    shrink the bytes (same contract as :func:`wrap`)."""
+    total = sum(len(p) for p in parts)
+    if total < 64:
+        return bytes(assemble_parts(parts)), meta
+    codec = _CODECS.get(level) or pa.Codec("zstd", compression_level=level)
+    z = b"".join(
+        codec.compress(p, asbytes=True) for p in parts if len(p)
+    )
+    if len(z) >= total:
+        return bytes(assemble_parts(parts)), meta
+    return z, {
+        "codec": "zstd",
+        "raw_len": total,
+        "pre_zstd_bytes": total,
+        "child": meta,
+    }

@@ -589,10 +589,16 @@ def _make_decode_kernel(
                     break
             for name in col_order:
                 pieces = acc.get(name, [])
+                tgt = out_schema.field(name).type
                 arr = (
-                    pa.concat_arrays([a for _, a in pieces])
+                    pa.concat_arrays(
+                        # type widening (manifest promoted after these
+                        # chunks were written): cast each piece BEFORE
+                        # concat — mixed-dtype concat raises
+                        [a if a.type == tgt else a.cast(tgt) for _, a in pieces]
+                    )
                     if pieces
-                    else pa.nulls(n, type=out_schema.field(name).type)
+                    else pa.nulls(n, type=tgt)
                 )
                 if len(arr) != n:
                     raise ValueError(
@@ -909,13 +915,16 @@ def _make_filtered_decode_kernel(
                         f"column {name}: chunks cover {got} of {n_out} "
                         f"matched rows (part {cur_part} incomplete?)"
                     )
+                tgt = out_schema.field(name).type
                 arr = (
-                    pa.concat_arrays(vals)
+                    # cast pieces BEFORE concat: type widening can leave
+                    # this partition with mixed-dtype chunks
+                    pa.concat_arrays(
+                        [v if v.type == tgt else v.cast(tgt) for v in vals]
+                    )
                     if vals
-                    else pa.nulls(0, type=out_schema.field(name).type)
+                    else pa.nulls(0, type=tgt)
                 )
-                if arr.type != out_schema.field(name).type:
-                    arr = arr.cast(out_schema.field(name).type)
                 cols.append(arr)
             if with_pos:
                 cols = [

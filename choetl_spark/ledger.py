@@ -96,6 +96,22 @@ def write_manifest(out_dir: str, manifest: dict) -> None:
     os.replace(tmp, _manifest_path(out_dir))
 
 
+_INT_WIDTH = {"int8": 0, "int16": 1, "int32": 2, "int64": 3}
+
+
+def _widened_dtype(old: str, new: str) -> str | None:
+    """The wider of two storage dtypes when the pair is a SAFE promotion
+    (Iceberg's type-promotion rule: int -> wider int, float32 ->
+    float64); None when the change needs a rewrite. Symmetric: a later
+    run may also ingest NARROWER values into an already-widened column
+    (its chunks cast up at decode)."""
+    if old in _INT_WIDTH and new in _INT_WIDTH:
+        return old if _INT_WIDTH[old] >= _INT_WIDTH[new] else new
+    if {old, new} == {"float32", "float64"}:
+        return "float64"
+    return None
+
+
 def manifest_data_items(manifest: dict | None) -> list[tuple[str, dict]]:
     """The manifest's live column entries, skipping metadata sections
     (keys starting with ``_`` — e.g. ``_dropped``, the dropped-column
@@ -1577,11 +1593,19 @@ def encode_with_resume(
         pm = prior.get(col)
         if pm is not None:
             if m["dtype"] != pm["dtype"]:
-                raise ValueError(
-                    f"schema evolution: column {col!r} changes storage "
-                    f"type {pm['dtype']} -> {m['dtype']}; type changes "
-                    "need a rewrite, not a resume"
-                )
+                wide = _widened_dtype(pm["dtype"], m["dtype"])
+                if wide is None:
+                    raise ValueError(
+                        f"schema evolution: column {col!r} changes "
+                        f"storage type {pm['dtype']} -> {m['dtype']}; "
+                        "only safe widening (int->wider int, "
+                        "float32->float64) is metadata-only — other "
+                        "changes need a rewrite, not a resume"
+                    )
+                # Iceberg type-promotion semantics: the manifest dtype
+                # becomes the WIDER type; chunks keep their own written
+                # dtype and the decode kernels cast up to the manifest
+                m["dtype"] = wide
             if "phys" in pm:
                 m["phys"] = pm["phys"]
         else:

@@ -201,3 +201,80 @@ def test_drop_last_column_refuses(spark, tmp_path):
         drop_column(out, c)
     with pytest.raises(ValueError, match="last column"):
         drop_column(out, "url")
+
+
+# ---------------------------------------------------------------------------
+# type widening (Iceberg type promotion: int -> wider int, float32 -> float64)
+# ---------------------------------------------------------------------------
+
+
+def _kv_ingest(spark, out, rows, ddl, run_id, part_base):
+    df = spark.createDataFrame(rows, ddl).withColumn(
+        "part_id", (F.col("k") % 2 + part_base).cast("long")
+    )
+    cfg = EncodeConfig(key_col="k", chunk_rows=64, deterministic=True)
+    return encode_with_resume(spark, df, out, cfg, run_id=run_id)
+
+
+def test_type_widening_int_and_float(spark, tmp_path):
+    out = str(tmp_path / "widen")
+    _kv_ingest(
+        spark, out,
+        [(i, i * 10, float(i)) for i in range(100)],
+        "k long, v int, r float", "narrow", 0,
+    )
+    assert read_manifest(out)["v"]["dtype"] == "int32"
+    big = 3_000_000_000  # > int32 range
+    _kv_ingest(
+        spark, out,
+        [(100 + i, big + i, float(i) / 3) for i in range(100)],
+        "k long, v long, r double", "wide", 10,
+    )
+    man = read_manifest(out)
+    assert man["v"]["dtype"] == "int64"
+    assert man["r"]["dtype"] == "float64"
+    got = scan_encoded(spark, out, ["k", "v", "r"])
+    assert dict(got.dtypes)["v"] == "bigint"
+    assert dict(got.dtypes)["r"] == "double"
+    rows = {r["k"]: (r["v"], r["r"]) for r in got.collect()}
+    assert len(rows) == 200
+    assert rows[7] == (70, pytest.approx(7.0))
+    assert rows[150] == (big + 50, pytest.approx(50 / 3, rel=1e-6))
+    # predicate over the widened column still prunes/filters correctly
+    hit = scan_encoded(spark, out, ["k"], equals={"v": big + 50}).collect()
+    assert [r["k"] for r in hit] == [150]
+    hit = scan_encoded(spark, out, ["k"], equals={"v": 70}).collect()
+    assert [r["k"] for r in hit] == [7]
+
+
+def test_type_widening_narrower_later_run_keeps_wide(spark, tmp_path):
+    out = str(tmp_path / "narrowlater")
+    _kv_ingest(
+        spark, out, [(i, 2**40 + i) for i in range(50)],
+        "k long, v long", "wide", 0,
+    )
+    _kv_ingest(
+        spark, out, [(50 + i, i) for i in range(50)],
+        "k long, v int", "narrow", 10,
+    )
+    assert read_manifest(out)["v"]["dtype"] == "int64"
+    got = {r["k"]: r["v"] for r in scan_encoded(spark, out, ["k", "v"]).collect()}
+    assert got[3] == 2**40 + 3 and got[60] == 10
+
+
+def test_type_widening_rejects_unsafe_changes(spark, tmp_path):
+    out = str(tmp_path / "unsafe")
+    _kv_ingest(
+        spark, out, [(i, float(i)) for i in range(20)],
+        "k long, v double", "f64", 0,
+    )
+    with pytest.raises(ValueError, match="safe widening"):
+        _kv_ingest(
+            spark, out, [(100 + i, i) for i in range(20)],
+            "k long, v long", "i64", 10,
+        )
+    with pytest.raises(ValueError, match="safe widening"):
+        _kv_ingest(
+            spark, out, [(200 + i, str(i)) for i in range(20)],
+            "k long, v string", "str", 20,
+        )
