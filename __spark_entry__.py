@@ -1463,6 +1463,23 @@ def q_semantic_dedup_embeddings(spark, sf_dir):
     return dedup_semantic(embs, 0.3, centroids=cents).select("vec_id")
 
 
+_BM25_QUERY = "spark join window scan"
+
+
+def q_bm25_search_documents(spark, sf_dir):
+    """BM25 ranked retrieval over the documents corpus for a fixed
+    4-term query: inverted-postings build (one map-side-combined
+    shuffle), IN-list filter on the query terms FIRST, broadcast of the
+    1-row corpus stats and the per-term document frequencies, then a
+    TakeOrderedAndProject top-k. The oracle recomputes the full BM25
+    formula (idf, length normalization, tie-broken top-10) in SQL from
+    the same literals."""
+    from choetl_spark.operators import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_QUERY, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1527,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pushdown_store": q_agg_pushdown_store,
         "store_partitions_meta": q_store_partitions_meta,
         "changelog_store": q_changelog_store,
+        "bm25_search_documents": q_bm25_search_documents,
     }
 
 
@@ -1999,6 +2017,42 @@ _URL_SQL = (
 )
 
 
+def _oracle_bm25(k1: float = 1.2, b: float = 0.75, k: int = 10) -> str:
+    """Full BM25 recomputation in SQL: postings from the shared
+    whitespace-token contract, corpus stats over token-bearing docs
+    (the only docs postings can contain), Robertson idf with the +1
+    floor, and the same (score desc, doc_id asc) tiebreak."""
+    terms = ", ".join(f"'{t}'" for t in sorted(set(_BM25_QUERY.split())))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 CASE WHEN trim(lower(text)) = '' THEN CAST([] AS VARCHAR[])
+                      ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                 END AS ws
+          FROM documents),
+        post AS (
+          SELECT doc_id, len(ws) AS dl, unnest(ws) AS term FROM toks),
+        corpus AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl
+          FROM (SELECT DISTINCT doc_id, dl FROM post)),
+        hits AS (
+          SELECT term, doc_id, dl, COUNT(*) AS tf FROM post
+          WHERE term IN ({terms}) GROUP BY term, doc_id, dl),
+        dfreq AS (
+          SELECT term, COUNT(DISTINCT doc_id) AS dfreq FROM hits
+          GROUP BY term),
+        scored AS (
+          SELECT h.doc_id,
+                 ln(1.0 + (c.n_docs - d.dfreq + 0.5) / (d.dfreq + 0.5))
+                 * (h.tf * ({k1} + 1.0))
+                 / (h.tf + {k1} * ((1.0 - {b}) + {b} * h.dl / c.avgdl))
+                 AS w
+          FROM hits h JOIN dfreq d USING (term) CROSS JOIN corpus c)
+        SELECT doc_id, SUM(w) AS score FROM scored
+        GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "pricing_summary": """
@@ -2436,4 +2490,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, 'delete' AS change_type FROM documents
             WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
         """,
+        "bm25_search_documents": _oracle_bm25(),
     }

@@ -48,6 +48,10 @@ from choetl_spark.operators.similarity import (  # noqa: F401
     knn_join_brute,
     with_ivf_cluster,
 )
+from choetl_spark.operators.search import (  # noqa: F401
+    bm25_topk,
+    build_postings,
+)
 from choetl_spark.operators.textstats import (  # noqa: F401
     winnowing_fingerprints,
     with_fingerprint,

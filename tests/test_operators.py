@@ -1106,3 +1106,45 @@ def test_dedup_against_precomputed_fingerprints_and_passthrough(spark):
     out = dedup_against(batch, store, ref_fingerprint_col="fp").collect()
     assert [r["doc_id"] for r in out] == [11]
     assert out[0]["fingerprint"] == "user-fp-b"  # untouched passthrough
+
+
+def test_bm25_ranking_and_postings(spark):
+    """BM25 prefers rare query terms and shorter documents; a hand-check
+    of the formula on a 4-doc corpus pins the math, and a persisted
+    postings table gives the same answer as the inline build."""
+    import math
+
+    from choetl_spark.operators import bm25_topk, build_postings
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),       # tf=3, short
+            (2, "spark engine engine engine engine engine engine"),
+            (3, "engine engine engine engine"),    # no query term
+            (4, "   "),                            # empty after trim
+        ],
+        "doc_id long, text string",
+    )
+    post = build_postings(df)
+    rows = {(r["term"], r["doc_id"]): (r["tf"], r["dl"]) for r in post.collect()}
+    assert rows[("spark", 1)] == (3, 4)
+    assert rows[("engine", 2)] == (6, 7)
+    assert not any(d == 4 for (_, d) in rows)  # empty doc absent
+
+    out = bm25_topk(df, "spark", k=10).collect()
+    assert [r["doc_id"] for r in out] == [1, 2]  # doc 3 never scores
+    # hand BM25: N=3 token-bearing docs, df(spark)=2, avgdl=(4+7+4)/3=5
+    k1, b = 1.2, 0.75
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    exp1 = idf * (3 * (k1 + 1)) / (3 + k1 * (1 - b + b * 4 / 5))
+    assert abs(out[0]["score"] - exp1) < 1e-12
+
+    # precomputed postings path is identical
+    out2 = bm25_topk(df, "spark", k=10, postings=post).collect()
+    assert [(r["doc_id"], r["score"]) for r in out2] == [
+        (r["doc_id"], r["score"]) for r in out
+    ]
+    # empty query -> empty result, stable schema
+    empty = bm25_topk(df, "   ", k=5)
+    assert empty.columns == ["doc_id", "score"]
+    assert empty.count() == 0
