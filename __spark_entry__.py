@@ -1463,6 +1463,20 @@ def q_semantic_dedup_embeddings(spark, sf_dir):
     return dedup_semantic(embs, 0.3, centroids=cents).select("vec_id")
 
 
+def q_quantized_cosine_topk(spark, sf_dir):
+    """Cosine top-10 computed entirely over symmetric int8-quantized
+    vectors (the 4x-smaller storage/shuffle form): both the corpus and
+    the query vector quantize with the same rule, the dot product is
+    exact integer arithmetic, and the oracle re-derives the quantizer
+    (max-abs/127 scale, round-half-away indices) and the ranking in
+    SQL. Proves the quantized store ranks without float data."""
+    from choetl_spark.operators import cosine_topk_quantized
+
+    embs = _read(spark, sf_dir, "embeddings")
+    q = embs.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    return cosine_topk_quantized(embs, [float(x) for x in q], k=10)
+
+
 _BM25_QUERY = "spark join window scan"
 
 
@@ -1545,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_partitions_meta": q_store_partitions_meta,
         "changelog_store": q_changelog_store,
         "bm25_search_documents": q_bm25_search_documents,
+        "quantized_cosine_topk": q_quantized_cosine_topk,
     }
 
 
@@ -2491,4 +2506,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 3 = 0 AND doc_id % 5 = 0
         """,
         "bm25_search_documents": _oracle_bm25(),
+        "quantized_cosine_topk": """
+            WITH v AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+              FROM embeddings),
+            q AS (
+              SELECT vec_id,
+                     list_transform(e, x -> CAST(round(
+                       x / (greatest(list_max(list_transform(e,
+                              y -> abs(y))), 1e-30) / 127.0)
+                     ) AS INTEGER)) AS qv
+              FROM v),
+            qq AS (SELECT qv AS q0 FROM q WHERE vec_id = 0),
+            sc AS (
+              SELECT q.vec_id,
+                     list_dot_product(CAST(q.qv AS DOUBLE[]),
+                                      CAST(qq.q0 AS DOUBLE[])) AS dot,
+                     sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]),
+                                           CAST(q.qv AS DOUBLE[])))
+                   * sqrt(list_dot_product(CAST(qq.q0 AS DOUBLE[]),
+                                           CAST(qq.q0 AS DOUBLE[])))
+                       AS den
+              FROM q CROSS JOIN qq)
+            SELECT vec_id, round(dot / den, 4) AS cosine_q
+            FROM sc WHERE den > 0
+            ORDER BY cosine_q DESC, vec_id ASC LIMIT 10
+        """,
     }

@@ -48,6 +48,11 @@ from choetl_spark.operators.similarity import (  # noqa: F401
     knn_join_brute,
     with_ivf_cluster,
 )
+from choetl_spark.operators.quantize import (  # noqa: F401
+    cosine_topk_quantized,
+    with_dequantized_embedding,
+    with_quantized_embedding,
+)
 from choetl_spark.operators.search import (  # noqa: F401
     bm25_topk,
     build_postings,

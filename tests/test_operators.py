@@ -1148,3 +1148,52 @@ def test_bm25_ranking_and_postings(spark):
     empty = bm25_topk(df, "   ", k=5)
     assert empty.columns == ["doc_id", "score"]
     assert empty.count() == 0
+
+
+def test_quantized_embedding_roundtrip_and_recall(spark):
+    """int8 quantization: dequantize error bounded by qscale/2 per
+    component, all-zero vectors survive exactly, and quantized cosine
+    top-k recalls the exact float top-k on clustered vectors."""
+    import numpy as np
+
+    from choetl_spark.operators import (
+        cosine_topk,
+        cosine_topk_quantized,
+        with_dequantized_embedding,
+        with_quantized_embedding,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(4, 16))
+    vecs = [
+        (i, (base[i % 4] + rng.normal(scale=0.05, size=16)).tolist())
+        for i in range(60)
+    ]
+    vecs.append((60, [0.0] * 16))  # all-zero edge case
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    qdf = with_quantized_embedding(df)
+    deq = with_dequantized_embedding(qdf).collect()
+    for r in deq:
+        err = np.abs(np.array(r["embedding"]) - np.array(r["embedding_dq"]))
+        assert err.max() <= r["qscale"] / 2 + 1e-12
+        assert max(abs(v) for v in r["qvec"]) <= 127
+    zero = next(r for r in deq if r["vec_id"] == 60)
+    assert zero["embedding_dq"] == [0.0] * 16
+
+    query = base[0].tolist()
+    exact = {r["vec_id"] for r in cosine_topk(df, query, k=10).collect()}
+    quant = cosine_topk_quantized(df, query, k=10)
+    assert quant.columns == ["vec_id", "cosine_q"]
+    got = {r["vec_id"] for r in quant.collect()}
+    # int8 on 16 dims: expect near-perfect agreement on clustered data
+    assert len(exact & got) >= 8
+    # zero vector never ranks (cosine undefined)
+    assert 60 not in got
+
+    # int4 still reconstructs within its (coarser) bound
+    q4 = with_quantized_embedding(df, bits=4)
+    r4 = with_dequantized_embedding(q4).collect()[0]
+    err4 = np.abs(np.array(r4["embedding"]) - np.array(r4["embedding_dq"]))
+    assert err4.max() <= r4["qscale"] / 2 + 1e-12
+    assert max(abs(v) for v in r4["qvec"]) <= 7
