@@ -1463,6 +1463,65 @@ def q_semantic_dedup_embeddings(spark, sf_dir):
     return dedup_semantic(embs, 0.3, centroids=cents).select("vec_id")
 
 
+def q_eq_delete_store(spark, sf_dir):
+    """Equality deletes over the checkpointed store (Iceberg v2
+    equality-delete contract, choetl_spark/eqdeletes.py): delete by KEY
+    VALUE with no store scan at write time (O(keys) cost), then
+    re-insert a subset of the deleted keys at a later epoch — the
+    strict sequence rule means the re-inserted rows survive while the
+    pre-delete copies stay hidden. Emits both phases so the oracle
+    checks the hide half and the survive half; a resolution that
+    misses a row, applies a delete to a newer row, or leaks positions
+    flips the hash. Crash-orphan/changelog/rewrite corners are pinned
+    by tests/test_eqdeletes.py. Collected eagerly so the temp store
+    can be deleted."""
+    import shutil
+    import tempfile
+
+    from choetl_spark.deletes import next_free_epoch
+    from choetl_spark.engine import EncodeConfig
+    from choetl_spark.eqdeletes import delete_by_key
+    from choetl_spark.ledger import encode_with_resume, scan_encoded
+    from choetl_spark.synth import webpages_from_documents
+
+    pages = webpages_from_documents(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+    )
+    victims = docs.filter((F.col("doc_id") % 9) == 0).select(
+        url.alias("url")
+    )
+    reborn = docs.filter((F.col("doc_id") % 18) == 0).select(
+        url.alias("url"), F.lit("re").alias("lang")
+    )
+    out = tempfile.mkdtemp(prefix="choetl_eqdel_")
+    try:
+        cfg = EncodeConfig(
+            num_partitions=8, chunk_rows=2048, chunk_bytes=4 << 20,
+            deterministic=True, bloom_columns=("url",),
+        )
+        encode_with_resume(spark, pages, out, cfg)      # epoch 1
+        delete_by_key(spark, out, "url", victims)       # epoch 2
+        deleted = scan_encoded(spark, out, ["url", "lang"]).collect()
+        epoch = next_free_epoch(spark, out, cfg.num_partitions)
+        planned = reborn.repartition(1).withColumn(
+            "part_id",
+            F.lit(epoch * cfg.num_partitions).cast("long"),
+        )
+        encode_with_resume(spark, planned, out, cfg, run_id="reinsert")
+        final = scan_encoded(spark, out, ["url", "lang"]).collect()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    rows = [("deleted", r["url"], r["lang"]) for r in deleted] + [
+        ("final", r["url"], r["lang"]) for r in final
+    ]
+    return spark.createDataFrame(
+        rows, "phase string, url string, lang string"
+    )
+
+
 def q_quantized_cosine_topk(spark, sf_dir):
     """Cosine top-10 computed entirely over symmetric int8-quantized
     vectors (the 4x-smaller storage/shuffle form): both the corpus and
@@ -1560,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "changelog_store": q_changelog_store,
         "bm25_search_documents": q_bm25_search_documents,
         "quantized_cosine_topk": q_quantized_cosine_topk,
+        "eq_delete_store": q_eq_delete_store,
     }
 
 
@@ -2531,5 +2591,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, round(dot / den, 4) AS cosine_q
             FROM sc WHERE den > 0
             ORDER BY cosine_q DESC, vec_id ASC LIMIT 10
+        """,
+        "eq_delete_store": f"""
+            WITH pages AS (
+              SELECT {_URL_SQL} AS url, lang, doc_id FROM documents)
+            SELECT 'deleted' AS phase, url, lang FROM pages
+            WHERE doc_id % 9 <> 0
+            UNION ALL
+            SELECT 'final' AS phase, url, lang FROM pages
+            WHERE doc_id % 9 <> 0
+            UNION ALL
+            SELECT 'final' AS phase, url, 're' AS lang FROM pages
+            WHERE doc_id % 18 = 0
         """,
     }

@@ -510,9 +510,14 @@ def rewrite_partitions(
         read_manifest,
     )
 
+    from choetl_spark.eqdeletes import all_delete_positions
+
     cfg = cfg or EncodeConfig()
     out = {"partitions_rewritten": 0, "rows_materialized": 0}
-    tomb = read_delete_positions(spark, out_dir)
+    # equality deletes materialize here too: a rewritten survivor
+    # re-commits at a NEWER epoch than any existing delete, so leaving
+    # eq-deleted rows in would resurrect them permanently
+    tomb = all_delete_positions(spark, out_dir)
     ledger = read_ledger(spark, out_dir)
     if tomb is None or ledger is None:
         return out
@@ -678,8 +683,10 @@ def rollback_to(
     # visible-at-both partitions with tombstones committed AFTER to_seq
     # (read through the hardened tombstone reader so a lost _deletes
     # table refuses instead of silently rolling deleted rows back in)
-    pos_now = read_delete_positions(spark, out_dir)
-    pos_t = read_delete_positions(spark, out_dir, as_of=to_seq)
+    from choetl_spark.eqdeletes import all_delete_positions
+
+    pos_now = all_delete_positions(spark, out_dir)
+    pos_t = all_delete_positions(spark, out_dir, as_of=to_seq)
     dirty: list[int] = []
     if pos_now is not None:
         late = (

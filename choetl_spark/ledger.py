@@ -326,7 +326,7 @@ def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
             " raw_bytes long, encoded_bytes long",
         )
     base = (
-        ledger.filter(F.col("status").isin("done", "delete"))
+        ledger.filter(F.col("status").isin("done", "delete", "eqdelete"))
         .groupBy("run_seq", "run_id", "status")
         .agg(
             F.count("*").alias("n_parts_raw"),
@@ -338,7 +338,8 @@ def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
             "run_seq",
             "run_id",
             F.when(F.col("status") == "done", F.lit("append"))
-            .otherwise(F.lit("delete"))
+            .when(F.col("status") == "delete", F.lit("delete"))
+            .otherwise(F.lit("eqdelete"))
             .alias("operation"),
             F.when(F.col("status") == "done", F.col("n_parts_raw"))
             .otherwise(F.lit(0))
@@ -493,10 +494,8 @@ def scan_encoded(
     ``(part_id, row_pos)``; a store with no tombstones skips the
     positional decode entirely (zero overhead).
     """
-    from choetl_spark.deletes import (
-        apply_delete_filter,
-        read_delete_positions,
-    )
+    from choetl_spark.deletes import apply_delete_filter
+    from choetl_spark.eqdeletes import all_delete_positions
     from choetl_spark.engine import (
         decode_dataframe,
         prune_partitions_by_bloom,
@@ -559,7 +558,7 @@ def scan_encoded(
         dec_cols = list(
             dict.fromkeys([*columns, *ranges, *equals])
         )  # ordered union
-    tombstones = read_delete_positions(spark, out_dir, as_of=as_of)
+    tombstones = all_delete_positions(spark, out_dir, as_of=as_of)
     # push the predicates INTO the decode kernel (partition-local late
     # materialization): only matching rows are decoded in full and ship
     # back to the JVM. Kernel masks are supersets; the residual filters
@@ -631,7 +630,7 @@ def read_changes(
     before ``from_seq``. ``from_seq=0`` is a full bootstrap (everything
     at ``to_seq`` as inserts).
     """
-    from choetl_spark.deletes import read_delete_positions
+    from choetl_spark.eqdeletes import all_delete_positions
     from choetl_spark.engine import decode_dataframe
 
     ledger = read_ledger(spark, out_dir)
@@ -683,7 +682,7 @@ def read_changes(
             "part_id",
             "semi",
         )
-        tomb = read_delete_positions(spark, out_dir, as_of=seq)
+        tomb = all_delete_positions(spark, out_dir, as_of=seq)
         df = decode_dataframe(
             enc, columns=columns, manifest=manifest,
             with_pos=tomb is not None,
@@ -703,9 +702,9 @@ def read_changes(
 
     # positional deletes in range against surviving partitions
     if stayed:
-        t_to = read_delete_positions(spark, out_dir, as_of=to_seq)
+        t_to = all_delete_positions(spark, out_dir, as_of=to_seq)
         t_from = (
-            read_delete_positions(spark, out_dir, as_of=from_seq)
+            all_delete_positions(spark, out_dir, as_of=from_seq)
             if from_seq > 0
             else None
         )
@@ -785,7 +784,7 @@ def store_partitions(
             f"snapshot as_of={as_of} has been expired; the oldest "
             f"readable epoch is {min_time_travel_seq(out_dir)}"
         )
-    from choetl_spark.deletes import read_delete_positions
+    from choetl_spark.eqdeletes import all_delete_positions
 
     empty_ddl = (
         "part_id long, run_seq long, n_rows long, n_chunks long, "
@@ -819,7 +818,7 @@ def store_partitions(
         "raw_bytes",
         "encoded_bytes",
     )
-    tomb = read_delete_positions(spark, out_dir, as_of=as_of)
+    tomb = all_delete_positions(spark, out_dir, as_of=as_of)
     if tomb is None:
         dels = None
     else:
@@ -1016,10 +1015,8 @@ def agg_encoded(
     from decimal import Decimal
 
     from choetl_spark.codecs.base import str_to_type
-    from choetl_spark.deletes import (
-        apply_delete_filter,
-        read_delete_positions,
-    )
+    from choetl_spark.deletes import apply_delete_filter
+    from choetl_spark.eqdeletes import all_delete_positions
     from choetl_spark.engine import decode_dataframe
 
     import pyarrow as pa
@@ -1069,7 +1066,7 @@ def agg_encoded(
             raise ValueError(f"{alias}: min/max unsupported for {col}")
 
     enc = read_encoded(spark, out_dir, as_of=as_of)
-    tombstones = read_delete_positions(spark, out_dir, as_of=as_of)
+    tombstones = all_delete_positions(spark, out_dir, as_of=as_of)
     dirty: list[int] = []
     if tombstones is not None:
         dirty = [

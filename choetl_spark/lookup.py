@@ -281,9 +281,9 @@ def point_lookup(
     # merge-on-read: rows tombstoned by delete_where (at or before the
     # as_of epoch) must not surface — anti-join BEFORE the fetch pass so
     # deleted rows also cost nothing to materialize
-    from choetl_spark.deletes import read_delete_positions
+    from choetl_spark.eqdeletes import all_delete_positions
 
-    tombstones = read_delete_positions(spark, out_dir, as_of=as_of)
+    tombstones = all_delete_positions(spark, out_dir, as_of=as_of)
     if tombstones is not None:
         hits = hits.join(
             F.broadcast(tombstones), ["part_id", "row_pos"], "left_anti"
