@@ -54,6 +54,37 @@ def _eq_dir(out_dir: str, column: str) -> str:
     return os.path.join(_eq_root(out_dir), column)
 
 
+def _write_eq_values(
+    spark: SparkSession, out_dir: str, key: str, values
+) -> tuple[str, int] | None:
+    """Write the (value, delete_id) files for an equality delete —
+    invisible orphans until a ledger ``eqdelete`` row commits the
+    returned ``delete_id``. Returns None for an empty value set."""
+    from choetl_spark.engine import normalize_predicate_value as _n
+
+    if isinstance(values, DataFrame):
+        vals_df = values.select(
+            F.col(values.columns[0]).alias("value")
+        ).distinct()
+    else:
+        norm = [_n(v) for v in values]
+        if not norm:
+            return None
+        vals_df = spark.createDataFrame(
+            [(v,) for v in norm]
+        ).toDF("value").distinct()
+    delete_id = uuid.uuid4().hex
+    vals_df = vals_df.filter(F.col("value").isNotNull()).withColumn(
+        "delete_id", F.lit(delete_id)
+    )
+    # value files BEFORE any ledger row (the shared commit protocol)
+    vals_df.write.mode("append").parquet(_eq_dir(out_dir, key))
+    n = spark.read.parquet(_eq_dir(out_dir, key)).filter(
+        F.col("delete_id") == delete_id
+    ).count()
+    return delete_id, int(n)
+
+
 def delete_by_key(
     spark: SparkSession,
     out_dir: str,
@@ -74,7 +105,6 @@ def delete_by_key(
 
     Returns ``{"n_values", "run_seq", "delete_id"}``.
     """
-    from choetl_spark.engine import normalize_predicate_value as _n
     from choetl_spark.ledger import (
         LEDGER_SCHEMA_DDL,
         _ledger_dir,
@@ -88,30 +118,14 @@ def delete_by_key(
             f"equality-delete column {key!r} is not a store column "
             f"(manifest has {sorted(manifest)})"
         )
-    if isinstance(values, DataFrame):
-        vals_df = values.select(
-            F.col(values.columns[0]).alias("value")
-        ).distinct()
-    else:
-        norm = [_n(v) for v in values]
-        if not norm:
-            return {"n_values": 0, "run_seq": None, "delete_id": None}
-        vals_df = spark.createDataFrame(
-            [(v,) for v in norm]
-        ).toDF("value").distinct()
-    delete_id = uuid.uuid4().hex
-    vals_df = vals_df.filter(F.col("value").isNotNull()).withColumn(
-        "delete_id", F.lit(delete_id)
-    )
+    wrote = _write_eq_values(spark, out_dir, key, values)
+    if wrote is None:
+        return {"n_values": 0, "run_seq": None, "delete_id": None}
+    delete_id, n = wrote
     ledger = read_ledger(spark, out_dir)
     next_seq = 1
     if ledger is not None:
         next_seq = (ledger.agg(F.max("run_seq")).collect()[0][0] or 0) + 1
-    # value files BEFORE the ledger row (the shared commit protocol)
-    vals_df.write.mode("append").parquet(_eq_dir(out_dir, key))
-    n = spark.read.parquet(_eq_dir(out_dir, key)).filter(
-        F.col("delete_id") == delete_id
-    ).count()
     commit = spark.createDataFrame(
         [
             (
@@ -248,3 +262,92 @@ def all_delete_positions(
     if eq is None:
         return pos
     return pos.unionByName(eq).distinct()
+
+
+def upsert_by_key(
+    spark: SparkSession,
+    out_dir: str,
+    key: str,
+    df: DataFrame,
+    cfg=None,
+    run_id: str | None = None,
+    epoch: int | None = None,
+) -> dict:
+    """MERGE by key with O(changed keys) write cost — the equality-
+    delete upsert. Where :func:`choetl_spark.deletes.upsert` scans the
+    store's key column at write time to pin positional tombstones,
+    this writes only the incoming keys as an equality delete and rides
+    its ``eqdelete`` commit in the ingest's single ledger append:
+
+      - both halves become visible at ONE epoch (atomic MERGE — no
+        snapshot where a matched key has neither row);
+      - the strict data-seq < delete-seq rule means the delete hides
+        every PRE-upsert copy of the keys while this epoch's own
+        inserts (same run_seq) survive;
+      - write cost is O(incoming batch), independent of store size —
+        the per-scan resolution cost it defers is the documented
+        equality-delete trade (materialize via ``rewrite_partitions``
+        on schedule).
+
+    RETRY contract (same as the positional upsert): a crashed run must
+    pass back the same ``run_id`` and ``epoch``. A retry whose first
+    attempt already committed its ``eqdelete`` row skips writing a
+    second one (re-deleting at a LATER epoch would hide the first
+    attempt's own inserts), and the ledger resume skips committed
+    partitions.
+
+    Returns the encode summary plus ``upsert_epoch`` and ``n_values``.
+    """
+    from choetl_spark.deletes import next_free_epoch
+    from choetl_spark.engine import EncodeConfig
+    from choetl_spark.ledger import encode_with_resume, read_ledger
+    from choetl_spark.partitioning import plan_partitions
+
+    cfg = cfg or EncodeConfig()
+    fresh_epoch = epoch is None
+    if fresh_epoch:
+        epoch = next_free_epoch(spark, out_dir, cfg.num_partitions)
+    rid = run_id or f"equpsert-{epoch}"
+    ledger = read_ledger(spark, out_dir)
+    eq_commits = None
+    n_vals = 0
+    prior = None
+    if ledger is not None:
+        prior = (
+            ledger.filter(
+                (F.col("status") == EQ_STATUS) & (F.col("run_id") == rid)
+            )
+            .select("n_rows")
+            .limit(1)
+            .collect()
+        )
+    if prior:
+        n_vals = int(prior[0]["n_rows"])  # first attempt's delete stands
+    else:
+        wrote = _write_eq_values(spark, out_dir, key, df.select(key))
+        if wrote is not None:
+            delete_id, n_vals = wrote
+            eq_commits = [(delete_id, n_vals, key)]
+    planned = plan_partitions(
+        df,
+        cfg.num_partitions,
+        key_col=cfg.key_col,
+        by_host=cfg.partition_by_host,
+        hot_factor=cfg.hot_factor,
+        salt_buckets=cfg.salt_buckets,
+    ).withColumn(
+        "part_id",
+        F.col("part_id") + F.lit(int(epoch)) * F.lit(cfg.num_partitions),
+    )
+    enc_res = encode_with_resume(
+        spark, planned, out_dir, cfg, run_id=rid,
+        eq_delete_commits=eq_commits,
+    )
+    if fresh_epoch and enc_res["partitions_already_done"]:
+        raise RuntimeError(
+            "upsert epoch collided with existing partition ids — some "
+            "rows were resume-skipped; the store's ledger is "
+            "inconsistent with its id layout (pass an explicit unused "
+            "epoch)"
+        )
+    return {**enc_res, "n_values": n_vals, "upsert_epoch": int(epoch)}

@@ -1487,6 +1487,7 @@ def encode_with_resume(
     run_id: str | None = None,
     retire_part_ids: list | None = None,
     delete_commits: list[tuple[str, int]] | None = None,
+    eq_delete_commits: list[tuple[str, int, str]] | None = None,
     staged: bool = False,
 ) -> dict:
     """Encode ``df`` to ``out_dir``, skipping partitions already done.
@@ -1517,7 +1518,7 @@ def encode_with_resume(
     Returns a summary dict with partitions done before/this run.
     """
     cfg = cfg or EncodeConfig()
-    if staged and (retire_part_ids or delete_commits):
+    if staged and (retire_part_ids or delete_commits or eq_delete_commits):
         raise ValueError(
             "staged=True cannot carry retire/delete commits: they would "
             "become visible while the staged data awaits its audit"
@@ -1747,6 +1748,21 @@ def encode_with_resume(
             LEDGER_SCHEMA_DDL,
         )
         ledger_rows = ledger_rows.unionByName(delete_rows)
+    if eq_delete_commits:
+        # (delete_id, n_values, key_column): value files a caller
+        # pre-wrote become visible at THIS epoch — the eq-delete MERGE
+        # half of :func:`choetl_spark.eqdeletes.upsert_by_key`. The
+        # strict data-seq < delete-seq rule means this run's own
+        # partitions (same run_seq) are never deleted by it.
+        eq_rows = spark.createDataFrame(
+            [
+                (-1, None, int(n), 0, 0, 0, str(col), run_id,
+                 int(run_seq), "eqdelete", str(delete_id))
+                for delete_id, n, col in eq_delete_commits
+            ],
+            LEDGER_SCHEMA_DDL,
+        )
+        ledger_rows = ledger_rows.unionByName(eq_rows)
     before = ledger.count() if ledger is not None else 0
     ledger_rows.write.mode("append").parquet(_ledger_dir(out_dir))
     newly = (
@@ -1754,6 +1770,7 @@ def encode_with_resume(
         - before
         - len(retire_part_ids or [])
         - len(delete_commits or [])
+        - len(eq_delete_commits or [])
     )
     return {
         "run_id": run_id,

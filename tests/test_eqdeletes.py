@@ -175,3 +175,46 @@ def test_eq_delete_dataframe_values_and_agg(spark, store):
     assert scan_encoded(spark, out, ["url"]).count() == n_left
     agg = agg_encoded(spark, out, {"n": ("count", "*")}).collect()[0]
     assert agg["n"] == n_left
+
+
+def test_upsert_by_key_merge_and_retry(spark, store):
+    """Equality-delete MERGE: one atomic epoch updates matched keys and
+    inserts new ones with no key-column scan at write time; replaying
+    the same (run_id, epoch) — Spark's batch-retry contract — changes
+    nothing (the retry must NOT re-delete its own first attempt's
+    inserts)."""
+    from choetl_spark.eqdeletes import upsert_by_key
+
+    out, pages, cfg = store
+    all_urls = _urls(pages)
+    matched = sorted(all_urls)[:3]
+    updates = pages.filter(F.col("url").isin(matched)).withColumn(
+        "text", F.lit("V2")
+    )
+    inserts = pages.limit(2).withColumn(
+        "url", F.concat(F.col("url"), F.lit("-new"))
+    )
+    batch = updates.unionByName(inserts)
+
+    res = upsert_by_key(spark, out, "url", batch, cfg=cfg,
+                        run_id="merge1")
+    assert res["n_values"] == 5
+
+    def state():
+        rows = scan_encoded(spark, out, ["url", "text"]).collect()
+        return {r["url"]: r["text"] for r in rows}, len(rows)
+
+    st, n = state()
+    assert n == len(all_urls) + 2          # no duplicates anywhere
+    for u in matched:
+        assert st[u] == "V2"               # matched keys replaced
+    assert sum(u.endswith("-new") for u in st) == 2
+    # pre-upsert snapshot intact
+    assert _urls(scan_encoded(spark, out, ["url"], as_of=1)) == all_urls
+
+    # retry replays the SAME epoch + run_id: idempotent
+    res2 = upsert_by_key(spark, out, "url", batch, cfg=cfg,
+                         run_id="merge1", epoch=res["upsert_epoch"])
+    assert res2["partitions_encoded_this_run"] == 0
+    st2, n2 = state()
+    assert (st2, n2) == (st, n)
