@@ -73,6 +73,7 @@ def upsert_sink(
     key: str,
     cfg: EncodeConfig | None = None,
     epoch_base: int | None = None,
+    mode: str = "positional",
 ):
     """CDC-apply sink: a ``foreachBatch`` callable that MERGEs each
     micro-batch into the encoded store by ``key`` — existing rows with
@@ -92,20 +93,38 @@ def upsert_sink(
     from the ledger at sink creation (clears every existing epoch and
     partition id); a store fed by MULTIPLE concurrent writers needs
     explicitly disjoint bases — same single-writer-per-table caveat as
-    an Iceberg streaming MERGE."""
-    from choetl_spark.deletes import next_free_epoch, upsert
+    an Iceberg streaming MERGE.
 
+    ``mode`` picks the delete flavor. ``"positional"`` (default) scans
+    the store's key column per batch to pin exact tombstones — zero
+    read-side overhead afterward. ``"eq"`` routes through
+    :func:`choetl_spark.eqdeletes.upsert_by_key`: O(batch) write cost
+    with NO store scan per micro-batch (the high-frequency CDC shape);
+    readers pay the lazy equality-delete resolution until the next
+    ``rewrite_partitions``. Both are idempotent under batch replay."""
+    from choetl_spark.deletes import next_free_epoch, upsert
+    from choetl_spark.eqdeletes import upsert_by_key
+
+    if mode not in ("positional", "eq"):
+        raise ValueError(f"mode must be 'positional' or 'eq', got {mode!r}")
     cfg = cfg or EncodeConfig()
     if epoch_base is None:
         # shared collision guard with the batch path (deletes.upsert)
         epoch_base = next_free_epoch(spark, out_dir, cfg.num_partitions)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        upsert(
-            spark, out_dir, batch_df, key, cfg=cfg,
-            epoch=int(epoch_base) + int(batch_id),
-            run_id=f"upsert-batch-{int(batch_id)}",
-        )
+        if mode == "eq":
+            upsert_by_key(
+                spark, out_dir, key, batch_df, cfg=cfg,
+                epoch=int(epoch_base) + int(batch_id),
+                run_id=f"equpsert-batch-{int(batch_id)}",
+            )
+        else:
+            upsert(
+                spark, out_dir, batch_df, key, cfg=cfg,
+                epoch=int(epoch_base) + int(batch_id),
+                run_id=f"upsert-batch-{int(batch_id)}",
+            )
 
     return apply_batch
 

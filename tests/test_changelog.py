@@ -155,3 +155,43 @@ def test_streaming_upsert_sink_idempotent_batches(spark, tmp_path):
     for u in urls[8:12]:
         assert rows[u] == orig[u]
     pages.unpersist()
+
+
+def test_streaming_upsert_sink_eq_mode(spark, tmp_path):
+    """mode='eq' CDC-apply: same MERGE semantics with no per-batch key
+    scan — overlapping batches, a replay, and key uniqueness all hold
+    through the equality-delete path."""
+    out = str(tmp_path / "store")
+    pages = webpages(spark, 200, partitions=2).cache()
+    pages.count()
+    cfg = EncodeConfig(num_partitions=2, chunk_rows=128,
+                       bloom_columns=("url",))
+    encode_with_resume(spark, pages, out, cfg, run_id="seed")
+    urls = sorted(r["url"] for r in pages.select("url").collect())
+
+    sink = upsert_sink(spark, out, key="url", cfg=cfg, mode="eq")
+    batch1 = pages.filter(F.col("url").isin(urls[:5])).select(
+        "url", "warc_ts", "html", F.lit("V1").alias("text"), "lang"
+    )
+    batch2 = pages.filter(F.col("url").isin(urls[3:8])).select(
+        "url", "warc_ts", "html", F.lit("V2").alias("text"), "lang"
+    )
+    sink(batch1, 0)
+    sink(batch2, 1)
+    sink(batch2, 1)  # retry replay: same epoch + run_id, no duplicates
+
+    rows = {
+        r["url"]: r["text"]
+        for r in scan_encoded(spark, out, ["url", "text"]).collect()
+    }
+    assert len(rows) == 200
+    for u in urls[:3]:
+        assert rows[u] == "V1"
+    for u in urls[3:8]:
+        assert rows[u] == "V2"
+    orig = {r["url"]: r["text"] for r in pages.collect()}
+    for u in urls[8:12]:
+        assert rows[u] == orig[u]
+    with pytest.raises(ValueError, match="mode"):
+        upsert_sink(spark, out, key="url", cfg=cfg, mode="nope")
+    pages.unpersist()
