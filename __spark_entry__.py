@@ -1463,6 +1463,22 @@ def q_semantic_dedup_embeddings(spark, sf_dir):
     return dedup_semantic(embs, 0.3, centroids=cents).select("vec_id")
 
 
+def q_lm_perplexity_documents(spark, sf_dir):
+    """Bigram-LM perplexity quality scores (the KenLM-style CCNet/
+    Gopher filter signal) self-trained on the documents corpus: two
+    map-side-combined count aggregations train the model AS A TABLE
+    (never collected), scoring is two equi-joins + a per-doc agg, all
+    JVM codegen. The oracle recomputes counts, add-one smoothing, and
+    the per-doc mean log-probability in SQL."""
+    from choetl_spark.operators import with_lm_perplexity
+
+    docs = _read(spark, sf_dir, "documents")
+    out = with_lm_perplexity(docs)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("avg_logp", 3).alias("avg_logp_r")
+    )
+
+
 def q_eq_delete_store(spark, sf_dir):
     """Equality deletes over the checkpointed store (Iceberg v2
     equality-delete contract, choetl_spark/eqdeletes.py): delete by KEY
@@ -1620,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_documents": q_bm25_search_documents,
         "quantized_cosine_topk": q_quantized_cosine_topk,
         "eq_delete_store": q_eq_delete_store,
+        "lm_perplexity_documents": q_lm_perplexity_documents,
     }
 
 
@@ -2603,5 +2620,41 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'final' AS phase, url, 're' AS lang FROM pages
             WHERE doc_id % 18 = 0
+        """,
+        "lm_perplexity_documents": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(lower(text)) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(
+                                 trim(lower(text)), '\\s+')
+                     END AS ws
+              FROM documents),
+            unic AS (
+              SELECT w1, COUNT(*) AS c1
+              FROM (SELECT unnest(ws) AS w1 FROM toks) GROUP BY w1),
+            v AS (SELECT COUNT(*) AS vocab FROM unic),
+            bi AS (
+              SELECT doc_id,
+                     unnest(ws[1:len(ws) - 1]) AS w1,
+                     unnest(ws[2:len(ws)]) AS w2
+              FROM toks WHERE len(ws) >= 2),
+            bic AS (
+              SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+            scored AS (
+              SELECT b.doc_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                     AVG(ln((c.c12 + 1.0) / (u.c1 + v.vocab)))
+                         AS avg_logp
+              FROM bi b
+              JOIN bic c USING (w1, w2)
+              JOIN unic u USING (w1)
+              CROSS JOIN v
+              GROUP BY b.doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   round(s.avg_logp, 3) AS avg_logp_r
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN scored s USING (doc_id)
         """,
     }

@@ -48,6 +48,11 @@ from choetl_spark.operators.similarity import (  # noqa: F401
     knn_join_brute,
     with_ivf_cluster,
 )
+from choetl_spark.operators.langmodel import (  # noqa: F401
+    score_lm,
+    train_bigram_lm,
+    with_lm_perplexity,
+)
 from choetl_spark.operators.quantize import (  # noqa: F401
     cosine_topk_quantized,
     with_dequantized_embedding,

@@ -1197,3 +1197,52 @@ def test_quantized_embedding_roundtrip_and_recall(spark):
     err4 = np.abs(np.array(r4["embedding"]) - np.array(r4["embedding_dq"]))
     assert err4.max() <= r4["qscale"] / 2 + 1e-12
     assert max(abs(v) for v in r4["qvec"]) <= 7
+
+
+def test_bigram_lm_perplexity_hand_check(spark):
+    """Hand-verified add-one bigram LM: trained counts, smoothing of
+    unseen pairs/words, short-doc NULLs, and the fluent-text-scores-
+    better property on a cross-corpus score."""
+    import math
+
+    from choetl_spark.operators import (
+        score_lm,
+        train_bigram_lm,
+        with_lm_perplexity,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    lm = train_bigram_lm(train)
+    # vocab = {a, b, c}; bigrams: ab x2 (doc1) + ab (doc2), ba (doc1), bc (doc2)
+    assert lm["vocab_size"] == 3
+    counts = {(r["w1"], r["w2"]): r["c12"] for r in lm["bigrams"].collect()}
+    assert counts == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+    uni = {r["w1"]: r["c1"] for r in lm["unigrams"].collect()}
+    assert uni == {"a": 3, "b": 3, "c": 1}
+
+    test = spark.createDataFrame(
+        [(10, "a b"), (11, "a z"), (12, "a"), (13, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in score_lm(test, lm).collect()}
+    # seen bigram: ln((3+1)/(3+3))
+    assert abs(got[10]["avg_logp"] - math.log(4 / 6)) < 1e-12
+    assert abs(got[10]["ppl"] - math.exp(-math.log(4 / 6))) < 1e-9
+    # unseen bigram, seen w1: ln((0+1)/(3+3))
+    assert abs(got[11]["avg_logp"] - math.log(1 / 6)) < 1e-12
+    # <2 tokens: null score, zero bigrams
+    assert got[12]["n_bigrams"] == 0 and got[12]["avg_logp"] is None
+    assert got[13]["avg_logp"] is None
+
+    # self-trained ranking: repeated fluent text beats token soup
+    corpus = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(8)]
+        + [(99, "zq xv bn mk lp qw")],
+        "doc_id long, text string",
+    )
+    ranked = {r["doc_id"]: r["ppl"] for r in
+              with_lm_perplexity(corpus).collect()}
+    assert all(ranked[i] < ranked[99] for i in range(8))
