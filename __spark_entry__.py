@@ -1463,6 +1463,23 @@ def q_semantic_dedup_embeddings(spark, sf_dir):
     return dedup_semantic(embs, 0.3, centroids=cents).select("vec_id")
 
 
+def q_bpe_merges_documents(spark, sf_dir):
+    """Distributed BPE tokenizer training (8 merge rounds) over the
+    documents corpus: the corpus collapses to a distinct-word frequency
+    table (one shuffle), then each round is one pair-count aggregation
+    + one codegen'd replace pass — O(distinct words) per round, the
+    exact HF/SentencePiece pre-tokenization shape. The oracle replays
+    ALL 8 training rounds in SQL (chained CTEs with the identical
+    pair-count, tie-break, and replace-application rules), so a wrong
+    count, tie-break, or merge application flips the table."""
+    from choetl_spark.operators.bpe import bpe_train
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=8)
+    rows = [(i + 1, l, r) for i, (l, r) in enumerate(merges)]
+    return spark.createDataFrame(rows, "rank int, lhs string, rhs string")
+
+
 def q_lm_perplexity_documents(spark, sf_dir):
     """Bigram-LM perplexity quality scores (the KenLM-style CCNet/
     Gopher filter signal) self-trained on the documents corpus: two
@@ -1637,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_cosine_topk": q_quantized_cosine_topk,
         "eq_delete_store": q_eq_delete_store,
         "lm_perplexity_documents": q_lm_perplexity_documents,
+        "bpe_merges_documents": q_bpe_merges_documents,
     }
 
 
@@ -2107,6 +2125,61 @@ _URL_SQL = (
     "'https://' || source || '.example.com/' || lang || '/' || "
     "CAST(doc_id AS VARCHAR)"
 )
+
+
+def _oracle_bpe(k: int = 8) -> str:
+    """Replay the BPE trainer's k merge rounds in SQL. Shares the
+    operator's exact rules by construction: adjacent-pair counts
+    weighted by word frequency (overlaps included), tie-break
+    (count desc, l asc, r asc), and merge application as 4 passes of
+    left-to-right non-overlapping ``replace(' l r ' -> ' lr ')`` —
+    DuckDB's replace() and Spark's replace() share those scan
+    semantics, so the two engines agree bit-for-bit."""
+
+    def rep4(expr: str) -> str:
+        for _ in range(4):
+            expr = (
+                f"replace({expr}, ' ' || m.l || ' ' || m.r || ' ',"
+                f" ' ' || m.l || m.r || ' ')"
+            )
+        return expr
+
+    ctes = [
+        """w0 AS (
+          SELECT w, COUNT(*) AS cnt FROM (
+            SELECT unnest(CASE WHEN trim(lower(text)) = ''
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE regexp_split_to_array(
+                                 trim(lower(text)), '\\s+') END) AS w
+            FROM documents)
+          WHERE w <> '' GROUP BY w)""",
+        """s0 AS (
+          SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS sym,
+                 cnt
+          FROM w0)""",
+    ]
+    for i in range(1, k + 1):
+        prev = f"s{i - 1}"
+        ctes.append(f"""p{i} AS (
+          SELECT l, r, SUM(cnt) AS n FROM (
+            SELECT unnest(ws[1:len(ws) - 1]) AS l,
+                   unnest(ws[2:len(ws)]) AS r, cnt
+            FROM (SELECT string_split(trim(sym), ' ') AS ws, cnt
+                  FROM {prev})
+            WHERE len(ws) >= 2)
+          GROUP BY l, r)""")
+        ctes.append(
+            f"m{i} AS (SELECT l, r FROM p{i} "
+            f"ORDER BY n DESC, l ASC, r ASC LIMIT 1)"
+        )
+        ctes.append(f"""s{i} AS (
+          SELECT {rep4('sym')} AS sym, cnt
+          FROM {prev} CROSS JOIN m{i} m)""")
+    union = "\nUNION ALL ".join(
+        f"SELECT {i} AS rank, l AS lhs, r AS rhs FROM m{i}"
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + union
 
 
 def _oracle_bm25(k1: float = 1.2, b: float = 0.75, k: int = 10) -> str:
@@ -2657,4 +2730,5 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT doc_id FROM documents) d
             LEFT JOIN scored s USING (doc_id)
         """,
+        "bpe_merges_documents": _oracle_bpe(),
     }

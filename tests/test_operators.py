@@ -1246,3 +1246,42 @@ def test_bigram_lm_perplexity_hand_check(spark):
     ranked = {r["doc_id"]: r["ppl"] for r in
               with_lm_perplexity(corpus).collect()}
     assert all(ranked[i] < ranked[99] for i in range(8))
+
+
+def test_bpe_train_and_apply_hand_check(spark):
+    """Hand-traced BPE: merge order, tie-breaks, saturation stop,
+    consecutive-run application, and doc-level tokenization."""
+    from choetl_spark.operators.bpe import bpe_train, with_bpe_tokens
+
+    df = spark.createDataFrame(
+        [(1, "ab ab abc")], "doc_id long, text string"
+    )
+    merges = bpe_train(df, n_merges=10)
+    # pairs round 1: (a,b)x3 beats (b,c)x1 -> merge (a,b); round 2 only
+    # (ab,c) remains; round 3 saturates (every word one symbol)
+    assert merges == [("a", "b"), ("ab", "c")]
+
+    out = with_bpe_tokens(df, merges).collect()[0]
+    assert out["bpe_tokens"] == ["ab", "ab", "abc"]
+    assert out["n_bpe_tokens"] == 3
+
+    # consecutive identical pairs apply left-to-right like true BPE
+    runs = spark.createDataFrame(
+        [(1, "aaaa aaa")], "doc_id long, text string"
+    )
+    m2 = bpe_train(runs, n_merges=1)
+    assert m2 == [("a", "a")]
+    t = with_bpe_tokens(runs, m2).collect()[0]["bpe_tokens"]
+    assert t == ["aa", "aa", "aa", "a"]
+
+    # deterministic tie-break: equal counts pick lexicographically
+    tie = spark.createDataFrame(
+        [(1, "xy"), (2, "ab")], "doc_id long, text string"
+    )
+    assert bpe_train(tie, n_merges=1) == [("a", "b")]
+
+    # empty corpus -> no merges
+    assert bpe_train(
+        spark.createDataFrame([(1, "  ")], "doc_id long, text string"),
+        n_merges=3,
+    ) == []
