@@ -39,7 +39,12 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from choetl_spark.operators.search import tokenize_col
 
-__all__ = ["bpe_train", "with_bpe_tokens", "bpe_apply_col"]
+__all__ = [
+    "bpe_train",
+    "with_bpe_tokens",
+    "with_bpe_tokens_fast",
+    "bpe_apply_col",
+]
 
 _REPLACE_PASSES = 4
 
@@ -149,3 +154,83 @@ def with_bpe_tokens(
     return df.withColumn(out_col, toks).withColumn(
         "n_bpe_tokens", F.size(out_col)
     )
+
+
+def _apply_merges_py(word: str, ranks: dict) -> list[str]:
+    """Reference BPE application (the HF algorithm): repeatedly merge
+    the best-ranked adjacent pair. O(len * merges-applied); used by the
+    vectorized kernel below, per DISTINCT word per batch."""
+    syms = list(word)
+    while len(syms) >= 2:
+        best_i, best_rank = -1, None
+        for i in range(len(syms) - 1):
+            rk = ranks.get((syms[i], syms[i + 1]))
+            if rk is not None and (best_rank is None or rk < best_rank):
+                best_i, best_rank = i, rk
+        if best_rank is None:
+            break
+        l, r = syms[best_i], syms[best_i + 1]
+        # merge ALL occurrences of the chosen pair left-to-right
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def with_bpe_tokens_fast(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Production-scale BPE application: a ``mapInPandas`` kernel with
+    the merge table broadcast as rank lookups and a per-batch
+    DISTINCT-WORD cache (web text is Zipfian — a few thousand distinct
+    words cover most tokens, so each batch tokenizes each distinct word
+    once). Use this for real vocabularies (10k–100k merges) where
+    :func:`with_bpe_tokens`'s codegen'd expression chain would blow up
+    the plan; semantics match (rank-priority merging equals
+    apply-in-training-order for merge tables produced by
+    :func:`bpe_train` — pinned by test; the argument: a pair (l, r)
+    can only become adjacent once the merges that PRODUCED l and r
+    have applied, and those always rank earlier in a self-consistent
+    trained table)."""
+    spark = df.sparkSession
+    b_ranks = spark.sparkContext.broadcast(
+        {pair: i for i, pair in enumerate(merges)}
+    )
+    out_cols = [*df.columns, out_col, "n_bpe_tokens"]
+    fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    ddl = f"{fields}, `{out_col}` array<string>, `n_bpe_tokens` int"
+
+    def kernel(batches):
+        ranks = b_ranks.value
+        cache: dict[str, list[str]] = {}
+
+        def tok(text) -> list[str]:
+            if text is None:
+                return []
+            toks: list[str] = []
+            for w in str(text).lower().strip().split():
+                hit = cache.get(w)
+                if hit is None:
+                    hit = cache[w] = _apply_merges_py(w, ranks)
+                toks.extend(hit)
+            return toks
+
+        for pdf in batches:
+            tokens = [tok(t) for t in pdf[text_col]]
+            pdf = pdf.copy()
+            pdf[out_col] = tokens
+            pdf["n_bpe_tokens"] = [len(t) for t in tokens]
+            yield pdf[out_cols]
+
+    return df.mapInPandas(kernel, ddl)

@@ -1285,3 +1285,33 @@ def test_bpe_train_and_apply_hand_check(spark):
         spark.createDataFrame([(1, "  ")], "doc_id long, text string"),
         n_merges=3,
     ) == []
+
+
+def test_bpe_fast_apply_matches_expression_path(spark):
+    """The mapInPandas production tokenizer and the codegen expression
+    chain produce identical tokens for a trained merge table (rank-
+    priority == train-order application on self-consistent tables)."""
+    from choetl_spark.operators.bpe import (
+        bpe_train,
+        with_bpe_tokens,
+        with_bpe_tokens_fast,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the the the quick quick brown"),
+            (3, "aaaa abab banana bandana"),
+            (4, ""),
+            (5, "singleword"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, n_merges=12)
+    assert len(merges) == 12
+    slow = {r["doc_id"]: (r["bpe_tokens"], r["n_bpe_tokens"])
+            for r in with_bpe_tokens(docs, merges).collect()}
+    fast = {r["doc_id"]: (r["bpe_tokens"], r["n_bpe_tokens"])
+            for r in with_bpe_tokens_fast(docs, merges).collect()}
+    assert slow == fast
+    assert fast[4] == ([], 0)
