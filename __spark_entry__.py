@@ -1463,6 +1463,48 @@ def q_semantic_dedup_embeddings(spark, sf_dir):
     return dedup_semantic(embs, 0.3, centroids=cents).select("vec_id")
 
 
+def q_vector_store_roundtrip(spark, sf_dir):
+    """Native vector-column storage (veclist codec: bit-packed lengths
+    + byte-plane-shuffled float values — NOT the JSON-string nested
+    fallback): encode the embeddings table through the store and scan
+    it back; the oracle reads the source rows directly, so any
+    reconstruction error in dims, element values (float32 bits are
+    preserved exactly — the cast to double is lossless on both
+    engines), or row coverage flips the hash. Bit-identity over every
+    element is pinned by tests/test_engine_roundtrip.py and the codec
+    buffer-equality test."""
+    import shutil
+    import tempfile
+
+    from choetl_spark.engine import EncodeConfig
+    from choetl_spark.ledger import encode_with_resume, scan_encoded
+
+    embs = _read(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="choetl_vec_")
+    try:
+        cfg = EncodeConfig(
+            num_partitions=8, chunk_rows=2048, chunk_bytes=4 << 20,
+            key_col="vec_id", partition_by_host=False,
+        )
+        encode_with_resume(spark, embs, out, cfg)
+        rows = (
+            scan_encoded(spark, out)
+            .select(
+                "vec_id",
+                F.size("embedding").alias("dim"),
+                F.element_at("embedding", 1).cast("double").alias("first_v"),
+                F.element_at("embedding", -1).cast("double").alias("last_v"),
+                "label",
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "vec_id long, dim int, first_v double, last_v double, label int"
+    )
+
+
 def q_bpe_merges_documents(spark, sf_dir):
     """Distributed BPE tokenizer training (8 merge rounds) over the
     documents corpus: the corpus collapses to a distinct-word frequency
@@ -1655,6 +1697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eq_delete_store": q_eq_delete_store,
         "lm_perplexity_documents": q_lm_perplexity_documents,
         "bpe_merges_documents": q_bpe_merges_documents,
+        "vector_store_roundtrip": q_vector_store_roundtrip,
     }
 
 
@@ -2731,4 +2774,12 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN scored s USING (doc_id)
         """,
         "bpe_merges_documents": _oracle_bpe(),
+        "vector_store_roundtrip": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS INT) AS dim,
+                   CAST(embedding[1] AS DOUBLE) AS first_v,
+                   CAST(embedding[len(embedding)] AS DOUBLE) AS last_v,
+                   label
+            FROM embeddings
+        """,
     }

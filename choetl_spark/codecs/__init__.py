@@ -30,6 +30,11 @@ from choetl_spark.codecs.core import (
 )
 from choetl_spark.codecs.core import encode_plain_parts
 from choetl_spark.codecs.fsst import decode_fsst, encode_fsst
+from choetl_spark.codecs.veclist import (
+    decode_veclist,
+    encode_veclist,
+    encode_veclist_parts,
+)
 from choetl_spark.codecs.worddict import (
     decode_worddict,
     encode_worddict,
@@ -45,6 +50,7 @@ _ENCODERS = {
     "dict": encode_dict,
     "fsst": encode_fsst,
     "worddict": encode_worddict,
+    "veclist": encode_veclist,
 }
 
 _PART_ENCODERS = {
@@ -52,6 +58,7 @@ _PART_ENCODERS = {
     # zstd.wrap_parts); everything else assembles as before
     "plain": encode_plain_parts,
     "worddict": encode_worddict_parts,
+    "veclist": encode_veclist_parts,
 }
 
 _DECODERS = {
@@ -63,6 +70,7 @@ _DECODERS = {
     "dict": decode_dict,
     "fsst": decode_fsst,
     "worddict": decode_worddict,
+    "veclist": decode_veclist,
 }
 
 

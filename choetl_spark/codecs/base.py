@@ -54,6 +54,8 @@ def type_to_str(t: pa.DataType) -> str:
             return name
     if pa.types.is_timestamp(t):
         return f"timestamp[{t.unit}]" + (f"[{t.tz}]" if t.tz else "")
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list[{type_to_str(t.value_type)}]"
     raise TypeError(f"unsupported arrow type for codec: {t}")
 
 
@@ -65,6 +67,8 @@ def str_to_type(s: str) -> pa.DataType:
         unit = parts[0]
         tz = parts[1] if len(parts) > 1 else None
         return pa.timestamp(unit, tz=tz)
+    if s.startswith("list["):
+        return pa.list_(str_to_type(s[len("list[") : -1]))
     raise TypeError(f"unknown serialized type: {s}")
 
 
@@ -95,8 +99,18 @@ def split_nulls(arr: pa.Array) -> tuple[dict, pa.Array]:
         fill = False
     elif pa.types.is_timestamp(t) or pa.types.is_date(t):
         fill = 0
+    elif pa.types.is_list(t) or pa.types.is_large_list(t):
+        fill = None  # sentinel: empty list (see below)
     else:
         fill = 0
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        filled = pa.compute.fill_null(arr, pa.scalar([], type=t))
+        meta = {
+            "n_nulls": int(n_nulls),
+            "validity_b64": base64.b64encode(packed).decode("ascii"),
+            "n": n,
+        }
+        return meta, filled
     if pa.types.is_timestamp(t):
         filled = pa.compute.fill_null(arr, pa.scalar(fill, type=pa.int64()).cast(t))
     else:
@@ -295,4 +309,8 @@ def data_nbytes(arr: pa.Array) -> int:
         return int(total or 0) + 8 * n
     if pa.types.is_boolean(t):
         return (n + 7) // 8
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        payload = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        nv = len(payload.flatten())
+        return nv * payload.type.value_type.bit_width // 8 + 4 * n
     return n * t.bit_width // 8

@@ -167,6 +167,30 @@ def _chunk_ranges(arr: pa.Array, max_rows: int, max_bytes: int) -> list[tuple[in
             ranges.append((start, end - start))
             start = end
         return ranges
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        # byte-cap by per-row value bytes (a 4k-dim embedding row is
+        # 16 KB — a fixed row cap alone would blow task memory)
+        import numpy as np
+
+        iw = max(t.value_type.bit_width // 8, 1)
+        lens = (
+            np.asarray(
+                pa.compute.fill_null(
+                    pa.compute.list_value_length(arr).cast(pa.int64()), 0
+                )
+            )
+            * iw
+            + 4
+        )
+        cum = np.cumsum(lens)
+        start = 0
+        while start < n:
+            base = int(cum[start - 1]) if start > 0 else 0
+            hi = int(np.searchsorted(cum, base + max_bytes, side="right"))
+            end = max(start + 1, min(hi, start + max_rows, n))
+            ranges.append((start, end - start))
+            start = end
+        return ranges
     width = max(t.bit_width // 8, 1) if hasattr(t, "bit_width") else 8
     rows_cap = max(min(max_rows, max_bytes // width), 1)
     start = 0
@@ -319,16 +343,33 @@ _SIMPLE_SPARK_TYPES = {
 }
 
 
+_VECLIST_INNER = {"byte", "short", "integer", "long", "float", "double"}
+
+
+def _is_vector_column(dt) -> bool:
+    """array<numeric> columns encode NATIVELY (the veclist codec:
+    bit-packed lengths + byte-plane-shuffled values) — embeddings and
+    feature arrays never pay the JSON-string fallback."""
+    return (
+        dt.typeName() == "array"
+        and dt.elementType.typeName() in _VECLIST_INNER
+    )
+
+
 def _nested_columns(df: DataFrame) -> dict[str, str]:
     """Columns whose Spark type the codec layer does not store natively
     -> their DDL. These ride as JSON strings (the reference's own
     fallback: any complex value JSON-serializes on write,
     ChoParquetRecordWriter.cs:128-137) and decode restores the type with
     from_json. NaN/Infinity inside nested floats are not JSON-portable —
-    the one documented fidelity limit of this path."""
+    the one documented fidelity limit of this path. array<numeric>
+    columns are exempt: they store natively via the veclist codec
+    (which also keeps float NaN/Inf bit-exact)."""
     out = {}
     for f in df.schema.fields:
-        if f.dataType.typeName() not in _SIMPLE_SPARK_TYPES:
+        if f.dataType.typeName() not in _SIMPLE_SPARK_TYPES and not (
+            _is_vector_column(f.dataType)
+        ):
             out[f.name] = f.dataType.simpleString()
     return out
 
@@ -518,6 +559,9 @@ def column_manifest(df: DataFrame, cfg: EncodeConfig | None = None) -> dict:
             dtype = f"timestamp[us][{tz}]" if tz else "timestamp[us]"
         elif t == "timestamp_ntz":
             dtype = "timestamp[us]"
+        elif _is_vector_column(f.dataType):
+            inner = _SPARK_TO_STORAGE[f.dataType.elementType.typeName()]
+            dtype = f"list[{inner}]"
         else:  # pragma: no cover - _nested_columns catches these
             raise TypeError(f"unsupported column type for encode: {t}")
         out[f.name] = {"dtype": dtype, "logical": logical.get(f.name)}
@@ -1095,6 +1139,8 @@ def _spark_type_ddl(t: pa.DataType) -> str:
         "large_binary": "binary",
         "date32": "date",
     }
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"array<{_spark_type_ddl(t.value_type)}>"
     s = type_to_str(t)
     if s.startswith("timestamp"):
         return "timestamp"

@@ -144,6 +144,10 @@ def choose_codec(
     reuse the verdict."""
     if override:
         return override, {}
+    if pa.types.is_list(arr.type) or pa.types.is_large_list(arr.type):
+        # vector columns have exactly one native layout (lengths +
+        # shuffled value planes); the zstd backstop still measures
+        return "veclist", {}
     if st is None:
         st = compute_stats(arr)
     est = estimate_sizes(arr, st)

@@ -72,6 +72,11 @@ def compute_stats(arr: pa.Array, level: str = "full") -> ChunkStats:
     if n == 0:
         return st
     t = arr.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        # vector columns: no zone maps / NDV / entropy — the selector
+        # has exactly one codec for them (veclist) and the pruners
+        # treat missing bounds as unbounded
+        return st
     if is_int_like(t):
         # min/max over the FULL chunk (C kernel, null-aware), computed
         # BEFORE any sample-emptiness early-out: these ride into the

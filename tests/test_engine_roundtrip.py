@@ -244,3 +244,43 @@ def test_speed_profile_roundtrip_and_footprint(spark, pages, encoded):
         c.startswith(("worddict", "fsst")) for c in text_codecs
     ), text_codecs
     enc.unpersist()
+
+
+def test_vector_column_encodes_natively_end_to_end(spark, tmp_path):
+    """array<float> columns store through the veclist codec (NOT the
+    JSON-string fallback): bit-identical scan round-trip, correct Spark
+    schema on decode, and the chunk table records the native codec."""
+    from pyspark.sql import functions as F
+
+    from choetl_spark.engine import EncodeConfig
+    from choetl_spark.ledger import encode_with_resume, read_encoded, scan_encoded
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = str(tmp_path / "vecstore")
+    cfg = EncodeConfig(
+        num_partitions=4, chunk_rows=128, chunk_bytes=1 << 20,
+        key_col="vec_id", partition_by_host=False,
+    )
+    encode_with_resume(spark, embs, out, cfg, run_id="v1")
+
+    codecs = {
+        r["column"]: r["codec"]
+        for r in read_encoded(spark, out).select("column", "codec")
+        .distinct().collect()
+    }
+    assert codecs["embedding"].startswith("veclist"), codecs
+
+    got = scan_encoded(spark, out)
+    assert dict(got.dtypes)["embedding"] == "array<float>"
+    src = {r["vec_id"]: r["embedding"] for r in embs.collect()}
+    chk = {r["vec_id"]: r["embedding"] for r in got.collect()}
+    assert len(chk) == len(src)
+    for k, v in src.items():
+        assert chk[k] == v  # exact float32 equality (bit-preserving)
+
+    # downstream ops run straight off the decoded store
+    from choetl_spark.operators import cosine_topk
+
+    q = [float(x) for x in src[0]]
+    top = cosine_topk(got, q, k=3, id_col="vec_id").collect()
+    assert top[0]["vec_id"] == 0
