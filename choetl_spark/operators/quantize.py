@@ -58,7 +58,11 @@ def quantize_vec(vec_col, bits: int = 8) -> tuple[Column, Column]:
         F.greatest(F.array_max(F.transform(v, F.abs)), F.lit(_EPS))
         / F.lit(vmax)
     )
-    qvec = F.transform(v, lambda x: F.round(x / scale).cast("int"))
+    # narrowest integer type that holds the symmetric range: tinyint
+    # for <=8 bits, smallint for <=16 — so the store's veclist codec
+    # writes 1 (or 2) bytes per value instead of 4
+    itype = "tinyint" if bits <= 8 else "smallint"
+    qvec = F.transform(v, lambda x: F.round(x / scale).cast(itype))
     return qvec, scale
 
 
@@ -94,7 +98,9 @@ def _int_dot(a, b) -> Column:
     """Exact integer dot product of two int arrays (long accumulator:
     int16 x int16 x 2^15 dims still fits with 2^19 headroom)."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+        # cast BEFORE multiplying: tinyint*tinyint stays tinyint in
+        # Spark and 127*127 would wrap
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
