@@ -115,6 +115,29 @@ def curate(spark, args) -> dict:
         )
     counts["after_filters"] = df.count()
 
+    if args.ppl_band:
+        # CCNet-style LM-perplexity band: self-train the bigram LM on
+        # the surviving corpus and cut BOTH tails (low = boilerplate
+        # soup memorized verbatim, high = gibberish/wrong-language).
+        # Docs with <2 tokens carry NULL ppl and are dropped with the
+        # tails (no evidence of fluency).
+        from choetl_spark.operators import with_lm_perplexity
+
+        lo, hi = (float(x) for x in args.ppl_band.split(","))
+        scored = with_lm_perplexity(
+            df.select(id_col, text_col), text_col, id_col
+        ).select(id_col, "ppl")
+        df = (
+            df.join(scored, id_col)
+            .filter(
+                F.col("ppl").isNotNull()
+                & (F.col("ppl") >= lo)
+                & (F.col("ppl") <= hi)
+            )
+            .drop("ppl")
+        )
+        counts["after_ppl_filter"] = df.count()
+
     if args.max_per_domain:
         # quality is still a live column here — use it as the keep
         # preference so the quota retains each domain's best pages
@@ -167,11 +190,29 @@ def curate(spark, args) -> dict:
             df, id_col, val_frac=args.val_frac, test_frac=args.test_frac
         )
 
+    merges = None
+    if args.bpe_merges:
+        # train the tokenizer ON the curated corpus (the standard
+        # sequence: curate first, then fit the vocab) and budget the
+        # shards in REAL tokenizer tokens instead of whitespace words
+        from choetl_spark.operators.bpe import bpe_train
+
+        merges = bpe_train(df, text_col, n_merges=args.bpe_merges)
+
     if args.shard_budget:
-        tokens = df.select(
-            id_col,
-            F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_tok"),
-        )
+        if merges is not None:
+            from choetl_spark.operators.bpe import with_bpe_tokens_fast
+
+            tokens = with_bpe_tokens_fast(
+                df.select(id_col, text_col), merges, text_col
+            ).select(id_col, F.col("n_bpe_tokens").alias("_tok"))
+        else:
+            tokens = df.select(
+                id_col,
+                F.size(
+                    F.split(F.trim(F.col(text_col)), r"\s+")
+                ).alias("_tok"),
+            )
         shards = pack_shards(
             tokens, "_tok", budget=args.shard_budget,
             id_col=id_col, n_writers=args.shard_writers,
@@ -188,6 +229,16 @@ def curate(spark, args) -> dict:
         partition_by_host=False,  # documents carry no url/host column
     )
     summary = encode_with_resume(spark, df, args.output, cfg)
+    if merges is not None:
+        # tokenizer sidecar: the trained merge table ships WITH the
+        # curated store so downstream consumers tokenize identically
+        import json as _json
+        import os as _os
+
+        with open(
+            _os.path.join(args.output, "_bpe_merges.json"), "w"
+        ) as fh:
+            _json.dump([list(m) for m in merges], fh)
     counts["encoded_rows"] = list(counts.values())[-1]
     return {"counts": counts, "encode": summary}
 
@@ -221,6 +272,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--source-col", default="source")
     p.add_argument("--val-frac", type=float, default=0.0)
     p.add_argument("--test-frac", type=float, default=0.0)
+    p.add_argument("--ppl-band", default=None,
+                   help="LO,HI — keep docs whose self-trained bigram-LM "
+                        "perplexity lies in the band (CCNet-style "
+                        "two-tail cut)")
+    p.add_argument("--bpe-merges", type=int, default=0,
+                   help="train a BPE tokenizer with N merges on the "
+                        "curated corpus; shard budgets then count BPE "
+                        "tokens and the merge table ships as "
+                        "_bpe_merges.json")
     p.add_argument("--shard-budget", type=int, default=0,
                    help="tokens per training shard; 0=no shard columns")
     p.add_argument("--shard-writers", type=int, default=32)

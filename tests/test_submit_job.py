@@ -271,3 +271,66 @@ def test_curate_job_sampling_stages(spark, tmp_path):
             else "train"
         )
         assert r["split"] == expect, (r["doc_id"], r["split"], expect)
+
+
+def test_curate_job_ppl_and_bpe_stages(spark, tmp_path):
+    """The LM-perplexity band filter and the BPE tokenizer stage: the
+    band drops the planted gibberish doc, shard budgets count BPE
+    tokens, and the trained merge table ships as a sidecar the output
+    can re-apply."""
+    import importlib.util
+    import json
+
+    from pyspark.sql import functions as F
+
+    spec = importlib.util.spec_from_file_location(
+        "curate_job", os.path.join(REPO, "jobs", "curate_job.py")
+    )
+    curate_job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(curate_job)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # a 1-token doc carries NULL perplexity (no bigram evidence) and is
+    # deterministically dropped by any band — the stage's no-evidence
+    # rule, independent of the corpus's ppl distribution
+    stub = docs.limit(1).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.lit("x").alias("text"),
+        F.col("lang"), F.col("source"), F.lit(1).cast("long").alias("n_chars"),
+    )
+    src = str(tmp_path / "docs_in.parquet")
+    docs.unionByName(stub).write.parquet(src)
+    out = str(tmp_path / "curated")
+
+    args = curate_job.build_parser().parse_args([
+        "--input", src, "--output", out, "--min-quality", "0.0",
+        "--max-dup-2gram", "1.0", "--ppl-band", "0.001,1000000",
+        "--bpe-merges", "6", "--shard-budget", "2000",
+        "--shard-writers", "4", "--partitions", "4",
+        "--chunk-rows", "256", "--chunk-bytes", str(1 << 20),
+    ])
+    result = curate_job.curate(spark, args)
+    c = result["counts"]
+    # exactly the no-evidence stub is cut; every real doc's ppl lies in
+    # the wide band
+    assert c["after_ppl_filter"] == c["after_filters"] - 1
+    assert c["after_ppl_filter"] > 0
+
+    merges = json.load(open(os.path.join(out, "_bpe_merges.json")))
+    assert len(merges) == 6 and all(len(m) == 2 for m in merges)
+
+    from choetl_spark.engine import decode_dataframe
+    from choetl_spark.ledger import read_encoded, read_manifest
+    from choetl_spark.operators.bpe import with_bpe_tokens_fast
+
+    decoded = decode_dataframe(
+        read_encoded(spark, out), manifest=read_manifest(out)
+    )
+    assert decoded.count() == c["after_ppl_filter"]
+    assert {"writer", "shard"} <= set(decoded.columns)
+    assert decoded.filter(F.col("doc_id") >= 2000000).count() == 0
+    # the sidecar re-applies on the curated store
+    toks = with_bpe_tokens_fast(
+        decoded.limit(5), [tuple(m) for m in merges]
+    ).collect()
+    assert all(r["n_bpe_tokens"] > 0 for r in toks)
