@@ -1628,6 +1628,62 @@ def q_bm25_search_documents(spark, sf_dir):
     return bm25_topk(docs, _BM25_QUERY, k=10)
 
 
+def q_asof_join_events(spark, sf_dir):
+    """Point-in-time (ASOF backward) join: every click event picks up
+    the same user's most recent view at-or-before it. The union-tag
+    running-last implementation shuffles once on the key (operators/
+    temporal.py); the oracle expresses the same semantics as an
+    independent inequality join + QUALIFY row_number in DuckDB. The
+    view side is deduped per (user_id, ts) first so equal-timestamp
+    survivors are well-defined on both engines."""
+    from choetl_spark.operators import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    out = asof_join(clicks, views, "user_id", "ts", right_cols=["view_id"])
+    lag_sec = F.round(
+        F.col("ts").cast("timestamp").cast("double")
+        - F.col("matched_ts").cast("timestamp").cast("double"),
+        3,
+    )
+    return out.select("event_id", "view_id", lag_sec.alias("lag_sec"))
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30-minute inactivity break) of the
+    events stream per user — lag + running sum, one shuffle
+    (operators/temporal.py). The oracle recomputes the same window
+    algebra in DuckDB SQL."""
+    from choetl_spark.operators import sessionize
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    out = sessionize(
+        ev, "user_id", "ts", gap_sec=1800.0, tiebreak=["event_id"]
+    )
+    return out.select("event_id", "user_id", "session_id")
+
+
+def q_time_window_pairs_events(spark, sf_dir):
+    """Interval self-join: unordered pairs of same-user events within
+    30 minutes of each other, via window-width bucketing (floor(ts/W)
+    differs by <=1 for any matching pair) so the plan is a plain
+    shuffled equi-join — never a nested loop (operators/temporal.py).
+    The oracle is the direct inequality self-join in DuckDB."""
+    from choetl_spark.operators import time_window_pairs
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return time_window_pairs(
+        ev, "user_id", "ts", "event_id", window_sec=1800.0
+    ).select("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1698,6 +1754,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_documents": q_lm_perplexity_documents,
         "bpe_merges_documents": q_bpe_merges_documents,
         "vector_store_roundtrip": q_vector_store_roundtrip,
+        "asof_join_events": q_asof_join_events,
+        "sessionize_events": q_sessionize_events,
+        "time_window_pairs_events": q_time_window_pairs_events,
     }
 
 
@@ -2781,5 +2840,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(embedding[len(embedding)] AS DOUBLE) AS last_v,
                    label
             FROM embeddings
+        """,
+        "asof_join_events": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click'
+            ),
+            views AS (
+              SELECT user_id, ts, max(event_id) AS view_id FROM events
+              WHERE event_type = 'view' GROUP BY user_id, ts
+            )
+            SELECT c.event_id, v.view_id,
+                   round(epoch(c.ts) - epoch(v.ts), 3) AS lag_sec
+            FROM clicks c
+            LEFT JOIN views v
+              ON c.user_id = v.user_id AND v.ts <= c.ts
+            QUALIFY row_number() OVER (
+              PARTITION BY c.event_id ORDER BY v.ts DESC NULLS LAST
+            ) = 1
+        """,
+        "sessionize_events": """
+            SELECT event_id, user_id,
+                   CAST(sum(CASE WHEN prev_ts IS NULL
+                                  OR epoch(ts) - epoch(prev_ts) > 1800.0
+                             THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS session_id
+            FROM (
+              SELECT event_id, user_id, ts,
+                     lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev_ts
+              FROM events
+            )
+        """,
+        "time_window_pairs_events": """
+            SELECT a.event_id AS id_a, b.event_id AS id_b
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_id < b.event_id
+             AND abs(epoch(a.ts) - epoch(b.ts)) <= 1800.0
         """,
     }

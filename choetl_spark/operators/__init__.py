@@ -24,6 +24,11 @@ from choetl_spark.operators.dedup import (  # noqa: F401
     simhash_near_pairs,
     simhash_signatures,
 )
+from choetl_spark.operators.temporal import (  # noqa: F401
+    asof_join,
+    sessionize,
+    time_window_pairs,
+)
 from choetl_spark.operators.corpus import (  # noqa: F401
     decontaminate,
     dedup_lines,

@@ -1,0 +1,230 @@
+"""Temporal relational operators: as-of join, sessionization, and a
+bounded time-window self-join.
+
+The reference has no event-time operators (its "streaming" is a pull
+loop over a file, reference src/ChoETL/IChoReader.cs:22-23), but any
+100 TB event/crawl pipeline needs point-in-time joins and gap
+sessionization, so these are first-class here — each expressed as
+declarative DataFrame ops whose physical plan is a single hash
+shuffle on the join/session key (never a range explosion, never a
+driver loop).
+
+Scale shapes
+------------
+- ``asof_join``: the union-tag recipe — one shuffle of |L|+|R| rows on
+  the key, then an incremental running-``last`` window (constant state
+  per key, no per-row lookback buffer). This is how you do a
+  point-in-time join at 100 TB: cost identical to a sort-merge join,
+  regardless of how far back the match is. A naive range join
+  (``l.ts >= r.ts`` + row_number) explodes to |L|x|R| per key first.
+- ``sessionize``: lag + running sum over the per-key window — one
+  shuffle, constant state.
+- ``time_window_pairs``: |ts_l - ts_r| <= W self-pairs via W-wide
+  bucketing: floor(ts/W) buckets differ by at most 1 for any matching
+  pair, so the left side explodes to 3 buckets and equi-joins on the
+  right's own bucket — Catalyst runs a plain shuffled hash/SMJ, never
+  a nested-loop. Per-(key,bucket) output is quadratic in that bucket's
+  density, which is the honest lower bound for this operator; hot keys
+  salt the same way the encode path does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _epoch(col):
+    """Seconds-since-epoch double for timestamp, timestamp_ntz, date,
+    or numeric columns (TIMESTAMP_NTZ refuses a direct double cast, so
+    route through TIMESTAMP; numeric inputs round-trip unchanged)."""
+    return col.cast("timestamp").cast("double")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str,
+    right_ts: str | None = None,
+    right_cols: list[str] | None = None,
+    tolerance_sec: float | None = None,
+    direction: str = "backward",
+    matched_ts_col: str = "matched_ts",
+) -> DataFrame:
+    """Point-in-time (ASOF) left join.
+
+    For every left row, attach the right row with the greatest
+    ``right_ts`` <= ``left_ts`` within the same ``on`` key
+    (``direction="backward"``; ``"forward"`` takes the smallest
+    ``right_ts`` >= ``left_ts``). Equal timestamps match. Left rows
+    with no candidate keep NULL right columns (left-join semantics,
+    same contract as DuckDB/pandas ASOF LEFT JOIN).
+
+    ``tolerance_sec`` drops matches farther than that many seconds
+    from the left timestamp (the matched right columns become NULL,
+    the left row survives).
+
+    Right rows should be unique per (key, right_ts): among equal-key
+    equal-ts right rows the survivor is unspecified (same caveat as
+    DuckDB ASOF). Dedupe the right side first if that matters.
+
+    Implementation: union both sides tagged (right=0, left=1), one
+    window partitioned by the key ordered by (ts, tag) — right rows
+    sort before left rows at equal ts so equality matches — and a
+    running ``last(col, ignorenulls=True)`` carries the most recent
+    right values forward onto each left row. One shuffle total.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rts = right_ts or left_ts
+    rcols = right_cols or [
+        c for c in right.columns if c not in keys and c != rts
+    ]
+    lcols = [c for c in left.columns if c not in keys]
+
+    sign = 1 if direction == "backward" else -1
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+
+    l_tagged = left.select(
+        *[F.col(k) for k in keys],
+        (_epoch(F.col(left_ts)) * sign).alias("_ord"),
+        F.lit(1).alias("_tag"),
+        *[F.col(c).alias(f"_l_{c}") for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in rcols],
+        F.lit(None).cast(right.schema[rts].dataType).alias("_r_ts"),
+    )
+    r_tagged = right.select(
+        *[F.col(k) for k in keys],
+        (_epoch(F.col(rts)) * sign).alias("_ord"),
+        F.lit(0).alias("_tag"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
+          for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in rcols],
+        F.col(rts).alias("_r_ts"),
+    )
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ord", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        *keys,
+        "_ord",
+        "_tag",
+        *[F.col(f"_l_{c}") for c in lcols],
+        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+          for c in rcols],
+        F.last("_r_ts", ignorenulls=True).over(w).alias("_m_ts"),
+    )
+    out = carried.filter(F.col("_tag") == 1)
+
+    in_tol = F.lit(True)
+    if tolerance_sec is not None:
+        # _ord is sign*left_ts, so sign*_ord recovers left_ts; the
+        # extra outer sign flips the difference for the forward case,
+        # making gap the match distance (>= 0) in either direction
+        gap = (F.lit(sign) * F.col("_ord") - _epoch(F.col("_m_ts"))) \
+            * F.lit(sign)
+        in_tol = F.col("_m_ts").isNotNull() & (gap <= F.lit(tolerance_sec))
+
+    sel = [F.col(k) for k in keys]
+    sel += [F.col(f"_l_{c}").alias(c) for c in lcols]
+    for c in rcols:
+        sel.append(
+            F.when(in_tol, F.col(f"_m_{c}")).alias(c)
+            if tolerance_sec is not None
+            else F.col(f"_m_{c}").alias(c)
+        )
+    sel.append(
+        (F.when(in_tol, F.col("_m_ts")) if tolerance_sec is not None
+         else F.col("_m_ts")).alias(matched_ts_col)
+    )
+    return out.select(*sel)
+
+
+def sessionize(
+    df: DataFrame,
+    key: list[str] | str,
+    ts_col: str,
+    gap_sec: float,
+    session_col: str = "session_id",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: within each key, a new session starts
+    whenever the time since the previous event exceeds ``gap_sec``.
+    Emits a 1-based per-key session number plus the original columns.
+
+    ``tiebreak`` columns make the ordering total when timestamps can
+    collide within a key (determinism of the running sum demands a
+    total order).
+
+    One shuffle on the key; lag + running sum are both incremental
+    window aggregates (constant per-key state at any scale).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    order = [F.col(ts_col)] + [F.col(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    ts_d = _epoch(F.col(ts_col))
+    prev = F.lag(ts_d).over(w)
+    new_sess = F.when(
+        prev.isNull() | ((ts_d - prev) > F.lit(float(gap_sec))), 1
+    ).otherwise(0)
+    run = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        session_col, F.sum(new_sess).over(run).cast("long")
+    )
+
+
+def time_window_pairs(
+    df: DataFrame,
+    key: list[str] | str,
+    ts_col: str,
+    id_col: str,
+    window_sec: float,
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Unordered pairs of rows with the same key whose timestamps lie
+    within ``window_sec`` of each other (|ts_a - ts_b| <= window_sec,
+    id_a < id_b). The event-time interval self-join.
+
+    Bucketing by ``window_sec`` bounds the join: a matching pair's
+    floor(ts/W) buckets differ by at most 1, so side A explodes each
+    row to buckets {b-1, b, b+1} and equi-joins side B on its own
+    bucket — each true pair matches on exactly one exploded bucket
+    (B's bucket is a single value), so no dedup pass is needed and the
+    plan is a plain shuffled equi-join, never a nested loop.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    pay = payload_cols or []
+    w = float(window_sec)
+    b = F.floor(_epoch(F.col(ts_col)) / F.lit(w))
+
+    a = df.select(
+        *keys,
+        F.col(id_col).alias("id_a"),
+        _epoch(F.col(ts_col)).alias("_ts_a"),
+        *[F.col(c).alias(f"{c}_a") for c in pay],
+        F.explode(F.array(b - 1, b, b + 1)).alias("_jb"),
+    )
+    bb = df.select(
+        *keys,
+        F.col(id_col).alias("id_b"),
+        _epoch(F.col(ts_col)).alias("_ts_b"),
+        *[F.col(c).alias(f"{c}_b") for c in pay],
+        b.alias("_jb"),
+    )
+    out = (
+        a.join(bb, [*keys, "_jb"])
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("_ts_a") - F.col("_ts_b")) <= F.lit(w))
+        )
+        .drop("_jb", "_ts_a", "_ts_b")
+    )
+    return out

@@ -1,0 +1,162 @@
+"""Temporal operators: as-of join, sessionization, time-window pairs.
+
+Each test cross-checks against a brute-force (per-row loop) reference
+computed in Python over the same tiny frame — an independent
+formulation, not the operator's own window recipe.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from choetl_spark.operators import asof_join, sessionize, time_window_pairs
+
+UTC = dt.timezone.utc
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second, tzinfo=UTC)
+
+
+def _naive(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, _naive(5), "l1"), (1, _naive(10), "l2"), (1, _naive(2), "l0"),
+         (2, _naive(7), "l3"), (3, _naive(1), "l4")],
+        "k int, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, _naive(4), 40.0), (1, _naive(10), 100.0), (1, _naive(9), 90.0),
+         (2, _naive(8), 80.0)],
+        "k int, ts timestamp, rv double",
+    )
+    out = {
+        r["lv"]: (r["rv"], r["matched_ts"])
+        for r in asof_join(left, right, "k", "ts").collect()
+    }
+    assert out["l0"] == (None, None)           # no right row at/before 0:02
+    assert out["l1"] == (40.0, _naive(4))      # latest <= 0:05
+    assert out["l2"] == (100.0, _naive(10))    # equal ts matches
+    assert out["l3"] == (None, None)           # right at 0:08 is AFTER 0:07
+    assert out["l4"] == (None, None)           # key 3 has no right rows
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, _naive(5), "a"), (1, _naive(20), "b")],
+        "k int, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, _naive(7), 7.0), (1, _naive(50), 50.0)],
+        "k int, ts timestamp, rv double",
+    )
+    fwd = {
+        r["lv"]: r["rv"]
+        for r in asof_join(left, right, "k", "ts", direction="forward")
+        .collect()
+    }
+    assert fwd == {"a": 7.0, "b": 50.0}  # smallest right ts >= left ts
+    tol = {
+        r["lv"]: r["rv"]
+        for r in asof_join(
+            left, right, "k", "ts", direction="forward",
+            tolerance_sec=300,
+        ).collect()
+    }
+    assert tol == {"a": 7.0, "b": None}  # 0:50 is 30 min past 0:20
+
+
+def test_asof_join_matches_bruteforce_on_events(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    got = {
+        r["event_id"]: r["view_id"]
+        for r in asof_join(
+            clicks, views, "user_id", "ts", right_cols=["view_id"]
+        ).collect()
+    }
+    vrows = sorted(
+        views.collect(), key=lambda r: (r["user_id"], r["ts"], r["view_id"])
+    )
+    want = {}
+    for c in clicks.collect():
+        best = None
+        for v in vrows:
+            if v["user_id"] == c["user_id"] and v["ts"] <= c["ts"]:
+                if best is None or v["ts"] > best[0]:
+                    best = (v["ts"], v["view_id"])
+        want[c["event_id"]] = best[1] if best else None
+    assert got == want
+
+
+def test_sessionize_gap(spark):
+    rows = [
+        (1, _naive(0), 10), (1, _naive(5), 11), (1, _naive(40), 12),
+        (1, _naive(41), 13), (2, _naive(0), 20),
+    ]
+    df = spark.createDataFrame(rows, "u int, ts timestamp, eid int")
+    out = {
+        r["eid"]: r["session_id"]
+        for r in sessionize(
+            df, "u", "ts", gap_sec=30 * 60, tiebreak=["eid"]
+        ).collect()
+    }
+    assert out == {10: 1, 11: 1, 12: 2, 13: 2, 20: 1}
+
+
+def test_sessionize_no_single_task_exchange(spark):
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("u"),
+        F.timestamp_seconds(F.col("id") * 100).alias("ts"),
+        F.col("id").alias("eid"),
+    )
+    plan = sessionize(
+        df, "u", "ts", gap_sec=60, tiebreak=["eid"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_time_window_pairs_bruteforce(spark):
+    import itertools
+
+    rows = [
+        (1, 0.0, 1), (1, 50.0, 2), (1, 100.0, 3), (1, 260.0, 4),
+        (2, 0.0, 5), (2, 301.0, 6), (3, 10.0, 7),
+    ]
+    df = spark.createDataFrame(rows, "u int, tsec double, eid int").select(
+        "u", F.timestamp_seconds("tsec").alias("ts"), "eid"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in time_window_pairs(df, "u", "ts", "eid", 300.0).collect()
+    }
+    want = {
+        (min(a[2], b[2]), max(a[2], b[2]))
+        for a, b in itertools.combinations(rows, 2)
+        if a[0] == b[0] and abs(a[1] - b[1]) <= 300.0
+    }
+    assert got == want
+    assert (1, 4) not in got or 260.0 <= 300.0  # boundary sanity
+    assert (5, 6) not in got                    # 301 > 300 excluded
+
+
+def test_time_window_pairs_no_nested_loop(spark):
+    df = spark.range(50).select(
+        (F.col("id") % 5).alias("u"),
+        F.timestamp_seconds(F.col("id") * 37).alias("ts"),
+        F.col("id").alias("eid"),
+    )
+    plan = time_window_pairs(
+        df, "u", "ts", "eid", 120.0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
