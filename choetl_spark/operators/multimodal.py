@@ -90,6 +90,119 @@ def _decode_bmp24(payload: bytes) -> np.ndarray:
     return img.copy()
 
 
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a WAV payload to (float32 samples in [-1, 1] shaped
+    [n_frames, n_channels], sample_rate).
+
+    REAL for RIFF/WAVE PCM (8/16/32-bit integer) — parseable with the
+    stdlib ``wave`` module plus numpy, no codec libraries. Compressed
+    audio (MP3/AAC/OGG/FLAC) raises NotImplementedError, the same
+    environmental gate as ``decode_image``."""
+    import io
+    import wave
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only RIFF/WAVE PCM decodes without codec libraries; "
+            "MP3/AAC/OGG/FLAC need ffmpeg/libsndfile (not in this "
+            "container)"
+        )
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n_ch = wf.getnchannels()
+        width = wf.getsampwidth()
+        rate = wf.getframerate()
+        raw = wf.readframes(wf.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 1:  # 8-bit WAV is unsigned, midpoint 128
+        x = (
+            np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0
+        ) / 128.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    else:
+        raise NotImplementedError(f"PCM sample width {width} unsupported")
+    return x.reshape(-1, n_ch), rate
+
+
+def audio_features(payload: bytes, n_bands: int = 8) -> dict:
+    """Spectral + time-domain features of a WAV payload: duration, RMS,
+    zero-crossing rate, spectral centroid (Hz), and ``n_bands``
+    log-spaced band energies from one rFFT over the mono downmix. All
+    numpy — the real (non-stub) audio feature path."""
+    x, rate = decode_audio(payload)
+    mono = x.mean(axis=1)
+    n = len(mono)
+    if n == 0:
+        return {
+            "sample_rate": rate, "n_samples": 0, "duration_sec": 0.0,
+            "rms": 0.0, "zcr": 0.0, "centroid_hz": 0.0,
+            "bands": [0.0] * n_bands,
+        }
+    rms = float(np.sqrt(np.mean(mono * mono)))
+    zcr = float(np.mean(np.signbit(mono[:-1]) != np.signbit(mono[1:]))) \
+        if n > 1 else 0.0
+    spec = np.abs(np.fft.rfft(mono))
+    freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+    power = spec * spec
+    tot = float(power.sum())
+    centroid = float((freqs * power).sum() / tot) if tot > 0 else 0.0
+    # log-spaced band edges from 20 Hz to Nyquist
+    edges = np.geomspace(20.0, rate / 2.0, n_bands + 1)
+    band_e = [
+        float(power[(freqs >= lo) & (freqs < hi)].sum())
+        for lo, hi in zip(edges[:-1], edges[1:])
+    ]
+    return {
+        "sample_rate": rate,
+        "n_samples": n,
+        "duration_sec": n / rate,
+        "rms": rms,
+        "zcr": zcr,
+        "centroid_hz": centroid,
+        "bands": band_e,
+    }
+
+
+AUDIO_FEATURES_DDL = (
+    "sample_rate int, n_samples long, duration_sec double, rms double, "
+    "zcr double, centroid_hz double, bands array<double>"
+)
+
+
+def extract_audio_features(
+    df: DataFrame,
+    payload_col: str,
+    id_col: str,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Arrow-batched WAV feature extraction: (id, audio feature columns).
+
+    Per-item Python is inherent to media decode (same shape as
+    ``extract_features``); the batch boundary stays Arrow and oversized
+    payloads should be size-capped upstream."""
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for pid, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    continue
+                f = audio_features(bytes(p), n_bands=n_bands)
+                f[id_col] = pid
+                rows.append(f)
+            cols = [
+                id_col, "sample_rate", "n_samples", "duration_sec",
+                "rms", "zcr", "centroid_hz", "bands",
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, payload_col).mapInPandas(
+        kernel, f"{id_col} {id_ddl}, {AUDIO_FEATURES_DDL}"
+    )
+
+
 def fake_features(payload: bytes, dim: int = 16) -> np.ndarray:
     """Deterministic stand-in feature vector: sha256-seeded floats.
 

@@ -67,6 +67,97 @@ def dedup_stream(
     )
 
 
+def sessionize_stream(
+    stream_df: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_sec: float,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Stateful streaming gap-sessionization: emits one row per CLOSED
+    session ``(key, session_start, session_end, n_events)``. A session
+    closes when a later event of the same key arrives more than
+    ``gap_sec`` after it, or when the event-time watermark passes its
+    timeout (no successor can ever arrive — late data beyond the
+    watermark is dropped by Spark before the operator sees it).
+
+    The custom-stateful-operator shape: ``applyInPandasWithState`` with
+    EventTimeTimeout. Per-key state is three scalars (open session
+    start / last ts / count) however long the stream runs — the state
+    store (RocksDB on a real cluster) holds one tiny row per ACTIVE
+    key, and the watermark timeout garbage-collects idle keys, so
+    state is bounded by key activity, not stream length. The batch
+    equivalent (same gap rule) is :func:`choetl_spark.operators.
+    sessionize`; this is the continuous form.
+    """
+    import pandas as pd
+
+    gap_ms = int(float(gap_sec) * 1000)
+
+    def fn(key_tuple, pdf_iter, state):
+        closed: list[tuple] = []
+        if state.hasTimedOut:
+            s, last, n = state.get
+            closed.append((key_tuple[0], s, last, n))
+            state.remove()
+        else:
+            if state.exists:
+                s, last, n = state.get
+            else:
+                s = last = None
+                n = 0
+            ts_vals: list[float] = []
+            for pdf in pdf_iter:
+                ts_vals.extend(
+                    pdf[ts_col].astype("int64").to_numpy() / 1e9
+                )
+            for t in sorted(ts_vals):
+                if s is None:
+                    s, last, n = t, t, 1
+                elif t - last > float(gap_sec):
+                    closed.append((key_tuple[0], s, last, n))
+                    s, last, n = t, t, 1
+                else:
+                    last = max(last, t)
+                    n += 1
+            if s is not None:
+                state.update((float(s), float(last), int(n)))
+                # timeout must sit strictly above the current watermark
+                # or Spark rejects it (the session would close instantly)
+                timeout = max(
+                    int(last * 1000) + gap_ms,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+                state.setTimeoutTimestamp(timeout)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    key: [c[0] for c in closed],
+                    "session_start": pd.to_datetime(
+                        [c[1] for c in closed], unit="s"
+                    ),
+                    "session_end": pd.to_datetime(
+                        [c[2] for c in closed], unit="s"
+                    ),
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    key_type = stream_df.schema[key].dataType.simpleString()
+    out_schema = (
+        f"`{key}` {key_type}, session_start timestamp, "
+        "session_end timestamp, n_events bigint"
+    )
+    state_schema = "s double, last double, n bigint"
+    return (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .groupBy(key)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", "EventTimeTimeout"
+        )
+    )
+
+
 def upsert_sink(
     spark: SparkSession,
     out_dir: str,

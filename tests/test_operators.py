@@ -393,6 +393,89 @@ def test_decode_image_real_for_uncompressed_formats():
         decode_image(b"\x89PNG\r\n\x1a\n")
 
 
+def _make_wav(
+    freq: float = 440.0,
+    rate: int = 8000,
+    sec: float = 0.5,
+    channels: int = 1,
+    width: int = 2,
+) -> bytes:
+    import io
+    import wave
+
+    n = int(rate * sec)
+    t = np.arange(n) / rate
+    x = np.sin(2 * np.pi * freq * t)
+    if width == 2:
+        pcm = (x * 32000).astype("<i2")
+    elif width == 1:
+        pcm = (x * 120 + 128).astype(np.uint8)
+    else:
+        pcm = (x * 2e9).astype("<i4")
+    if channels == 2:
+        pcm = np.repeat(pcm, 2)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(channels)
+        wf.setsampwidth(width)
+        wf.setframerate(rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def test_decode_audio_wav_pcm():
+    """RIFF/WAVE PCM decodes exactly (16/8-bit, mono/stereo) with the
+    stdlib alone; compressed audio stays gated."""
+    from choetl_spark.operators.multimodal import decode_audio
+
+    x, rate = decode_audio(_make_wav(rate=8000, sec=0.25))
+    assert rate == 8000 and x.shape == (2000, 1)
+    assert x.dtype == np.float32 and np.abs(x).max() <= 1.0
+    x2, _ = decode_audio(_make_wav(channels=2))
+    assert x2.shape[1] == 2
+    assert np.allclose(x2[:, 0], x2[:, 1])  # duplicated channels
+    x8, _ = decode_audio(_make_wav(width=1))
+    assert np.abs(x8).max() <= 1.0
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04\x00\x00")  # MP3 magic
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"OggS\x00")
+
+
+def test_audio_features_spectral():
+    """The rFFT features recover the planted tone: centroid ~= the sine
+    frequency, ZCR ~= 2f/rate, duration exact."""
+    from choetl_spark.operators.multimodal import audio_features
+
+    f = audio_features(_make_wav(freq=440.0, rate=8000, sec=0.5))
+    assert f["sample_rate"] == 8000
+    assert f["n_samples"] == 4000
+    assert abs(f["duration_sec"] - 0.5) < 1e-9
+    assert abs(f["centroid_hz"] - 440.0) < 15.0
+    assert abs(f["zcr"] - 2 * 440.0 / 8000) < 0.01
+    assert abs(f["rms"] - (32000 / 32768) / np.sqrt(2)) < 0.01
+    # the band containing 440 Hz dominates
+    assert np.argmax(f["bands"]) == int(
+        np.searchsorted(np.geomspace(20.0, 4000.0, 9), 440.0) - 1
+    )
+
+
+def test_extract_audio_features_spark(spark):
+    from choetl_spark.operators.multimodal import extract_audio_features
+
+    rows = [
+        (1, _make_wav(freq=200.0)), (2, _make_wav(freq=1000.0)), (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {
+        r["doc_id"]: r
+        for r in extract_audio_features(df, "payload", "doc_id").collect()
+    }
+    assert set(out) == {1, 2}  # null payloads drop
+    assert out[1]["centroid_hz"] < out[2]["centroid_hz"]
+    assert all(len(out[k]["bands"]) == 8 for k in out)
+
+
 def test_no_cartesian_in_lsh(spark, embs):
     q = [0.1] * len(embs.limit(1).collect()[0]["embedding"])
     df = cosine_topk_lsh(embs, q, 5)
