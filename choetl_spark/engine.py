@@ -127,6 +127,11 @@ class EncodeConfig:
     # type the store supports (strings hash through the Bloom kernel's
     # byte pass, fixed-width types through their 64-bit pattern).
     ndv_columns: tuple = ()
+    # opt-in per-chunk equi-depth quantile digests (stats JSON,
+    # ~0.5 KB/chunk): store-level approx percentiles from metadata only
+    # via quantiles.approx_quantile — the other half of the ANALYZE
+    # stats next to ndv_columns. Numeric/temporal/bool columns.
+    quantile_columns: tuple = ()
 
 
 # ---------------------------------------------------------------------------
@@ -328,6 +333,12 @@ def _encode_piece(
             h = hll_build(sl)
             if h is not None:  # all-null chunks carry no sketch
                 st_dict["hll"] = h
+        if name in cfg.quantile_columns:
+            from choetl_spark.quantiles import qdigest_build
+
+            qd = qdigest_build(sl)
+            if qd is not None:  # all-null chunks carry no digest
+                st_dict["qdigest"] = qd
         out["stats"].append(json.dumps(st_dict, separators=(",", ":")))
         row_base[name] += ln
         seq_base[name] += 1

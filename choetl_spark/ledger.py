@@ -1645,6 +1645,9 @@ def encode_with_resume(
             ndv_columns=tuple(
                 phys_map.get(c, c) for c in cfg.ndv_columns
             ),
+            quantile_columns=tuple(
+                phys_map.get(c, c) for c in cfg.quantile_columns
+            ),
             codec_overrides={
                 phys_map.get(c, c): v
                 for c, v in cfg.codec_overrides.items()
