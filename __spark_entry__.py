@@ -1684,6 +1684,69 @@ def q_time_window_pairs_events(spark, sf_dir):
     ).select("id_a", "id_b")
 
 
+def q_rolling_window_events(spark, sf_dir):
+    """Time-RANGE rolling aggregate: per user, the sum/count of event
+    values in the trailing hour (rangeBetween on epoch seconds — the
+    moving-window form Spark executes as one shuffle + an incremental
+    frame, no self-join). Oracle: DuckDB RANGE frame."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(epoch)
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        F.count("*").over(w).alias("n_trailing_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_trailing_1h"),
+    )
+
+
+def q_pivot_event_counts(spark, sf_dir):
+    """Pivot: per-user event counts spread across event-type columns
+    (groupBy().pivot() — map-side partial aggregation then one shuffle;
+    the pivot values are declared so the plan needs no extra distinct
+    pass). Oracle: conditional aggregation in SQL."""
+    ev = _read(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "error", "scroll"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL for absent combinations; count semantics say 0
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP aggregation: order totals by (status, priority) with
+    subtotal and grand-total rows (grouping-sets in one pass — Spark
+    expands the grouping sets before the single shuffle). Oracle:
+    DuckDB GROUP BY ROLLUP."""
+    orders = _read(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1755,6 +1818,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges_documents": q_bpe_merges_documents,
         "vector_store_roundtrip": q_vector_store_roundtrip,
         "asof_join_events": q_asof_join_events,
+        "rolling_window_events": q_rolling_window_events,
+        "pivot_event_counts": q_pivot_event_counts,
+        "rollup_revenue": q_rollup_revenue,
         "sessionize_events": q_sessionize_events,
         "time_window_pairs_events": q_time_window_pairs_events,
     }
@@ -2840,6 +2906,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(embedding[len(embedding)] AS DOUBLE) AS last_v,
                    label
             FROM embeddings
+        """,
+        "rolling_window_events": """
+            SELECT event_id,
+                   count(*) OVER w AS n_trailing_1h,
+                   round(sum(value) OVER w, 2) AS sum_trailing_1h
+            FROM events
+            WINDOW w AS (
+              PARTITION BY user_id ORDER BY epoch(ts)
+              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+            )
+        """,
+        "pivot_event_counts": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click')    AS n_click,
+                   count(*) FILTER (event_type = 'view')     AS n_view,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'error')    AS n_error,
+                   count(*) FILTER (event_type = 'scroll')   AS n_scroll
+            FROM events GROUP BY user_id
+        """,
+        "rollup_revenue": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
         "asof_join_events": """
             WITH clicks AS (
