@@ -1713,7 +1713,7 @@ def q_pivot_event_counts(spark, sf_dir):
     the pivot values are declared so the plan needs no extra distinct
     pass). Oracle: conditional aggregation in SQL."""
     ev = _read(spark, sf_dir, "events")
-    types = ["click", "view", "purchase", "error", "scroll"]
+    types = ["signup", "click", "view", "purchase", "error"]
     out = (
         ev.groupBy("user_id")
         .pivot("event_type", types)
@@ -2919,11 +2919,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pivot_event_counts": """
             SELECT user_id,
+                   count(*) FILTER (event_type = 'signup')   AS n_signup,
                    count(*) FILTER (event_type = 'click')    AS n_click,
                    count(*) FILTER (event_type = 'view')     AS n_view,
                    count(*) FILTER (event_type = 'purchase') AS n_purchase,
-                   count(*) FILTER (event_type = 'error')    AS n_error,
-                   count(*) FILTER (event_type = 'scroll')   AS n_scroll
+                   count(*) FILTER (event_type = 'error')    AS n_error
             FROM events GROUP BY user_id
         """,
         "rollup_revenue": """

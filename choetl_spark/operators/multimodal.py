@@ -107,11 +107,20 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
             "MP3/AAC/OGG/FLAC need ffmpeg/libsndfile (not in this "
             "container)"
         )
-    with wave.open(io.BytesIO(payload), "rb") as wf:
-        n_ch = wf.getnchannels()
-        width = wf.getsampwidth()
-        rate = wf.getframerate()
-        raw = wf.readframes(wf.getnframes())
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            n_ch = wf.getnchannels()
+            width = wf.getsampwidth()
+            rate = wf.getframerate()
+            raw = wf.readframes(wf.getnframes())
+    except wave.Error as e:
+        # non-PCM RIFF/WAVE (IEEE float, ADPCM, a-law, ...) must land on
+        # the same recognizable gate as compressed formats, not crash a
+        # Spark task with a bare wave.Error
+        raise NotImplementedError(
+            f"non-PCM RIFF/WAVE payload ({e}); only integer PCM decodes "
+            f"without codec libraries"
+        ) from e
     if width == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif width == 1:  # 8-bit WAV is unsigned, midpoint 128

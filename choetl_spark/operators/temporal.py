@@ -50,6 +50,7 @@ def asof_join(
     tolerance_sec: float | None = None,
     direction: str = "backward",
     matched_ts_col: str = "matched_ts",
+    suffix: str = "_r",
 ) -> DataFrame:
     """Point-in-time (ASOF) left join.
 
@@ -68,11 +69,17 @@ def asof_join(
     equal-ts right rows the survivor is unspecified (same caveat as
     DuckDB ASOF). Dedupe the right side first if that matters.
 
+    Right columns whose names collide with left/key columns come back
+    with ``suffix`` appended (pandas ``merge_asof`` discipline); the
+    matched row is carried as ONE struct through a single running
+    ``last(ignorenulls)``, so all returned right values — including
+    NULLs — belong to the same right row.
+
     Implementation: union both sides tagged (right=0, left=1), one
     window partitioned by the key ordered by (ts, tag) — right rows
-    sort before left rows at equal ts so equality matches — and a
-    running ``last(col, ignorenulls=True)`` carries the most recent
-    right values forward onto each left row. One shuffle total.
+    sort before left rows at equal ts so equality matches — and the
+    running last carries the most recent right ROW forward onto each
+    left row. One shuffle total.
     """
     keys = [on] if isinstance(on, str) else list(on)
     rts = right_ts or left_ts
@@ -81,18 +88,39 @@ def asof_join(
     ]
     lcols = [c for c in left.columns if c not in keys]
 
+    taken = set(keys) | set(lcols)
+    out_names = {}
+    for c in rcols:
+        name = c if c not in taken else f"{c}{suffix}"
+        if name in taken or name in out_names.values():
+            raise ValueError(
+                f"asof_join output column collision for {name!r}; "
+                f"rename the input columns or pass a different suffix"
+            )
+        out_names[c] = name
+    if matched_ts_col in taken or matched_ts_col in out_names.values():
+        raise ValueError(
+            f"matched_ts_col {matched_ts_col!r} collides with an output "
+            f"column; pass a different matched_ts_col"
+        )
+
     sign = 1 if direction == "backward" else -1
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
 
+    # ONE struct carries the whole matched right row (fields + its ts):
+    # per-column last(ignorenulls) would splice values from different
+    # right rows whenever a later row holds a NULL payload
+    r_struct_ddl = "struct<" + ",".join(
+        [f"`{c}`:{right.schema[c].dataType.simpleString()}" for c in rcols]
+        + [f"`__ts`:{right.schema[rts].dataType.simpleString()}"]
+    ) + ">"
     l_tagged = left.select(
         *[F.col(k) for k in keys],
         (_epoch(F.col(left_ts)) * sign).alias("_ord"),
         F.lit(1).alias("_tag"),
         *[F.col(c).alias(f"_l_{c}") for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in rcols],
-        F.lit(None).cast(right.schema[rts].dataType).alias("_r_ts"),
+        F.lit(None).cast(r_struct_ddl).alias("_r"),
     )
     r_tagged = right.select(
         *[F.col(k) for k in keys],
@@ -100,8 +128,10 @@ def asof_join(
         F.lit(0).alias("_tag"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
           for c in lcols],
-        *[F.col(c).alias(f"_r_{c}") for c in rcols],
-        F.col(rts).alias("_r_ts"),
+        F.struct(
+            *[F.col(c).alias(c) for c in rcols],
+            F.col(rts).alias("__ts"),
+        ).cast(r_struct_ddl).alias("_r"),
     )
 
     w = (
@@ -114,33 +144,24 @@ def asof_join(
         "_ord",
         "_tag",
         *[F.col(f"_l_{c}") for c in lcols],
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
-          for c in rcols],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_m_ts"),
+        F.last("_r", ignorenulls=True).over(w).alias("_m"),
     )
     out = carried.filter(F.col("_tag") == 1)
 
-    in_tol = F.lit(True)
+    matched = F.col("_m")
     if tolerance_sec is not None:
         # _ord is sign*left_ts, so sign*_ord recovers left_ts; the
         # extra outer sign flips the difference for the forward case,
         # making gap the match distance (>= 0) in either direction
-        gap = (F.lit(sign) * F.col("_ord") - _epoch(F.col("_m_ts"))) \
+        gap = (F.lit(sign) * F.col("_ord") - _epoch(F.col("_m.__ts"))) \
             * F.lit(sign)
-        in_tol = F.col("_m_ts").isNotNull() & (gap <= F.lit(tolerance_sec))
+        in_tol = F.col("_m").isNotNull() & (gap <= F.lit(tolerance_sec))
+        matched = F.when(in_tol, F.col("_m"))
 
     sel = [F.col(k) for k in keys]
     sel += [F.col(f"_l_{c}").alias(c) for c in lcols]
-    for c in rcols:
-        sel.append(
-            F.when(in_tol, F.col(f"_m_{c}")).alias(c)
-            if tolerance_sec is not None
-            else F.col(f"_m_{c}").alias(c)
-        )
-    sel.append(
-        (F.when(in_tol, F.col("_m_ts")) if tolerance_sec is not None
-         else F.col("_m_ts")).alias(matched_ts_col)
-    )
+    sel += [matched[c].alias(out_names[c]) for c in rcols]
+    sel.append(matched["__ts"].alias(matched_ts_col))
     return out.select(*sel)
 
 

@@ -82,64 +82,87 @@ def sessionize_stream(
     watermark is dropped by Spark before the operator sees it).
 
     The custom-stateful-operator shape: ``applyInPandasWithState`` with
-    EventTimeTimeout. Per-key state is three scalars (open session
-    start / last ts / count) however long the stream runs — the state
-    store (RocksDB on a real cluster) holds one tiny row per ACTIVE
-    key, and the watermark timeout garbage-collects idle keys, so
-    state is bounded by key activity, not stream length. The batch
-    equivalent (same gap rule) is :func:`choetl_spark.operators.
+    EventTimeTimeout. Per-key state is the list of OPEN session
+    intervals ``(start, last, n)`` — a session interval closes only
+    once the watermark passes ``last + gap_sec`` (no on-time event can
+    merge into it anymore), so out-of-order arrivals WITHIN the
+    watermark delay sessionize exactly like the batch operator: an
+    early straggler extends a session backward or founds its own
+    earlier session, and adjacent intervals merge when a straggler
+    bridges their gap. The state store (RocksDB on a real cluster)
+    holds one small row per ACTIVE key — intervals are closed/GC'd by
+    the watermark, so state is bounded by key activity inside the
+    watermark horizon, not stream length. Null event times are
+    dropped (they carry no position on the session timeline). The
+    batch equivalent (same gap rule) is :func:`choetl_spark.operators.
     sessionize`; this is the continuous form.
     """
     import pandas as pd
 
-    gap_ms = int(float(gap_sec) * 1000)
+    gap = float(gap_sec)
+
+    def _merge(intervals: list[list], points: list[float]) -> list[list]:
+        """Fold event points into gap-linked intervals (both sides:
+        a point within gap of an interval's edge joins it, and two
+        intervals bridged by a point merge)."""
+        items = [list(iv) for iv in intervals] + [
+            [t, t, 1] for t in points
+        ]
+        items.sort(key=lambda iv: iv[0])
+        out: list[list] = []
+        for iv in items:
+            if out and iv[0] - out[-1][1] <= gap:
+                out[-1][1] = max(out[-1][1], iv[1])
+                out[-1][2] += iv[2]
+            else:
+                out.append(iv)
+        return out
 
     def fn(key_tuple, pdf_iter, state):
-        closed: list[tuple] = []
-        if state.hasTimedOut:
-            s, last, n = state.get
-            closed.append((key_tuple[0], s, last, n))
-            state.remove()
+        if state.exists:
+            s_st, l_st, n_st = state.get
+            intervals = [
+                [s, e, n] for s, e, n in zip(s_st, l_st, n_st)
+            ]
         else:
-            if state.exists:
-                s, last, n = state.get
-            else:
-                s = last = None
-                n = 0
-            ts_vals: list[float] = []
+            intervals = []
+        if not state.hasTimedOut:
+            pts: list[float] = []
             for pdf in pdf_iter:
-                ts_vals.extend(
-                    pdf[ts_col].astype("int64").to_numpy() / 1e9
-                )
-            for t in sorted(ts_vals):
-                if s is None:
-                    s, last, n = t, t, 1
-                elif t - last > float(gap_sec):
-                    closed.append((key_tuple[0], s, last, n))
-                    s, last, n = t, t, 1
-                else:
-                    last = max(last, t)
-                    n += 1
-            if s is not None:
-                state.update((float(s), float(last), int(n)))
-                # timeout must sit strictly above the current watermark
-                # or Spark rejects it (the session would close instantly)
-                timeout = max(
-                    int(last * 1000) + gap_ms,
-                    state.getCurrentWatermarkMs() + 1,
-                )
-                state.setTimeoutTimestamp(timeout)
+                ts = pdf[ts_col].dropna()
+                pts.extend(ts.astype("int64").to_numpy() / 1e9)
+            intervals = _merge(intervals, pts)
+        # close every interval no on-time event can still reach:
+        # arrivals from here on have ts >= watermark > last + gap
+        wm = state.getCurrentWatermarkMs() / 1000.0
+        closed = [iv for iv in intervals if iv[1] + gap < wm]
+        open_ = [iv for iv in intervals if iv[1] + gap >= wm]
+        if open_:
+            state.update((
+                [float(iv[0]) for iv in open_],
+                [float(iv[1]) for iv in open_],
+                [int(iv[2]) for iv in open_],
+            ))
+            # wake when the earliest open interval becomes closable;
+            # must sit strictly above the current watermark
+            timeout = max(
+                int((min(iv[1] for iv in open_) + gap) * 1000) + 1,
+                state.getCurrentWatermarkMs() + 1,
+            )
+            state.setTimeoutTimestamp(timeout)
+        elif state.exists:
+            state.remove()
         if closed:
             yield pd.DataFrame(
                 {
-                    key: [c[0] for c in closed],
+                    key: [key_tuple[0]] * len(closed),
                     "session_start": pd.to_datetime(
-                        [c[1] for c in closed], unit="s"
+                        [c[0] for c in closed], unit="s"
                     ),
                     "session_end": pd.to_datetime(
-                        [c[2] for c in closed], unit="s"
+                        [c[1] for c in closed], unit="s"
                     ),
-                    "n_events": [c[3] for c in closed],
+                    "n_events": [c[2] for c in closed],
                 }
             )
 
@@ -148,7 +171,9 @@ def sessionize_stream(
         f"`{key}` {key_type}, session_start timestamp, "
         "session_end timestamp, n_events bigint"
     )
-    state_schema = "s double, last double, n bigint"
+    state_schema = (
+        "starts array<double>, lasts array<double>, ns array<bigint>"
+    )
     return (
         stream_df.withWatermark(ts_col, watermark_delay)
         .groupBy(key)

@@ -440,6 +440,21 @@ def test_decode_audio_wav_pcm():
         decode_audio(b"ID3\x04\x00\x00")  # MP3 magic
     with pytest.raises(NotImplementedError):
         decode_audio(b"OggS\x00")
+    # non-PCM RIFF/WAVE (IEEE float, fmt code 3) must hit the SAME gate,
+    # not leak a bare wave.Error into the Spark task
+    float_wav = (
+        b"RIFF" + (36).to_bytes(4, "little") + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (3).to_bytes(2, "little")   # WAVE_FORMAT_IEEE_FLOAT
+        + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little")
+        + (32000).to_bytes(4, "little")
+        + (4).to_bytes(2, "little")
+        + (32).to_bytes(2, "little")
+        + b"data" + (0).to_bytes(4, "little")
+    )
+    with pytest.raises(NotImplementedError, match="non-PCM"):
+        decode_audio(float_wav)
 
 
 def test_audio_features_spectral():

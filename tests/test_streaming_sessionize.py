@@ -32,8 +32,8 @@ def test_sessionize_stream_gap_and_timeout(spark, tmp_path):
     src.mkdir()
     now = time.time()
     # batch 1: user 1 has a 2-event session (0s, 60s) then a lone event
-    # at 10000s — the first session closes IN BATCH (gap > 300s), the
-    # lone event stays open in state; watermark after batch 1 = 10000s
+    # at 10000s — both stay open (watermark is still 0 during batch 1);
+    # the first closes via timeout once the watermark passes 360s
     _write_batch(
         spark, src / "f1",
         [(1, _naive(0)), (1, _naive(60)), (1, _naive(10000))],
@@ -66,13 +66,61 @@ def test_sessionize_stream_gap_and_timeout(spark, tmp_path):
         (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
         for r in spark.sql("SELECT * FROM sess_out").collect()
     }
-    assert (1, _naive(0), _naive(60), 2) in got          # in-batch gap close
+    assert (1, _naive(0), _naive(60), 2) in got          # gap close
     assert (1, _naive(10000), _naive(10000), 1) in got   # watermark timeout
     # user 2's sessions never time out before the stream drains: the
     # 20000s event closes only if a THIRD watermark advance passes its
     # timeout — 30000s landed in the final batch, so it stays open
     assert all(u != 2 or s != _naive(30000) for (u, s, _e, _n) in got)
     assert len(got) == 2 or (2, _naive(20000), _naive(20000), 1) in got
+
+
+def test_sessionize_stream_out_of_order_within_watermark(spark, tmp_path):
+    """An on-time straggler (late but inside the watermark delay) must
+    extend a session BACKWARD and bridge two open intervals — exactly
+    the batch semantics, which constant-scalar state cannot give."""
+    src = tmp_path / "in3"
+    src.mkdir()
+    now = time.time()
+    # batch 1: two events 400s apart (gap 300 -> two open intervals)
+    _write_batch(
+        spark, src / "f1", [(1, _naive(1000)), (1, _naive(1400))], now
+    )
+    # batch 2: straggler at 1200s bridges them into ONE session
+    # (watermark delay 1h keeps it on-time); also a null ts row, which
+    # must be ignored, not crash the kernel
+    _write_batch(
+        spark, src / "f2", [(1, _naive(1200)), (1, None)], now + 10
+    )
+    # batch 3+4: push the watermark far ahead so the merged session closes
+    _write_batch(spark, src / "f3", [(9, _naive(100_000))], now + 20)
+    _write_batch(spark, src / "f4", [(9, _naive(200_000))], now + 30)
+
+    stream = (
+        spark.readStream.schema("user_id int, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        sessionize_stream(
+            stream, "user_id", "ts", gap_sec=300.0,
+            watermark_delay="1 hour",
+        )
+        .writeStream.format("memory")
+        .queryName("sess_ooo")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql(
+            "SELECT * FROM sess_ooo WHERE user_id = 1"
+        ).collect()
+    }
+    assert got == {(1, _naive(1000), _naive(1400), 3)}
 
 
 def test_sessionize_stream_matches_batch_operator(spark, tmp_path):

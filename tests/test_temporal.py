@@ -99,6 +99,45 @@ def test_asof_join_matches_bruteforce_on_events(spark, sf_dir):
     assert got == want
 
 
+def test_asof_join_null_payload_is_atomic(spark):
+    """The matched right ROW is carried as one struct: a later right
+    row with a NULL payload must yield NULL (that row's value), never
+    an older row's value spliced under the newer row's timestamp."""
+    left = spark.createDataFrame(
+        [(1, _naive(20), "l")], "k int, ts timestamp, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, _naive(5), 5.0, "x5"), (1, _naive(10), None, "x10")],
+        "k int, ts timestamp, rv double, tag string",
+    )
+    r = asof_join(
+        left, right, "k", "ts", right_cols=["rv", "tag"]
+    ).collect()[0]
+    assert r["matched_ts"] == _naive(10)
+    assert r["rv"] is None          # the t=10 row's value, not 5.0
+    assert r["tag"] == "x10"        # all fields from the same row
+
+
+def test_asof_join_collision_suffix_and_raise(spark):
+    left = spark.createDataFrame(
+        [(1, _naive(5), 1.0)], "k int, ts timestamp, value double"
+    )
+    right = spark.createDataFrame(
+        [(1, _naive(4), 2.0)], "k int, ts timestamp, value double"
+    )
+    out = asof_join(left, right, "k", "ts", right_cols=["value"])
+    assert out.columns == ["k", "ts", "value", "value_r", "matched_ts"]
+    r = out.collect()[0]
+    assert r["value"] == 1.0 and r["value_r"] == 2.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="matched_ts_col"):
+        asof_join(
+            left.withColumnRenamed("value", "matched_ts"),
+            right, "k", "ts", right_cols=["value"],
+        )
+
+
 def test_sessionize_gap(spark):
     rows = [
         (1, _naive(0), 10), (1, _naive(5), 11), (1, _naive(40), 12),
