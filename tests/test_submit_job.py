@@ -334,3 +334,53 @@ def test_curate_job_ppl_and_bpe_stages(spark, tmp_path):
         decoded.limit(5), [tuple(m) for m in merges]
     ).collect()
     assert all(r["n_bpe_tokens"] > 0 for r in toks)
+
+
+def test_analyze_job_metadata_report(spark, tmp_path, capsys):
+    """analyze_job: partition rollups + approx NDV + approx quantiles
+    from chunk metadata only, honest 'unavailable' for sketch-less
+    columns. Direct main() call (the spark-submit plumbing is already
+    proven by the encode-job test)."""
+    import json as _json
+
+    from choetl_spark.engine import EncodeConfig
+    from choetl_spark.ledger import encode_with_resume
+    from choetl_spark.synth import webpages
+
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    import analyze_job
+
+    out = str(tmp_path / "astore")
+    pages = webpages(spark, 1_000, partitions=2)
+    encode_with_resume(
+        spark, pages, out,
+        EncodeConfig(
+            num_partitions=2, chunk_rows=256,
+            ndv_columns=("lang",), quantile_columns=("warc_ts",),
+        ),
+        run_id="a1",
+    )
+    rep_path = str(tmp_path / "stats.json")
+    rc = analyze_job.main([
+        "--store", out, "--ndv", "lang,url", "--quantiles", "warc_ts",
+        "--probs", "0.5", "--report", rep_path,
+    ])
+    assert rc == 0
+    rep = _json.loads(open(rep_path).read())
+    assert rep["partitions"]["live_rows"] == 1000
+    assert rep["partitions"]["n_partitions"] == 2
+    # url has no sketches -> the whole ndv block reports unavailable
+    # (approx_ndv refuses partial estimates); lang-only asks succeed
+    assert "unavailable" in rep["ndv"]
+    rc2 = analyze_job.main(["--store", out, "--ndv", "lang"])
+    captured = capsys.readouterr().out.strip().splitlines()[-1]
+    rep2 = _json.loads(captured)
+    n_langs = pages.select("lang").distinct().count()
+    assert rc2 == 0 and abs(rep2["ndv"]["lang"] - n_langs) <= 1
+    med = rep["quantiles"]["warc_ts"]["0.5"]
+    import pyspark.sql.functions as F
+
+    exact = pages.agg(
+        F.expr("percentile(cast(warc_ts as long), 0.5)")
+    ).collect()[0][0]
+    assert abs(med - float(exact) * 1e6) < 86400 * 370 * 1e6 * 0.05

@@ -189,6 +189,95 @@ def test_time_window_pairs_bruteforce(spark):
     assert (5, 6) not in got                    # 301 > 300 excluded
 
 
+def test_asof_join_randomized_torture_vs_bruteforce(spark):
+    """Seeded dense random case: few keys, colliding coarse timestamps
+    (dedup'd right side), NULL payloads, backward AND forward, with and
+    without tolerance — all checked against a per-row brute force."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    lrows = [
+        (int(rng.integers(0, 4)), _naive(int(rng.integers(0, 50)),
+                                         int(rng.integers(0, 2)) * 30), i)
+        for i in range(120)
+    ]
+    rraw = [
+        (int(rng.integers(0, 4)), _naive(int(rng.integers(0, 50)),
+                                         int(rng.integers(0, 2)) * 30),
+         None if rng.random() < 0.3 else float(i))
+        for i in range(90)
+    ]
+    # dedupe right per (k, ts): keep max value (None sorts first)
+    seen: dict = {}
+    for k, t, v in rraw:
+        cur = seen.get((k, t), ("absent",))
+        if cur == ("absent",) or (v is not None and (
+                cur[0] is None or v > cur[0])):
+            seen[(k, t)] = (v,)
+    rrows = [(k, t, v[0]) for (k, t), v in seen.items()]
+
+    left = spark.createDataFrame(lrows, "k int, ts timestamp, lid int")
+    right = spark.createDataFrame(rrows, "k int, ts timestamp, rv double")
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 600.0):
+            got = {
+                r["lid"]: (r["rv"], r["matched_ts"])
+                for r in asof_join(
+                    left, right, "k", "ts", right_cols=["rv"],
+                    direction=direction, tolerance_sec=tol,
+                ).collect()
+            }
+            for k, t, lid in lrows:
+                cand = [
+                    (rt, rv) for (rk, rt, rv) in rrows
+                    if rk == k
+                    and (rt <= t if direction == "backward" else rt >= t)
+                ]
+                if cand:
+                    rt, rv = (max if direction == "backward" else min)(
+                        cand, key=lambda c: c[0]
+                    )
+                    if tol is not None and abs(
+                        (t - rt).total_seconds()
+                    ) > tol:
+                        rt = rv = None
+                else:
+                    rt = rv = None
+                assert got[lid] == (rv, rt), (direction, tol, lid)
+
+
+def test_sessionize_randomized_vs_bruteforce(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (int(rng.integers(0, 5)),
+         _naive(int(rng.integers(0, 59)), int(rng.integers(0, 60))), i)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "u int, ts timestamp, eid int")
+    got = {
+        r["eid"]: r["session_id"]
+        for r in sessionize(
+            df, "u", "ts", gap_sec=120.0, tiebreak=["eid"]
+        ).collect()
+    }
+    by_user: dict = {}
+    for u, t, eid in rows:
+        by_user.setdefault(u, []).append((t, eid))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        sid, prev = 0, None
+        for t, eid in evs:
+            if prev is None or (t - prev).total_seconds() > 120.0:
+                sid += 1
+            want[eid] = sid
+            prev = t
+    assert got == want
+
+
 def test_time_window_pairs_no_nested_loop(spark):
     df = spark.range(50).select(
         (F.col("id") % 5).alias("u"),
