@@ -1684,6 +1684,19 @@ def q_time_window_pairs_events(spark, sf_dir):
     ).select("id_a", "id_b")
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Token-window document chunking (64-token windows, 16-token
+    overlap) — pure codegen split/sequence/posexplode/slice, zero
+    shuffle. The oracle rebuilds the same windows with DuckDB list
+    lambdas + generate_series."""
+    from choetl_spark.operators import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "text", "doc_id", max_tokens=64, overlap=16
+    )
+
+
 def q_rolling_window_events(spark, sf_dir):
     """Time-RANGE rolling aggregate: per user, the sum/count of event
     values in the trailing hour (rangeBetween on epoch seconds — the
@@ -1819,6 +1832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_store_roundtrip": q_vector_store_roundtrip,
         "asof_join_events": q_asof_join_events,
         "rolling_window_events": q_rolling_window_events,
+        "chunk_documents": q_chunk_documents,
         "pivot_event_counts": q_pivot_event_counts,
         "rollup_revenue": q_rollup_revenue,
         "sessionize_events": q_sessionize_events,
@@ -2906,6 +2920,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(embedding[len(embedding)] AS DOUBLE) AS last_v,
                    label
             FROM embeddings
+        """,
+        "chunk_documents": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 t -> t != '') AS tk
+              FROM documents
+            ),
+            idx AS (
+              SELECT doc_id, tk,
+                     generate_subscripts(
+                       range(0, greatest(len(tk), 1), 48), 1) - 1
+                         AS chunk_idx,
+                     unnest(range(0, greatest(len(tk), 1), 48)) AS start
+              FROM toks WHERE len(tk) > 0
+            )
+            SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                   array_to_string(tk[start + 1 : start + 64], ' ')
+                       AS chunk_text,
+                   CAST(least(64, len(tk) - start) AS INT) AS n_tokens
+            FROM idx
         """,
         "rolling_window_events": """
             SELECT event_id,

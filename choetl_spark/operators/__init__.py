@@ -30,6 +30,7 @@ from choetl_spark.operators.temporal import (  # noqa: F401
     time_window_pairs,
 )
 from choetl_spark.operators.corpus import (  # noqa: F401
+    chunk_documents,
     decontaminate,
     dedup_lines,
     pack_shards,

@@ -206,6 +206,61 @@ def pack_shards(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 512,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window prep step between curation and packing: chunk i
+    covers whitespace tokens [i*stride, i*stride + max_tokens) with
+    stride = max_tokens - overlap, so consecutive chunks share
+    ``overlap`` tokens and every token lands in at least one chunk.
+
+    Emits ``(id, chunk_idx, chunk_text, n_tokens)``; documents with no
+    tokens emit nothing. Pure codegen (split + sequence + posexplode +
+    slice + array_join) — the explode multiplies rows by
+    ceil(n_tokens/stride), a bounded, data-proportional expansion with
+    no shuffle at all; pack the result with :func:`pack_shards`.
+    """
+    if not (0 <= overlap < max_tokens):
+        raise ValueError(
+            f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}"
+        )
+    stride = max_tokens - overlap
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+    )
+    starts = F.sequence(
+        F.lit(0), F.size("_toks") - 1, F.lit(stride)
+    )
+    out = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .filter(F.size("_toks") > 0)
+        .select(
+            id_col,
+            "_toks",
+            F.posexplode(starts).alias("chunk_idx", "_start"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.slice(
+                F.col("_toks"), F.col("_start") + 1, max_tokens
+            ).alias("_ctoks"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join("_ctoks", " ").alias("chunk_text"),
+            F.size("_ctoks").alias("n_tokens"),
+        )
+    )
+    return out
+
+
 def top_ngrams(
     df: DataFrame,
     text_col: str = "text",

@@ -1413,3 +1413,41 @@ def test_bpe_fast_apply_matches_expression_path(spark):
             for r in with_bpe_tokens_fast(docs, merges).collect()}
     assert slow == fast
     assert fast[4] == ([], 0)
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from choetl_spark.operators import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, words), (2, "one"), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(
+            df, "text", "doc_id", max_tokens=4, overlap=1
+        ).collect()
+    )
+    # doc 1: stride 3 over 10 tokens -> starts 0,3,6,9
+    assert rows == [
+        (1, 0, "w0 w1 w2 w3", 4),
+        (1, 1, "w3 w4 w5 w6", 4),
+        (1, 2, "w6 w7 w8 w9", 4),
+        (1, 3, "w9", 1),
+        (2, 0, "one", 1),
+    ]
+    # whitespace-only and NULL docs emit nothing; every token covered,
+    # consecutive chunks share exactly `overlap` tokens
+    with pytest.raises(ValueError):
+        chunk_documents(df, "text", "doc_id", max_tokens=4, overlap=4)
+
+
+def test_chunk_documents_zero_shuffle_plan(spark, docs):
+    from choetl_spark.operators import chunk_documents
+
+    plan = (
+        chunk_documents(docs, "text", "doc_id", max_tokens=32)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
