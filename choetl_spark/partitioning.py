@@ -77,3 +77,53 @@ def plan_partitions(
         .drop("_hot", "_host")
     )
     return out
+
+
+def diagnose_skew(
+    df: DataFrame,
+    key: str | list,
+    num_partitions: int = 256,
+    top: int = 20,
+    hot_factor: float = 2.0,
+) -> dict:
+    """Pre-flight skew report for a shuffle key: the observability half
+    of the salting story (plan_partitions applies the fix; this tells
+    you whether you need it and how big to size it).
+
+    One aggregation job (map-side combined on the key) + a tiny top-k
+    collect. Returns totals, the top-N heaviest keys with their row
+    share, and a recommended ``salt_buckets`` — the bucket count that
+    brings the heaviest key's share back under ``hot_factor``
+    even-partition shares (the same threshold plan_partitions salts
+    at). ``skewed`` is True when any key crosses that threshold.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    total = df.count()
+    if total == 0:
+        return {
+            "total_rows": 0, "n_keys": 0, "top": [],
+            "skewed": False, "recommended_salt_buckets": 1,
+        }
+    counts = df.groupBy(*keys).count()
+    n_keys = counts.count()
+    top_rows = counts.orderBy(F.desc("count")).limit(top).collect()
+    even = total / max(num_partitions, 1)
+    threshold = max(even * hot_factor, 1.0)
+    heaviest = top_rows[0]["count"] if top_rows else 0
+    rec = max(1, int(-(-heaviest // threshold)))  # ceil
+    return {
+        "total_rows": int(total),
+        "n_keys": int(n_keys),
+        "even_share_per_partition": even,
+        "hot_threshold_rows": threshold,
+        "top": [
+            {
+                "key": {k: r[k] for k in keys},
+                "rows": int(r["count"]),
+                "share": r["count"] / total,
+            }
+            for r in top_rows
+        ],
+        "skewed": heaviest > threshold,
+        "recommended_salt_buckets": rec,
+    }

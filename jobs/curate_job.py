@@ -31,6 +31,11 @@ operator from ``choetl_spark.operators``:
       -> PII redaction (emails/phones/IPs/cards -> tokens)
       -> optional train/val/test split column (--val-frac/--test-frac:
          hash-based, documents never migrate as the corpus grows)
+      -> optional context-window chunking (--chunk-tokens N
+         [--chunk-overlap K]: docs become overlapping N-token windows;
+         id_col is rewritten chunk-unique, parent_doc_id keeps the doc;
+         chunks inherit their doc's split so train/val never share a
+         source document)
       -> optional token-budget shard assignment (--shard-budget: adds
          writer/shard columns via per-writer next-fit packing)
       -> resumable encode into the engine's chunk store (ledger commit,
@@ -190,6 +195,30 @@ def curate(spark, args) -> dict:
             df, id_col, val_frac=args.val_frac, test_frac=args.test_frac
         )
 
+    if args.chunk_tokens:
+        # context-window chunking: each doc becomes ceil(n/stride)
+        # overlapping token windows. id_col is rewritten to a
+        # chunk-unique hash (downstream stages and the encode key need
+        # uniqueness); the original doc id survives as parent_doc_id.
+        from choetl_spark.operators import chunk_documents
+
+        chunks = chunk_documents(
+            df, text_col, id_col,
+            max_tokens=args.chunk_tokens, overlap=args.chunk_overlap,
+        )
+        carry = df.drop(text_col)
+        df = (
+            carry.join(chunks, id_col)
+            .withColumn(text_col, F.col("chunk_text"))
+            .drop("chunk_text", "n_tokens")
+            .withColumn("parent_doc_id", F.col(id_col))
+            .withColumn(
+                id_col,
+                F.xxhash64(F.col(id_col).cast("string"), F.col("chunk_idx")),
+            )
+        )
+        counts["after_chunking"] = df.count()
+
     merges = None
     if args.bpe_merges:
         # train the tokenizer ON the curated corpus (the standard
@@ -276,6 +305,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="LO,HI — keep docs whose self-trained bigram-LM "
                         "perplexity lies in the band (CCNet-style "
                         "two-tail cut)")
+    p.add_argument("--chunk-tokens", type=int, default=0,
+                   help="split curated docs into N-token context "
+                        "windows before packing; 0=off")
+    p.add_argument("--chunk-overlap", type=int, default=0,
+                   help="tokens shared by consecutive windows")
     p.add_argument("--bpe-merges", type=int, default=0,
                    help="train a BPE tokenizer with N merges on the "
                         "curated corpus; shard budgets then count BPE "

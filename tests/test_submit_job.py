@@ -384,3 +384,74 @@ def test_analyze_job_metadata_report(spark, tmp_path, capsys):
         F.expr("percentile(cast(warc_ts as long), 0.5)")
     ).collect()[0][0]
     assert abs(med - float(exact) * 1e6) < 86400 * 370 * 1e6 * 0.05
+
+
+def test_curate_job_chunking_stage(spark, tmp_path):
+    """--chunk-tokens: curated docs become overlapping context windows
+    with chunk-unique ids, parent lineage, and inherited split; the
+    encoded store holds exactly the chunk rows."""
+    import pyspark.sql.functions as F
+
+    from choetl_spark.engine import decode_dataframe
+    from choetl_spark.ledger import read_encoded
+
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    import curate_job
+
+    src = str(tmp_path / "docs.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.parquet(src)
+    out = str(tmp_path / "curated_chunks")
+    args = curate_job.build_parser().parse_args([
+        "--input", src, "--output", out,
+        "--min-quality", "0.0", "--max-dup-2gram", "1.0",
+        "--val-frac", "0.1",
+        "--chunk-tokens", "32", "--chunk-overlap", "8",
+        "--partitions", "4", "--shuffle", "none",
+    ])
+    rep = curate_job.curate(spark, args)
+    counts = rep["counts"]
+    assert counts["after_chunking"] >= counts["after_filters"]
+
+    dec = decode_dataframe(read_encoded(spark, out))
+    assert dec.count() == counts["after_chunking"]
+    # chunk ids unique; every chunk ≤32 whitespace tokens; parent
+    # lineage intact; all chunks of a doc share its split
+    assert dec.select("doc_id").distinct().count() == dec.count()
+    toks = dec.select(
+        F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+        .alias("n")
+    )
+    assert toks.filter(F.col("n") > 32).count() == 0
+    assert toks.filter(F.col("n") < 1).count() == 0
+    per_parent = dec.groupBy("parent_doc_id").agg(
+        F.countDistinct("split").alias("nsplits")
+    )
+    assert per_parent.filter(F.col("nsplits") > 1).count() == 0
+
+
+def test_diagnose_skew_report(spark):
+    import pyspark.sql.functions as F
+
+    from choetl_spark.partitioning import diagnose_skew
+
+    # 10k rows on one key + 100 spread keys
+    df = spark.range(10_000).select(
+        F.when(F.col("id") < 9_000, F.lit("hot.example.com"))
+        .otherwise(F.concat(F.lit("h"), (F.col("id") % 100).cast("string")))
+        .alias("host")
+    )
+    rep = diagnose_skew(df, "host", num_partitions=16)
+    assert rep["total_rows"] == 10_000 and rep["skewed"]
+    assert rep["top"][0]["key"] == {"host": "hot.example.com"}
+    assert abs(rep["top"][0]["share"] - 0.9) < 0.01
+    # salting the hot key across the recommended buckets brings its
+    # per-bucket share back under the hot threshold
+    assert 9_000 / rep["recommended_salt_buckets"] <= rep[
+        "hot_threshold_rows"
+    ]
+    flat = diagnose_skew(
+        spark.range(1_000).select((F.col("id") % 500).alias("k")),
+        "k", num_partitions=8,
+    )
+    assert not flat["skewed"] and flat["recommended_salt_buckets"] == 1
