@@ -1697,6 +1697,25 @@ def q_chunk_documents(spark, sf_dir):
     )
 
 
+def q_interval_join_events(spark, sf_dir):
+    """Point-in-interval join: event values land in overlapping value
+    tiers ([5i, 5i+7.5]) via bucket-exploded equi-join + residual range
+    filter — never a nested loop (operators/temporal.py). The oracle is
+    the direct inequality join in DuckDB."""
+    from choetl_spark.operators import point_in_interval_join
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "value")
+    tiers = spark.range(20).select(
+        F.col("id").cast("int").alias("tier_id"),
+        (F.col("id") * 5.0).alias("lo"),
+        (F.col("id") * 5.0 + 7.5).alias("hi"),
+    )
+    out = point_in_interval_join(
+        ev, tiers, "value", "lo", "hi", bucket_width=7.5
+    )
+    return out.select("event_id", "tier_id")
+
+
 def q_rolling_window_events(spark, sf_dir):
     """Time-RANGE rolling aggregate: per user, the sum/count of event
     values in the trailing hour (rangeBetween on epoch seconds — the
@@ -1833,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_events": q_asof_join_events,
         "rolling_window_events": q_rolling_window_events,
         "chunk_documents": q_chunk_documents,
+        "interval_join_events": q_interval_join_events,
         "pivot_event_counts": q_pivot_event_counts,
         "rollup_revenue": q_rollup_revenue,
         "sessionize_events": q_sessionize_events,
@@ -2920,6 +2940,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(embedding[len(embedding)] AS DOUBLE) AS last_v,
                    label
             FROM embeddings
+        """,
+        "interval_join_events": """
+            SELECT e.event_id, CAST(t.i AS INT) AS tier_id
+            FROM events e
+            JOIN (SELECT unnest(range(0, 20)) AS i) t
+              ON e.value >= t.i * 5.0 AND e.value <= t.i * 5.0 + 7.5
         """,
         "chunk_documents": """
             WITH toks AS (

@@ -26,6 +26,7 @@ from choetl_spark.operators.dedup import (  # noqa: F401
 )
 from choetl_spark.operators.temporal import (  # noqa: F401
     asof_join,
+    point_in_interval_join,
     sessionize,
     time_window_pairs,
 )

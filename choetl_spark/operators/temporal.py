@@ -202,6 +202,98 @@ def sessionize(
     )
 
 
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    on: list[str] | str | None = None,
+    bucket_width: float | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join point rows to every interval row containing them
+    (``lo <= point <= hi``, optionally also matching ``on`` keys) —
+    the SCD-2 / IP-range / validity-window lookup.
+
+    Never a nested loop: intervals explode to the ``bucket_width``-wide
+    buckets they cover (``sequence(floor(lo/W), floor(hi/W))``), points
+    join on their own single bucket, and the residual range filter
+    keeps exactness. Pick W ~ the typical interval length: interval
+    explode cost is ceil(len/W)+1 rows, and every point lands in one
+    bucket. Defaults to the 95th-percentile interval length from a
+    driver-side sample when not given.
+
+    ``how="left"`` keeps unmatched points with NULL interval columns.
+    One shuffle of each side on (keys, bucket); per-bucket output is
+    bounded by the true match count (each point-interval match is
+    produced exactly once — a containing interval covers the point's
+    bucket by construction).
+    """
+    keys = [on] if isinstance(on, str) else list(on or [])
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left: {how}")
+    pv = _epoch(F.col(point_col))
+    lo = _epoch(F.col(lo_col))
+    hi = _epoch(F.col(hi_col))
+
+    if bucket_width is None:
+        # one tiny sample job, driver-side decision — the same
+        # scan-then-decide discipline as schema/codec inference
+        samp = (
+            intervals.select((hi - lo).alias("_len"))
+            .filter(F.col("_len") >= 0)
+            .sample(fraction=0.1, seed=7)
+            .limit(10_000)
+            .collect()
+        )
+        lens = sorted(r["_len"] for r in samp)
+        bucket_width = (
+            lens[int(0.95 * (len(lens) - 1))] if lens else 1.0
+        ) or 1.0
+    w = float(bucket_width)
+
+    icols = [c for c in intervals.columns if c not in keys]
+    pcols = [c for c in points.columns if c not in keys]
+    clash = set(icols) & set(pcols)
+    if clash:
+        raise ValueError(
+            f"point/interval column name collision: {sorted(clash)}; "
+            f"rename one side"
+        )
+    b_lo = F.floor(lo / F.lit(w)).cast("long")
+    b_hi = F.floor(hi / F.lit(w)).cast("long")
+    iv = (
+        intervals.filter(hi >= lo)
+        .select(
+            *keys,
+            *[F.col(c) for c in icols],
+            F.explode(F.sequence(b_lo, b_hi)).alias("_jb"),
+        )
+    )
+    pt = points.select(
+        *keys,
+        *[F.col(c) for c in pcols],
+        F.floor(pv / F.lit(w)).cast("long").alias("_jb"),
+    )
+    joined = (
+        pt.join(iv, [*keys, "_jb"], "inner")
+        .filter((_epoch(F.col(lo_col)) <= pv) & (pv <= _epoch(F.col(hi_col))))
+        .drop("_jb")
+    )
+    if how == "left":
+        missing = points.join(
+            joined.select(*keys, *pcols), [*keys, *pcols], "left_anti"
+        ).select(
+            *keys,
+            *[F.col(c) for c in pcols],
+            *[F.lit(None).cast(intervals.schema[c].dataType).alias(c)
+              for c in icols],
+        )
+        return joined.unionByName(missing)
+    return joined
+
+
 def time_window_pairs(
     df: DataFrame,
     key: list[str] | str,

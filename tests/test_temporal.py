@@ -278,6 +278,65 @@ def test_sessionize_randomized_vs_bruteforce(spark):
     assert got == want
 
 
+def test_point_in_interval_join_bruteforce(spark):
+    """Seeded random points/intervals (nested, overlapping, degenerate
+    zero-length, boundary-equal) vs per-row brute force; inner + left;
+    plan stays a shuffled equi-join."""
+    import itertools
+    import numpy as np
+
+    from choetl_spark.operators import point_in_interval_join
+
+    rng = np.random.default_rng(5)
+    pts = [
+        (int(rng.integers(0, 3)), float(rng.integers(0, 1000)), i)
+        for i in range(80)
+    ]
+    ivs = []
+    for j in range(40):
+        lo = float(rng.integers(0, 1000))
+        ivs.append(
+            (int(rng.integers(0, 3)), lo,
+             lo + float(rng.integers(0, 200)), 1000 + j)
+        )
+    p = spark.createDataFrame(pts, "k int, x double, pid int")
+    v = spark.createDataFrame(ivs, "k int, lo double, hi double, vid int")
+
+    want = {
+        (pid, vid)
+        for (pk, x, pid), (vk, lo, hi, vid) in itertools.product(pts, ivs)
+        if pk == vk and lo <= x <= hi
+    }
+    for width in (50.0, 500.0, None):
+        got = point_in_interval_join(
+            p, v, "x", "lo", "hi", on="k", bucket_width=width
+        )
+        assert {(r["pid"], r["vid"]) for r in got.collect()} == want, width
+
+    left = point_in_interval_join(
+        p, v, "x", "lo", "hi", on="k", bucket_width=100.0, how="left"
+    )
+    rows = left.collect()
+    matched_pids = {pid for pid, _ in want}
+    assert {(r["pid"], r["vid"]) for r in rows if r["vid"] is not None} \
+        == want
+    assert {r["pid"] for r in rows if r["vid"] is None} \
+        == {pid for (_, _, pid) in pts if pid not in matched_pids}
+
+    plan = point_in_interval_join(
+        p, v, "x", "lo", "hi", on="k", bucket_width=100.0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collision"):
+        point_in_interval_join(
+            p.withColumnRenamed("pid", "vid"), v, "x", "lo", "hi", on="k",
+            bucket_width=10.0,
+        )
+
+
 def test_time_window_pairs_no_nested_loop(spark):
     df = spark.range(50).select(
         (F.col("id") % 5).alias("u"),
