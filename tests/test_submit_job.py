@@ -455,3 +455,49 @@ def test_diagnose_skew_report(spark):
         "k", num_partitions=8,
     )
     assert not flat["skewed"] and flat["recommended_salt_buckets"] == 1
+
+
+def test_export_job_pruned_slice(spark, tmp_path):
+    """export_job: a lang-filtered, column-pruned export of the encoded
+    store round-trips exactly the matching rows to plain parquet (and a
+    TSV export writes readable lines)."""
+    import pyspark.sql.functions as F
+
+    from choetl_spark.engine import EncodeConfig
+    from choetl_spark.ledger import encode_with_resume
+    from choetl_spark.synth import webpages
+
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    import export_job
+
+    store = str(tmp_path / "estore")
+    pages = webpages(spark, 800, partitions=2).cache()
+    encode_with_resume(
+        spark, pages, store,
+        EncodeConfig(num_partitions=2, chunk_rows=256,
+                     bloom_columns=("lang",)),
+        run_id="e1",
+    )
+    out = str(tmp_path / "export_pq")
+    rc = export_job.main([
+        "--store", store, "--output", out, "--format", "parquet",
+        "--columns", "url,lang", "--equals", "lang=en",
+    ])
+    assert rc == 0
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"url", "lang"}
+    want = pages.filter(F.col("lang") == "en").select("url", "lang")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+    tsv_out = str(tmp_path / "export_tsv")
+    rc = export_job.main([
+        "--store", store, "--output", tsv_out, "--format", "tsv",
+        "--columns", "url,lang", "--equals", "lang=de",
+        "--repartition", "1",
+    ])
+    assert rc == 0
+    lines = spark.read.text(tsv_out).collect()
+    n_de = pages.filter(F.col("lang") == "de").count()
+    assert len(lines) == n_de + 1  # header
+    assert "\t" in lines[0]["value"]
