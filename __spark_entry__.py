@@ -2957,9 +2957,10 @@ def oracle_sql() -> dict[str, str]:
             idx AS (
               SELECT doc_id, tk,
                      generate_subscripts(
-                       range(0, greatest(len(tk), 1), 48), 1) - 1
+                       range(0, greatest(len(tk) - 16, 1), 48), 1) - 1
                          AS chunk_idx,
-                     unnest(range(0, greatest(len(tk), 1), 48)) AS start
+                     unnest(range(0, greatest(len(tk) - 16, 1), 48))
+                         AS start
               FROM toks WHERE len(tk) > 0
             )
             SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,

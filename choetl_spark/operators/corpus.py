@@ -212,16 +212,22 @@ def chunk_documents(
     id_col: str = "doc_id",
     max_tokens: int = 512,
     overlap: int = 0,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Split documents into overlapping token-window chunks — the
     context-window prep step between curation and packing: chunk i
     covers whitespace tokens [i*stride, i*stride + max_tokens) with
     stride = max_tokens - overlap, so consecutive chunks share
     ``overlap`` tokens and every token lands in at least one chunk.
+    A tail window that would consist ENTIRELY of already-emitted
+    overlap tokens is dropped (it duplicates training text), so start
+    offsets run only while start <= n_tokens - overlap - 1.
 
-    Emits ``(id, chunk_idx, chunk_text, n_tokens)``; documents with no
-    tokens emit nothing. Pure codegen (split + sequence + posexplode +
-    slice + array_join) — the explode multiplies rows by
+    Emits ``(id, *carry_cols, chunk_idx, chunk_text, n_tokens)``;
+    documents with no tokens emit nothing. ``carry_cols`` ride along
+    so callers never need a join back to the source (chunking stays
+    one zero-shuffle pass). Pure codegen (split + sequence +
+    posexplode + slice + array_join) — the explode multiplies rows by
     ceil(n_tokens/stride), a bounded, data-proportional expansion with
     no shuffle at all; pack the result with :func:`pack_shards`.
     """
@@ -229,23 +235,28 @@ def chunk_documents(
         raise ValueError(
             f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}"
         )
+    carry = list(carry_cols or [])
     stride = max_tokens - overlap
     toks = F.filter(
         F.split(F.col(text_col), r"\s+"), lambda t: t != ""
     )
     starts = F.sequence(
-        F.lit(0), F.size("_toks") - 1, F.lit(stride)
+        F.lit(0),
+        F.greatest(F.size("_toks") - overlap - 1, F.lit(0)),
+        F.lit(stride),
     )
     out = (
-        df.select(F.col(id_col), toks.alias("_toks"))
+        df.select(F.col(id_col), *carry, toks.alias("_toks"))
         .filter(F.size("_toks") > 0)
         .select(
             id_col,
+            *carry,
             "_toks",
             F.posexplode(starts).alias("chunk_idx", "_start"),
         )
         .select(
             id_col,
+            *carry,
             "chunk_idx",
             F.slice(
                 F.col("_toks"), F.col("_start") + 1, max_tokens
@@ -253,6 +264,7 @@ def chunk_documents(
         )
         .select(
             id_col,
+            *carry,
             "chunk_idx",
             F.array_join("_ctoks", " ").alias("chunk_text"),
             F.size("_ctoks").alias("n_tokens"),

@@ -211,6 +211,7 @@ def point_in_interval_join(
     on: list[str] | str | None = None,
     bucket_width: float | None = None,
     how: str = "inner",
+    max_buckets: int = 65536,
 ) -> DataFrame:
     """Join point rows to every interval row containing them
     (``lo <= point <= hi``, optionally also matching ``on`` keys) —
@@ -221,37 +222,71 @@ def point_in_interval_join(
     join on their own single bucket, and the residual range filter
     keeps exactness. Pick W ~ the typical interval length: interval
     explode cost is ceil(len/W)+1 rows, and every point lands in one
-    bucket. Defaults to the 95th-percentile interval length from a
-    driver-side sample when not given.
+    bucket. When not given, W defaults to the p95 interval length from
+    ONE tiny aggregation over the interval side (always ran anyway for
+    the explode-cap validation); a degenerate table falls back to the
+    max length so open-ended sentinel intervals can never pick a tiny
+    width.
 
-    ``how="left"`` keeps unmatched points with NULL interval columns.
-    One shuffle of each side on (keys, bucket); per-bucket output is
-    bounded by the true match count (each point-interval match is
-    produced exactly once — a containing interval covers the point's
-    bucket by construction).
+    The widest interval may cover at most ``max_buckets`` buckets
+    (default 65536) — beyond that the call raises instead of silently
+    exploding an unbounded ``sequence`` (an SCD-2 open-ended sentinel
+    row against a small W would otherwise try to build a
+    billion-element array). Cap or split such rows, or pass a larger
+    ``bucket_width``.
+
+    ``how="left"`` keeps unmatched points with NULL interval columns
+    (NULL-safe: a matched point with NULL payload columns is never
+    re-emitted as unmatched). One shuffle of each side on (keys,
+    bucket); per-bucket output is bounded by the true match count
+    (each point-interval match is produced exactly once — a containing
+    interval covers the point's bucket by construction).
+
+    Point/bound columns may be numeric, timestamp, or date; temporal
+    columns compare on their epoch view, numeric columns on their own
+    values (no precision-losing cast through a timestamp).
     """
     keys = [on] if isinstance(on, str) else list(on or [])
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner|left: {how}")
-    pv = _epoch(F.col(point_col))
-    lo = _epoch(F.col(lo_col))
-    hi = _epoch(F.col(hi_col))
 
-    if bucket_width is None:
-        # one tiny sample job, driver-side decision — the same
-        # scan-then-decide discipline as schema/codec inference
-        samp = (
-            intervals.select((hi - lo).alias("_len"))
-            .filter(F.col("_len") >= 0)
-            .sample(fraction=0.1, seed=7)
-            .limit(10_000)
-            .collect()
+    def _axis(df: DataFrame, c: str):
+        t = df.schema[c].dataType.simpleString()
+        if t.startswith(("timestamp", "date")):
+            return _epoch(F.col(c))
+        return F.col(c).cast("double")
+
+    pv = _axis(points, point_col)
+    lo = _axis(intervals, lo_col)
+    hi = _axis(intervals, hi_col)
+
+    # one small aggregation over the interval side: p95 length for the
+    # default width + max length for the explode cap. Interval tables
+    # are the dimension side (SCD-2 history, IP ranges) — this is a
+    # metadata-priced job next to the join itself.
+    stats = (
+        intervals.select((hi - lo).alias("_len"))
+        .filter(F.col("_len") >= 0)
+        .agg(
+            F.expr("percentile_approx(_len, 0.95)").alias("p95"),
+            F.max("_len").alias("mx"),
         )
-        lens = sorted(r["_len"] for r in samp)
-        bucket_width = (
-            lens[int(0.95 * (len(lens) - 1))] if lens else 1.0
-        ) or 1.0
+        .collect()[0]
+    )
+    max_len = float(stats["mx"]) if stats["mx"] is not None else 0.0
+    if bucket_width is None:
+        p95 = float(stats["p95"]) if stats["p95"] is not None else 0.0
+        bucket_width = p95 or max_len or 1.0
     w = float(bucket_width)
+    if w <= 0:
+        raise ValueError(f"bucket_width must be > 0, got {w}")
+    if max_len / w + 1 > max_buckets:
+        raise ValueError(
+            f"widest interval ({max_len}) covers "
+            f"~{int(max_len / w) + 1} buckets at width {w} > "
+            f"max_buckets={max_buckets}; pass a larger bucket_width or "
+            f"split/cap open-ended intervals"
+        )
 
     icols = [c for c in intervals.columns if c not in keys]
     pcols = [c for c in points.columns if c not in keys]
@@ -276,17 +311,24 @@ def point_in_interval_join(
         *[F.col(c) for c in pcols],
         F.floor(pv / F.lit(w)).cast("long").alias("_jb"),
     )
+    lo_j = _axis(intervals, lo_col)
+    hi_j = _axis(intervals, hi_col)
+    pv_j = _axis(points, point_col)
     joined = (
         pt.join(iv, [*keys, "_jb"], "inner")
-        .filter((_epoch(F.col(lo_col)) <= pv) & (pv <= _epoch(F.col(hi_col))))
+        .filter((lo_j <= pv_j) & (pv_j <= hi_j))
         .drop("_jb")
     )
     if how == "left":
-        missing = points.join(
-            joined.select(*keys, *pcols), [*keys, *pcols], "left_anti"
-        ).select(
-            *keys,
-            *[F.col(c) for c in pcols],
+        m = joined.select(*keys, *pcols).alias("_m")
+        p = points.alias("_p")
+        cond = [
+            F.col(f"_p.{c}").eqNullSafe(F.col(f"_m.{c}"))
+            for c in [*keys, *pcols]
+        ]
+        missing = p.join(m, cond, "left_anti").select(
+            *[F.col(f"_p.{c}").alias(c) for c in keys],
+            *[F.col(f"_p.{c}").alias(c) for c in pcols],
             *[F.lit(None).cast(intervals.schema[c].dataType).alias(c)
               for c in icols],
         )

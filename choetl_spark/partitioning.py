@@ -90,23 +90,31 @@ def diagnose_skew(
     of the salting story (plan_partitions applies the fix; this tells
     you whether you need it and how big to size it).
 
-    One aggregation job (map-side combined on the key) + a tiny top-k
-    collect. Returns totals, the top-N heaviest keys with their row
-    share, and a recommended ``salt_buckets`` — the bucket count that
-    brings the heaviest key's share back under ``hot_factor``
-    even-partition shares (the same threshold plan_partitions salts
-    at). ``skewed`` is True when any key crosses that threshold.
+    ONE scan of the input (a map-side-combined key aggregation, cached
+    as the per-key count frame) feeding two metadata-sized jobs: a
+    totals aggregate and a top-k collect. Returns totals, the top-N
+    heaviest keys with their row share, and a recommended
+    ``salt_buckets`` — the bucket count that brings the heaviest key's
+    share back under ``hot_factor`` even-partition shares (the same
+    threshold plan_partitions salts at). ``skewed`` is True when any
+    key crosses that threshold.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    total = df.count()
-    if total == 0:
-        return {
-            "total_rows": 0, "n_keys": 0, "top": [],
-            "skewed": False, "recommended_salt_buckets": 1,
-        }
-    counts = df.groupBy(*keys).count()
-    n_keys = counts.count()
-    top_rows = counts.orderBy(F.desc("count")).limit(top).collect()
+    counts = df.groupBy(*keys).count().persist()
+    try:
+        agg = counts.agg(
+            F.coalesce(F.sum("count"), F.lit(0)).alias("total"),
+            F.count("*").alias("n_keys"),
+        ).collect()[0]
+        total, n_keys = int(agg["total"]), int(agg["n_keys"])
+        if total == 0:
+            return {
+                "total_rows": 0, "n_keys": 0, "top": [],
+                "skewed": False, "recommended_salt_buckets": 1,
+            }
+        top_rows = counts.orderBy(F.desc("count")).limit(top).collect()
+    finally:
+        counts.unpersist()
     even = total / max(num_partitions, 1)
     threshold = max(even * hot_factor, 1.0)
     heaviest = top_rows[0]["count"] if top_rows else 0

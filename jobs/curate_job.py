@@ -197,24 +197,32 @@ def curate(spark, args) -> dict:
 
     if args.chunk_tokens:
         # context-window chunking: each doc becomes ceil(n/stride)
-        # overlapping token windows. id_col is rewritten to a
-        # chunk-unique hash (downstream stages and the encode key need
-        # uniqueness); the original doc id survives as parent_doc_id.
+        # overlapping token windows, in ONE zero-shuffle pass (the
+        # non-text columns ride through carry_cols — no join back, no
+        # double evaluation of the curation lineage). id_col becomes
+        # the collision-FREE composite "<doc>#<chunk>" string
+        # (downstream stages and the encode key need uniqueness; a
+        # 64-bit hash id would birthday-collide at corpus scale); the
+        # original doc id survives as parent_doc_id.
         from choetl_spark.operators import chunk_documents
 
-        chunks = chunk_documents(
-            df, text_col, id_col,
-            max_tokens=args.chunk_tokens, overlap=args.chunk_overlap,
-        )
-        carry = df.drop(text_col)
         df = (
-            carry.join(chunks, id_col)
+            chunk_documents(
+                df, text_col, id_col,
+                max_tokens=args.chunk_tokens,
+                overlap=args.chunk_overlap,
+                carry_cols=[
+                    c for c in df.columns if c not in (id_col, text_col)
+                ],
+            )
             .withColumn(text_col, F.col("chunk_text"))
             .drop("chunk_text", "n_tokens")
             .withColumn("parent_doc_id", F.col(id_col))
             .withColumn(
                 id_col,
-                F.xxhash64(F.col(id_col).cast("string"), F.col("chunk_idx")),
+                F.concat_ws(
+                    "#", F.col(id_col).cast("string"), F.col("chunk_idx")
+                ),
             )
         )
         counts["after_chunking"] = df.count()

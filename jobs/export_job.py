@@ -32,6 +32,40 @@ def _parse_kv(items: list[str] | None) -> dict:
     return out
 
 
+def _coerce(value: str, dtype: str):
+    """CLI strings → the store column's dtype, so the zone-map/Bloom
+    pruning and decode-kernel pushdown actually engage (a string bound
+    against a timestamp column would silently fall back to a
+    full-store decode + residual filter)."""
+    if dtype.startswith(("int", "uint")):
+        return int(value)
+    if dtype.startswith(("float", "double")):
+        return float(value)
+    if dtype.startswith("bool"):
+        return value.lower() in ("1", "true", "t", "yes")
+    if dtype.startswith(("timestamp", "date")):
+        import datetime as dt
+
+        return dt.datetime.fromisoformat(value)
+    return value
+
+
+def _coerce_preds(store: str, equals: dict, ranges: dict):
+    from choetl_spark.ledger import read_manifest
+
+    manifest = read_manifest(store) or {}
+
+    def dt_of(col: str) -> str:
+        return (manifest.get(col) or {}).get("dtype", "string")
+
+    eq = {c: _coerce(v, dt_of(c)) for c, v in equals.items()}
+    rg = {
+        c: (_coerce(lo, dt_of(c)), _coerce(hi, dt_of(c)))
+        for c, (lo, hi) in ranges.items()
+    }
+    return eq, rg
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--store", required=True)
@@ -75,9 +109,12 @@ def main(argv: list[str] | None = None) -> int:
         [c.strip() for c in args.columns.split(",") if c.strip()]
         if args.columns else None
     )
+    equals, ranges = _coerce_preds(
+        args.store, _parse_kv(args.equals), ranges or {}
+    )
     df = scan_encoded(
         spark, args.store, columns=cols,
-        equals=_parse_kv(args.equals) or None, ranges=ranges,
+        equals=equals or None, ranges=ranges or None,
         as_of=args.as_of, ref=args.ref,
     )
     if args.repartition:
@@ -101,9 +138,7 @@ def main(argv: list[str] | None = None) -> int:
             df, args.output,
             **({"sep": "\t"} if fmt == "tsv" else {}),
         )
-    n = spark.read.format(
-        "parquet" if fmt == "parquet" else "text"
-    ).load(args.output).count() if fmt == "parquet" else None
+    n = spark.read.parquet(args.output).count() if fmt == "parquet" else None
     print(json.dumps({
         "store": args.store, "output": args.output, "format": fmt,
         "rows_exported": n if n is not None else "see output",

@@ -1429,12 +1429,12 @@ def test_chunk_documents_windows_and_overlap(spark):
             df, "text", "doc_id", max_tokens=4, overlap=1
         ).collect()
     )
-    # doc 1: stride 3 over 10 tokens -> starts 0,3,6,9
+    # doc 1: stride 3 over 10 tokens -> starts 0,3,6 (a start at 9
+    # would emit only 'w9', already fully inside the previous window)
     assert rows == [
         (1, 0, "w0 w1 w2 w3", 4),
         (1, 1, "w3 w4 w5 w6", 4),
         (1, 2, "w6 w7 w8 w9", 4),
-        (1, 3, "w9", 1),
         (2, 0, "one", 1),
     ]
     # whitespace-only and NULL docs emit nothing; every token covered,

@@ -501,3 +501,41 @@ def test_export_job_pruned_slice(spark, tmp_path):
     n_de = pages.filter(F.col("lang") == "de").count()
     assert len(lines) == n_de + 1  # header
     assert "\t" in lines[0]["value"]
+
+
+def test_export_job_timestamp_range_coercion(spark, tmp_path):
+    """--range on a timestamp column coerces CLI strings to datetimes so
+    zone-map pruning + kernel pushdown engage (not just the residual
+    filter), and exports exactly the slice."""
+    import pyspark.sql.functions as F
+
+    from choetl_spark.engine import EncodeConfig
+    from choetl_spark.ledger import encode_with_resume
+    from choetl_spark.synth import webpages
+
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    import export_job
+
+    store = str(tmp_path / "tstore")
+    pages = webpages(spark, 600, partitions=2).cache()
+    encode_with_resume(
+        spark, pages, store,
+        EncodeConfig(num_partitions=2, chunk_rows=128),
+        run_id="t1",
+    )
+    lo, hi = "2023-07-22T04:50:00", "2023-07-22T05:30:00"
+    out = str(tmp_path / "slice_pq")
+    rc = export_job.main([
+        "--store", store, "--output", out, "--format", "parquet",
+        "--columns", "url,warc_ts", "--range", f"warc_ts={lo},{hi}",
+    ])
+    assert rc == 0
+    import datetime as dt
+
+    got = spark.read.parquet(out)
+    want = pages.filter(
+        (F.col("warc_ts") >= dt.datetime.fromisoformat(lo))
+        & (F.col("warc_ts") <= dt.datetime.fromisoformat(hi))
+    ).select("url", "warc_ts")
+    assert got.count() == want.count() and want.count() > 0
+    assert got.exceptAll(want).count() == 0

@@ -337,6 +337,47 @@ def test_point_in_interval_join_bruteforce(spark):
         )
 
 
+def test_point_in_interval_join_null_payload_and_cap(spark):
+    from choetl_spark.operators import point_in_interval_join
+
+    # a matched point with a NULL payload column must appear exactly
+    # once (NULL-safe anti-join), and an unmatched NULL-payload point
+    # exactly once with NULL interval cols
+    p = spark.createDataFrame(
+        [(5.0, None), (500.0, None)], "x double, tag string"
+    )
+    v = spark.createDataFrame([(0.0, 10.0, 7)], "lo double, hi double, vid int")
+    rows = point_in_interval_join(
+        p, v, "x", "lo", "hi", bucket_width=10.0, how="left"
+    ).collect()
+    assert sorted((r["x"], r["vid"]) for r in rows) == [
+        (5.0, 7), (500.0, None),
+    ]
+
+    # large numeric domains must NOT route through a timestamp cast:
+    # values beyond timestamp range join exactly
+    big = 4_000_000_000_000_000.0  # > timestamp micros range as seconds
+    p2 = spark.createDataFrame([(big + 5.0, 1)], "x double, pid int")
+    v2 = spark.createDataFrame(
+        [(big, big + 10.0, 2)], "lo double, hi double, vid int"
+    )
+    got = point_in_interval_join(
+        p2, v2, "x", "lo", "hi", bucket_width=10.0
+    ).collect()
+    assert [(r["pid"], r["vid"]) for r in got] == [(1, 2)]
+
+    # an open-ended sentinel interval must refuse loudly, not explode
+    import pytest as _pytest
+
+    sentinel = spark.createDataFrame(
+        [(0.0, 1e12, 1)], "lo double, hi double, vid int"
+    )
+    with _pytest.raises(ValueError, match="max_buckets"):
+        point_in_interval_join(
+            p2, sentinel, "x", "lo", "hi", bucket_width=1.0
+        )
+
+
 def test_time_window_pairs_no_nested_loop(spark):
     df = spark.range(50).select(
         (F.col("id") % 5).alias("u"),
