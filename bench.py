@@ -954,6 +954,17 @@ size.
 Read-side (scan) evidence lives in BENCH/SCAN_BASELINE.md
 (`python bench.py --scan-baseline`).
 """
+    # preserve hand-measured sections (e.g. the veclist vector-column
+    # footprint) across regenerations: anything from a "## Vector-column"
+    # header onward in the existing file is re-appended verbatim
+    try:
+        with open("BENCH/BASELINE.md") as f:
+            old = f.read()
+        i = old.find("## Vector-column")
+        if i >= 0:
+            md = md + "\n" + old[i:]
+    except OSError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
     print(md)
