@@ -1339,6 +1339,70 @@ def q_dedup_lines_documents(spark, sf_dir):
     return dedup_lines(planted, max_docs=5)
 
 
+_SPAN_SHARED = " ".join(
+    f"licenseword{i}" for i in range(24)
+)  # a 24-word verbatim block planted into every 9th doc
+
+
+def q_dedup_spans_documents(spark, sf_dir):
+    """Exact-substring span dedup (Lee et al. ACL 2022, word-level):
+    every 9th document gets the same appended 24-word license block;
+    every k=20-word window inside it is duplicated across >= 2 docs, so
+    the merged span is stripped from each. The oracle replays shingling,
+    the duplicate census, island merging, and the rebuild in SQL
+    (use_hash_keys=False keeps the gram text as the join key so the two
+    sides agree exactly). text_clean is md5'd so the hash compare stays
+    scalar-cheap."""
+    from choetl_spark.operators import dedup_spans
+
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.concat(F.col("text"), F.lit(" " + _SPAN_SHARED)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = dedup_spans(
+        planted, "doc_id", "text", k=20, use_hash_keys=False
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_dup_spans",
+        "words_removed",
+        F.md5(F.col("text_clean").cast("binary")).alias("clean_md5"),
+    )
+
+
+def q_normalize_documents(spark, sf_dir):
+    """Unicode NFC normalization over a corpus with planted decomposed
+    combining sequences (e + U+0301); the oracle is DuckDB's native
+    nfc_normalize over the identical planted text. ASCII documents are
+    fixed points, planted docs compose (length shrinks by one)."""
+    from choetl_spark.operators import with_text_normalized
+
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" cafe\u0301 finale")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = with_text_normalized(planted, "text", "NFC")
+    return out.select(
+        "doc_id",
+        F.length("text").alias("raw_len"),
+        F.length("text_norm").alias("norm_len"),
+        F.md5(F.col("text_norm").cast("binary")).alias("norm_md5"),
+    )
+
+
 def q_decontaminate_documents(spark, sf_dir):
     """Benchmark decontamination: the eval set is the first 12 words of
     every 97th document; training docs sharing any 8-word gram with it
@@ -1817,6 +1881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize_webpages": q_url_normalize_webpages,
         "domain_stats_webpages": q_domain_stats_webpages,
         "dedup_lines_documents": q_dedup_lines_documents,
+        "dedup_spans_documents": q_dedup_spans_documents,
+        "normalize_documents": q_normalize_documents,
         "decontaminate_documents": q_decontaminate_documents,
         "pack_shards_documents": q_pack_shards_documents,
         "sample_mixture_documents": q_sample_mixture_documents,
@@ -2112,6 +2178,77 @@ def _oracle_domain_stats() -> str:
                round(CAST(sum(length(text)) AS DOUBLE) / count(*), 4)
                  AS avg_chars
         FROM p GROUP BY registered_domain
+    """
+
+
+def _oracle_dedup_spans() -> str:
+    return f"""
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 9 = 0
+                      THEN text || ' ' || '{_SPAN_SHARED}'
+                      ELSE text END AS text
+          FROM documents),
+        w AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+              FROM planted),
+        g AS (SELECT doc_id, unnest(
+                [{{'pos': i,
+                   'gram': array_to_string(ws[i:i+19], ' ')}} for i in
+                 generate_series(1, greatest(len(ws) - 19, 0))],
+                recursive := true)
+              FROM w),
+        dup AS (SELECT gram FROM g GROUP BY gram
+                HAVING count(DISTINCT doc_id) >= 2),
+        st AS (SELECT doc_id, pos FROM g SEMI JOIN dup USING (gram)),
+        isl AS (SELECT doc_id, pos,
+                  CASE WHEN lag(pos) OVER win IS NULL
+                       OR pos - lag(pos) OVER win > 20
+                       THEN 1 ELSE 0 END AS nw
+                FROM st WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        isl2 AS (SELECT doc_id, pos,
+                   sum(nw) OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS island
+                 FROM isl),
+        sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 19 AS e
+               FROM isl2 GROUP BY doc_id, island),
+        per AS (SELECT doc_id, count(*) AS n_spans,
+                       sum(e - s + 1) AS removed
+                FROM sp GROUP BY doc_id),
+        tok AS (SELECT doc_id, unnest(
+                  [{{'pos': i, 'word': ws[i]}} for i in
+                   generate_series(1, len(ws))], recursive := true)
+                FROM w),
+        kept AS (SELECT t.doc_id, t.pos, t.word FROM tok t
+                 WHERE NOT EXISTS (
+                   SELECT 1 FROM sp
+                   WHERE sp.doc_id = t.doc_id
+                     AND t.pos BETWEEN sp.s AND sp.e)),
+        reb AS (SELECT doc_id,
+                       string_agg(word, ' ' ORDER BY pos) AS clean
+                FROM kept GROUP BY doc_id)
+        SELECT w.doc_id,
+               CAST(len(w.ws) AS INT) AS n_words,
+               CAST(coalesce(per.n_spans, 0) AS INT) AS n_dup_spans,
+               CAST(coalesce(per.removed, 0) AS INT) AS words_removed,
+               md5(CASE WHEN per.doc_id IS NULL THEN w.text
+                        ELSE coalesce(reb.clean, '') END) AS clean_md5
+        FROM w LEFT JOIN per USING (doc_id) LEFT JOIN reb USING (doc_id)
+    """
+
+
+def _oracle_normalize() -> str:
+    return """
+        WITH planted AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN text || ' cafe' || chr(769) || ' finale'
+                      ELSE text END AS text
+          FROM documents)
+        SELECT doc_id,
+               CAST(length(text) AS INT) AS raw_len,
+               CAST(length(nfc_normalize(text)) AS INT) AS norm_len,
+               md5(nfc_normalize(text)) AS norm_md5
+        FROM planted
     """
 
 
@@ -2693,6 +2830,8 @@ def oracle_sql() -> dict[str, str]:
         "url_normalize_webpages": _oracle_url_normalize(),
         "domain_stats_webpages": _oracle_domain_stats(),
         "dedup_lines_documents": _oracle_dedup_lines(),
+        "dedup_spans_documents": _oracle_dedup_spans(),
+        "normalize_documents": _oracle_normalize(),
         "decontaminate_documents": _oracle_decontaminate(),
         "pack_shards_documents": _oracle_pack_shards(),
         "repetition_documents": r"""

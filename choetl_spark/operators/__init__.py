@@ -34,6 +34,7 @@ from choetl_spark.operators.corpus import (  # noqa: F401
     chunk_documents,
     decontaminate,
     dedup_lines,
+    dedup_spans,
     pack_shards,
     top_ngrams,
 )
@@ -74,6 +75,7 @@ from choetl_spark.operators.textstats import (  # noqa: F401
     with_fingerprint,
     with_lang_id,
     with_html_text,
+    with_text_normalized,
     with_pii_redacted,
     with_quality_score,
     with_repetition_stats,

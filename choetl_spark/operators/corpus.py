@@ -302,3 +302,120 @@ def top_ngrams(
     if min_count > 1:
         counted = counted.filter(F.col("cnt") >= min_count)
     return counted.orderBy(F.desc("cnt"), F.asc("gram")).limit(k)
+
+
+def dedup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    min_docs: int = 2,
+    use_hash_keys: bool = True,
+) -> DataFrame:
+    """Exact-substring span dedup: remove every word span of length
+    >= ``k`` that occurs verbatim in >= ``min_docs`` DISTINCT documents
+    (the word-level form of the suffix-array substring dedup of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    ACL 2022 — public paper). Where that work removes all-but-one copy,
+    this removes the span from EVERY document (the conservative variant:
+    a span shared across documents is boilerplate/licence/quote noise;
+    keeping one canonical copy needs a global owner election that buys
+    little at corpus scale). Documented divergence.
+
+    Mechanics: ``k``-word shingles with start positions; shingles seen
+    in >= ``min_docs`` docs mark their ``k`` words as duplicated;
+    overlapping/adjacent marked ranges merge into maximal spans
+    (island detection: one per-doc window over start positions — spans
+    never span documents, so the window parallelizes per doc); the
+    survivor words rebuild the text.
+
+    Tokenization is a split on the LITERAL single space (not ``\\s+``)
+    so an untouched document round-trips byte-identical: newlines and
+    runs of spaces survive inside/between tokens.
+
+    Returns one row per input doc:
+    ``(id_col, n_words, n_dup_spans, words_removed, text_clean)``.
+
+    Scale shape (100 TB): the gram aggregation is the only corpus-wide
+    shuffle, and with ``use_hash_keys=True`` (default) it carries
+    ``xxhash64(gram)`` — 8 bytes instead of a k-word string (a 2^-64
+    collision can over-remove one span; at web scale that trade is
+    standard). The island merge shuffles only the (doc, pos) hit list,
+    which is duplicate-mass-proportional, never corpus-proportional.
+    The rebuild is a pure map with an O(words x spans/doc) filter —
+    spans/doc is small after merging. ``use_hash_keys=False`` keeps the
+    raw gram string end-to-end (SQL-replayable; the oracle path).
+
+    Reference analog: the compare/diff merge-walk discipline of
+    `/root/reference/src/ChoETL/Common/ExtensionMethods/ChoEnumerableEx.cs:105-187`
+    (keyed match -> classify -> act), keyed here on content shingles.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (got {k})")
+    words = F.split(F.col(text_col), " ")
+    n_words = F.size(words)
+    # 1-based start positions (slice() is 1-based); docs shorter than k
+    # produce no shingles and come back untouched
+    shingles = F.when(
+        n_words < k, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_words - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        )
+    )
+    grams = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(shingles)
+    ).select(
+        "_id",
+        (F.col("pos") + 1).alias("pos"),
+        (
+            F.xxhash64("col") if use_hash_keys else F.col("col")
+        ).alias("gkey"),
+    )
+    dup_keys = (
+        grams.groupBy("gkey")
+        .agg(F.count_distinct("_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gkey")
+    )
+    starts = grams.join(dup_keys, "gkey", "left_semi").select("_id", "pos")
+    w = Window.partitionBy("_id").orderBy("pos")
+    # consecutive k-wide intervals merge when the gap <= k (overlap or
+    # exact adjacency); islands = cumulative count of merge boundaries
+    bounded = starts.withColumn(
+        "_new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | ((F.col("pos") - F.lag("pos").over(w)) > k),
+            1,
+        ).otherwise(0),
+    ).withColumn("_island", F.sum("_new").over(w))
+    spans = bounded.groupBy("_id", "_island").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + (k - 1)).alias("e"),
+    )
+    per_doc = spans.groupBy("_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("_spans"),
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("words_removed"),
+    )
+    joined = df.join(per_doc, df[id_col] == per_doc["_id"], "left")
+    kept_words = F.filter(
+        words,
+        lambda _, i: ~F.exists(
+            F.col("_spans"),
+            lambda sp: (i + 1 >= sp["s"]) & (i + 1 <= sp["e"]),
+        ),
+    )
+    return joined.select(
+        id_col,
+        n_words.alias("n_words"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("int").alias("n_dup_spans"),
+        F.coalesce("words_removed", F.lit(0))
+        .cast("int")
+        .alias("words_removed"),
+        F.when(F.col("_spans").isNull(), F.col(text_col))
+        .otherwise(F.concat_ws(" ", kept_words))
+        .alias("text_clean"),
+    )

@@ -269,3 +269,58 @@ def winnowing_fingerprints(
     return df.select(id_col, text_col).mapInArrow(
         kernel, f"{id_col} long, fingerprints array<long>"
     )
+
+
+def with_text_normalized(
+    df: DataFrame,
+    text_col: str = "text",
+    form: str = "NFC",
+    strip_control: bool = False,
+    out_col: str = "text_norm",
+) -> DataFrame:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) + optional control-char
+    strip — the canonicalization pass a web corpus needs before hashing,
+    dedup, or tokenization (the same bytes can arrive precomposed or as
+    combining sequences depending on the producing site's stack; NFC is
+    the W3C/WHATWG-recommended storage form).
+
+    Spark has no normalization builtin, so the normalize step is an
+    Arrow-batched pandas UDF over pandas' vectorized ``str.normalize``
+    (stdlib ``unicodedata`` under the hood — the one case the repo's
+    no-Python-in-hot-path rule allows: no JVM expression exists).
+    ``strip_control`` removes C0/C1 control chars except tab/LF/CR via a
+    JVM ``regexp_replace`` (codegen), applied AFTER normalization.
+
+    Already-NFC ASCII text round-trips byte-identical (normalization is
+    idempotent and identity on ASCII), so this is safe to run
+    unconditionally in a curation pipeline.
+
+    Scale shape: pure map, zero shuffle; one JVM->Python Arrow transfer
+    of only ``text_col``'s bytes (project before calling if the row is
+    wide).
+
+    Reference analog: the per-field converter chain of
+    `/root/reference/src/ChoETL/ChoRecordFieldConfiguration.cs:85-95`
+    (value in -> canonical value out), vectorized.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form!r}")
+    _form = form
+
+    @pandas_udf("string")
+    def _norm(s):
+        # str.normalize is pandas' cython-mapped unicodedata.normalize;
+        # fall back through object dtype for columns with nulls
+        return s.str.normalize(_form)
+
+    out = df.withColumn(out_col, _norm(F.col(text_col)))
+    if strip_control:
+        out = out.withColumn(
+            out_col,
+            F.regexp_replace(
+                F.col(out_col), r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]", ""
+            ),
+        )
+    return out

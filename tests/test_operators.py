@@ -1451,3 +1451,112 @@ def test_chunk_documents_zero_shuffle_plan(spark, docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# exact-substring span dedup
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_spans_removes_cross_doc_spans(spark):
+    from choetl_spark.operators import dedup_spans
+
+    shared = " ".join(f"w{i}" for i in range(25))
+    rows = [
+        (1, "alpha beta " + shared + " one uniq1"),
+        (2, "gamma delta " + shared + " one uniq2"),
+        (3, "entirely unique content with nothing shared anywhere at all"),
+        (4, "short doc"),  # < k words: untouched
+        (5, "line1\nline2  doublespace survives byte identical"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup_spans(df, "doc_id", "text", k=20).collect()
+    }
+    # docs 1+2 share "<25 words> one" (the trailing 'one' rides inside a
+    # duplicated 20-gram) -> a single merged span of 26 words each
+    for d in (1, 2):
+        assert out[d].n_dup_spans == 1
+        assert out[d].words_removed == 26
+    assert out[1].text_clean == "alpha beta uniq1"
+    assert out[2].text_clean == "gamma delta uniq2"
+    # untouched docs round-trip byte-identical (incl. \n and double space)
+    for d in (3, 4, 5):
+        assert out[d].n_dup_spans == 0 and out[d].words_removed == 0
+        assert out[d].text_clean == rows[d - 1][1]
+
+
+def test_dedup_spans_merges_overlapping_islands_and_key_modes(spark):
+    from choetl_spark.operators import dedup_spans
+
+    # two duplicated regions separated by > k unique words -> 2 spans
+    a = " ".join(f"a{i}" for i in range(22))
+    b = " ".join(f"b{i}" for i in range(22))
+    gap = " ".join(f"u{i}" for i in range(30))
+    gap2 = " ".join(f"v{i}" for i in range(30))
+    rows = [
+        (1, a + " " + gap + " " + b),
+        (2, a + " " + gap2 + " " + b),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    for use_hash in (True, False):
+        out = {
+            r.doc_id: r
+            for r in dedup_spans(
+                df, "doc_id", "text", k=20, use_hash_keys=use_hash
+            ).collect()
+        }
+        assert out[1].n_dup_spans == 2
+        assert out[1].words_removed == 44
+        assert out[1].text_clean == gap
+        assert out[2].text_clean == gap2
+
+
+def test_dedup_spans_rejects_tiny_k(spark):
+    import pytest as _pytest
+
+    from choetl_spark.operators import dedup_spans
+
+    df = spark.createDataFrame([(1, "x")], "doc_id int, text string")
+    with _pytest.raises(ValueError):
+        dedup_spans(df, k=1)
+
+
+# ---------------------------------------------------------------------------
+# unicode normalization
+# ---------------------------------------------------------------------------
+
+
+def test_text_normalized_forms_nulls_and_controls(spark):
+    from choetl_spark.operators import with_text_normalized
+
+    decomposed = "cafe\u0301"  # e + combining acute (5 code points)
+    rows = [
+        (1, decomposed),
+        (2, "ﬁne"),  # ligature: NFC keeps, NFKC folds
+        (3, None),
+        (4, "tab\there\x07bell"),
+        (5, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    nfc = {
+        r.id: r.text_norm
+        for r in with_text_normalized(df, "text", "NFC").collect()
+    }
+    assert nfc[1] == "café" and len(nfc[1]) == 4
+    assert nfc[2] == "ﬁne"
+    assert nfc[3] is None
+    assert nfc[5] == "plain ascii"  # identity on ASCII
+    nfkc = {
+        r.id: r.text_norm
+        for r in with_text_normalized(
+            df, "text", "NFKC", strip_control=True
+        ).collect()
+    }
+    assert nfkc[2] == "fine"
+    assert nfkc[4] == "tab\therebell"  # bell stripped, tab kept
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        with_text_normalized(df, "text", "NFX")
