@@ -79,8 +79,21 @@ def read_delete_positions(
     expiry sidecar it always writes first."""
     import os as _os
 
-    from choetl_spark.ledger import _expiry_path, read_ledger
+    from choetl_spark.ledger import _expiry_path, commit_meta, read_ledger
 
+    # commit_meta is driver-cached per ledger version: the common
+    # no-deletes store answers "has_delete?" with zero Spark jobs per
+    # scan (round-3 fix: this used to be a limit(1).count() job inside
+    # EVERY scan_encoded/point_lookup/agg_encoded call)
+    meta = commit_meta(spark, out_dir)
+    if not meta["delete_seqs"]:
+        # no committed delete epochs: any tombstone files on disk are
+        # orphans of a crashed delete_where — invisible by the commit
+        # rule, so readers skip the tombstone read entirely
+        return None
+    if as_of is not None and meta["delete_seqs"][0] > int(as_of):
+        # deletes exist but all committed after this snapshot
+        return None
     ledger = read_ledger(spark, out_dir)
     try:
         tomb = spark.read.parquet(_deletes_dir(out_dir))
@@ -88,19 +101,15 @@ def read_delete_positions(
         if ledger is not None and not _os.path.exists(
             _expiry_path(out_dir)
         ):
-            n_commits = (
-                ledger.filter(F.col("status") == "delete").limit(1).count()
+            raise RuntimeError(
+                f"store at {out_dir} has committed delete epochs in "
+                "its ledger but no readable _deletes tombstone table "
+                "— refusing to read (it would resurrect deleted "
+                "rows). Restore the _deletes directory (a crashed "
+                "maintenance run may have left a _deletes_trash_* "
+                "or _deletes_compact_* sibling) or expire the "
+                "delete snapshots explicitly."
             )
-            if n_commits:
-                raise RuntimeError(
-                    f"store at {out_dir} has committed delete epochs in "
-                    "its ledger but no readable _deletes tombstone table "
-                    "— refusing to read (it would resurrect deleted "
-                    "rows). Restore the _deletes directory (a crashed "
-                    "maintenance run may have left a _deletes_trash_* "
-                    "or _deletes_compact_* sibling) or expire the "
-                    "delete snapshots explicitly."
-                )
         return None
     if ledger is None:
         return None

@@ -166,15 +166,23 @@ def eq_delete_positions(
         decode_dataframe,
         prune_partitions_by_bloom,
     )
-    from choetl_spark.ledger import read_encoded, read_ledger, read_manifest
+    from choetl_spark.ledger import (
+        commit_meta,
+        read_encoded,
+        read_ledger,
+        read_manifest,
+    )
 
-    ledger = read_ledger(spark, out_dir)
-    if ledger is None:
-        return None
-    commits = ledger.filter(F.col("status") == EQ_STATUS)
-    if as_of is not None:
-        commits = commits.filter(F.col("run_seq") <= int(as_of))
-    rows = commits.select("attempt_id", "run_seq", "codec_map").collect()
+    # driver-cached per ledger version: a store with no equality
+    # deletes (the common case) answers with zero Spark jobs per scan
+    # (round-3 fix: this used to be a collect() + limit(1).count()
+    # inside every reader call)
+    meta = commit_meta(spark, out_dir)
+    rows = [
+        (aid, seq, col)
+        for aid, seq, col in meta["eq_commits"]
+        if as_of is None or seq <= int(as_of)
+    ]
     if not rows:
         return None
     if not os.path.isdir(_eq_root(out_dir)):
@@ -184,13 +192,12 @@ def eq_delete_positions(
             "would resurrect deleted rows)."
         )
     by_col: dict[str, list] = {}
-    for r in rows:
-        by_col.setdefault(r["codec_map"], []).append(
-            (r["attempt_id"], int(r["run_seq"]))
-        )
-    done = ledger.filter(F.col("status") == "done")
-    if done.limit(1).count() == 0:
+    for aid, seq, col in rows:
+        by_col.setdefault(col, []).append((aid, seq))
+    if not meta["has_done"]:
         return None  # nothing ingested yet — no rows to delete
+    ledger = read_ledger(spark, out_dir)
+    done = ledger.filter(F.col("status") == "done")
     part_seq = done.groupBy("part_id").agg(
         F.min("run_seq").alias("_pseq")
     )

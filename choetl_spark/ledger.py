@@ -167,8 +167,50 @@ def _display_remap(chunks: DataFrame, manifest: dict | None) -> DataFrame:
     )
 
 
+def _ledger_signature(out_dir: str) -> tuple | None:
+    """Content signature of the ledger DIRECTORY (sorted file names +
+    sizes + mtimes) — the local-filesystem analog of Iceberg's
+    metadata.json pointer. Every commit path (ingest append, delete
+    commit, replace/expiry rewrite) adds or replaces ledger files, so
+    any visible store change changes the signature. ``None`` means the
+    directory cannot be listed locally (no ledger yet, or a remote
+    filesystem) — callers must then skip caching, never treat it as a
+    cache key."""
+    try:
+        names = os.listdir(_ledger_dir(out_dir))
+    except OSError:
+        return None
+    sig = []
+    for n in sorted(names):
+        try:
+            st = os.stat(os.path.join(_ledger_dir(out_dir), n))
+        except OSError:
+            continue
+        sig.append((n, st.st_size, st.st_mtime_ns))
+    return tuple(sig)
+
+
+# {(app_id, abs out_dir): (signature, ledger DataFrame)} — a Spark
+# parquet DataFrame pins the file listing taken at read() time, so a
+# cached frame is exactly "the snapshot the signature names"; any new
+# commit changes the signature and falls through to a fresh read.
+_LEDGER_DF_CACHE: dict[tuple, tuple] = {}
+# {(app_id, abs out_dir): (signature, meta dict)} — see commit_meta()
+_COMMIT_META_CACHE: dict[tuple, tuple] = {}
+
+
+def _cache_key(spark: SparkSession, out_dir: str) -> tuple:
+    return (spark.sparkContext.applicationId, os.path.abspath(out_dir))
+
+
 def read_ledger(spark: SparkSession, out_dir: str) -> DataFrame | None:
     path = _ledger_dir(out_dir)
+    sig = _ledger_signature(out_dir)
+    key = _cache_key(spark, out_dir)
+    if sig is not None:
+        hit = _LEDGER_DF_CACHE.get(key)
+        if hit is not None and hit[0] == sig:
+            return hit[1]
     try:
         # mergeSchema: ledger files are tiny and a store resumed across
         # engine upgrades may mix footers with/without newer columns
@@ -183,7 +225,85 @@ def read_ledger(spark: SparkSession, out_dir: str) -> DataFrame | None:
         ledger = ledger.withColumn(
             "run_seq", F.coalesce(F.col("run_seq"), F.lit(1)).cast("long")
         )
+    if sig is not None:
+        _LEDGER_DF_CACHE[key] = (sig, ledger)
     return ledger
+
+
+def commit_meta(spark: SparkSession, out_dir: str) -> dict:
+    """Tiny driver-cached summary of the ledger's commit rows — the
+    per-scan metadata questions ("are there delete commits?", "which
+    equality-delete commits exist?", "has anything been ingested?")
+    answered with ZERO Spark jobs after the first read of a given store
+    version. Keyed on :func:`_ledger_signature`, so invalidation is
+    automatic: every commit appends or rewrites ledger files. Remote
+    stores (no local listing) recompute each call — correct, just not
+    cached.
+
+    Returns ``{"exists", "has_done", "delete_seqs", "eq_commits"}``
+    where ``delete_seqs`` is the (small — one per delete call) sorted
+    list of positional-delete commit epochs and ``eq_commits`` is
+    ``[(attempt_id, run_seq, key_col)]`` for equality deletes. The two
+    collects behind them are O(delete commits), never O(partitions),
+    and run once per store version instead of once per scan — the
+    Iceberg-client metadata-caching move (scan planning reads the
+    snapshot pointer, not the table)."""
+    sig = _ledger_signature(out_dir)
+    key = _cache_key(spark, out_dir)
+    if sig is not None:
+        hit = _COMMIT_META_CACHE.get(key)
+        if hit is not None and hit[0] == sig:
+            return hit[1]
+    ledger = read_ledger(spark, out_dir)
+    if ledger is None:
+        meta = {
+            "exists": False,
+            "has_done": False,
+            "delete_seqs": [],
+            "eq_commits": [],
+        }
+    else:
+        rows = (
+            ledger.filter(
+                F.col("status").isin("delete", "eqdelete")
+                | (F.col("status") == "done")
+            )
+            .groupBy("status")
+            .agg(
+                F.count("*").alias("n"),
+                # delete/eqdelete commits are one ledger row per call —
+                # tiny; "done" rows are O(partitions) and are NOT
+                # collected (only counted)
+                F.collect_list(
+                    F.when(
+                        F.col("status").isin("delete", "eqdelete"),
+                        F.struct("attempt_id", "run_seq", "codec_map"),
+                    )
+                ).alias("commits"),
+            )
+            .collect()
+        )
+        by_status = {r["status"]: r for r in rows}
+        meta = {
+            "exists": True,
+            "has_done": by_status.get("done", {"n": 0})["n"] > 0,
+            "delete_seqs": sorted(
+                int(c["run_seq"])
+                for c in by_status.get("delete", {"commits": []})["commits"]
+            ),
+            "eq_commits": sorted(
+                (
+                    (c["attempt_id"], int(c["run_seq"]), c["codec_map"])
+                    for c in by_status.get("eqdelete", {"commits": []})[
+                        "commits"
+                    ]
+                ),
+                key=lambda t: t[1],
+            ),
+        }
+    if sig is not None:
+        _COMMIT_META_CACHE[key] = (sig, meta)
+    return meta
 
 
 def _read_chunks(spark: SparkSession, out_dir: str) -> DataFrame:
