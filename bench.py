@@ -367,6 +367,16 @@ def run_default() -> None:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
     total = round(sum(times.values()), 3)
+    # round-2 comparability: the first 8 queries are the round-2
+    # headline set; the store benches were added in round 3, so the
+    # all-queries total is NOT comparable to BENCH_r02's value
+    core_names = (
+        "encode_webpages", "encode_speed_profile", "roundtrip_decode",
+        "pricing_summary", "join_topk_revenue", "minhash_pairs",
+        "minhash_signatures", "cosine_topk",
+    )
+    core = round(sum(times[n] for n in core_names if n in times), 3)
+    store = round(total - core, 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -378,6 +388,10 @@ def run_default() -> None:
                 "sf": sf,
                 "reps": reps,
                 "timing": "best-of-reps per query",
+                "subtotals": {
+                    "headline_core_r2_comparable": core,
+                    "store_scan_suite_new_in_r3": store,
+                },
                 "prune_evidence": {
                     "parts_total": _STORE.get("parts_total"),
                     "parts_kept_for_point_lookup": _STORE.get("parts_kept"),
