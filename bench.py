@@ -584,8 +584,57 @@ def _measure_encode(cores: str, sf_dir: str) -> dict:
         w = time.perf_counter() - t0
         pq_wall = w if pq_wall is None or w < pq_wall else pq_wall
     _sh.rmtree("/dev/shm/choetl_pq_ref", ignore_errors=True)
+    # --- storage-to-storage: the deployment shape at 100 TB (input is a
+    # parquet/Iceberg table on storage, output goes back to storage).
+    # Input written ONCE untimed (snappy, SCALING_PARTS files); then each
+    # contender reads those same files and writes its result:
+    #   JVM  — spark.read.parquet -> write parquet+zstd (all JVM)
+    #   ours — scan-direct encode (choetl_spark.direct): driver plans
+    #          row-group splits from the footers, each Python task reads
+    #          its split with pyarrow and encodes natively. Data bytes
+    #          never cross the JVM->Python boundary — the transfer term
+    #          the in-memory rows above pay (~4 s/GB at 2 cores, the
+    #          no-op control) vanishes from our side.
+    from choetl_spark.direct import encode_parquet_direct, plan_parquet_splits
+
+    src = "/dev/shm/choetl_direct_src"
+    out = "/dev/shm/choetl_direct_out"
+    _sh.rmtree(src, ignore_errors=True)
+    pages.write.parquet(src)
     pages.unpersist()
     planned.unpersist()
+    splits = plan_parquet_splits(src)  # one split per input file here
+    # warm the direct kernel untimed (pyarrow.parquet import in every
+    # Python worker + the chunk-output write path)
+    _sh.rmtree(out, ignore_errors=True)
+    encode_parquet_direct(
+        spark, src, cfg_local, splits=splits[: int(cores) * 2] or splits
+    ).write.option("compression", "none").parquet(out)
+
+    def timed_s2s(thunk) -> float:
+        wall = None
+        for _ in range(SCALING_REPS):
+            _sh.rmtree(out, ignore_errors=True)
+            t0 = time.perf_counter()
+            thunk()
+            w = time.perf_counter() - t0
+            wall = w if wall is None or w < wall else wall
+        _sh.rmtree(out, ignore_errors=True)
+        return wall
+
+    wall_pq_s2s = timed_s2s(
+        lambda: spark.read.parquet(src)
+        .write.option("compression", "zstd").parquet(out)
+    )
+    wall_direct = timed_s2s(
+        lambda: encode_parquet_direct(spark, src, cfg_local, splits=splits)
+        .write.option("compression", "none").parquet(out)
+    )
+    wall_direct_bal = timed_s2s(
+        lambda: encode_parquet_direct(spark, src, cfg_balanced, splits=splits)
+        .write.option("compression", "none").parquet(out)
+    )
+    _sh.rmtree(src, ignore_errors=True)
     spark.stop()
     return {
         "cores": int(cores),
@@ -599,11 +648,19 @@ def _measure_encode(cores: str, sf_dir: str) -> dict:
         "wall_sec_salted": round(wall_salted, 3),
         "wall_sec_balanced": round(wall_balanced, 3),
         "wall_sec_parquet_zstd": round(pq_wall, 3),
+        "wall_sec_pq_s2s": round(wall_pq_s2s, 3),
+        "wall_sec_direct": round(wall_direct, 3),
+        "wall_sec_direct_balanced": round(wall_direct_bal, 3),
         "rows_per_sec": round(n_rows / wall_local, 1),
         "gb_per_sec": round(raw_bytes / wall_local / 1e9, 4),
         "gb_per_sec_salted": round(raw_bytes / wall_salted / 1e9, 4),
         "gb_per_sec_balanced": round(raw_bytes / wall_balanced / 1e9, 4),
         "gb_per_sec_parquet_zstd": round(raw_bytes / pq_wall / 1e9, 4),
+        "gb_per_sec_pq_s2s": round(raw_bytes / wall_pq_s2s / 1e9, 4),
+        "gb_per_sec_direct": round(raw_bytes / wall_direct / 1e9, 4),
+        "gb_per_sec_direct_balanced": round(
+            raw_bytes / wall_direct_bal / 1e9, 4
+        ),
     }
 
 
@@ -648,20 +705,22 @@ def _best_of_passes(results: list[dict]) -> dict:
     """Merge repeated measurements of one level: min wall per mode wins
     (the sandbox is a shared VM with bursty neighbors; interleaved passes
     + min give both levels the same chance of a quiet window)."""
+    modes = [
+        ("wall_sec", ("rows_per_sec", "gb_per_sec")),
+        ("wall_sec_salted", ("gb_per_sec_salted",)),
+        ("wall_sec_balanced", ("gb_per_sec_balanced",)),
+        ("wall_sec_parquet_zstd", ("gb_per_sec_parquet_zstd",)),
+        ("wall_sec_pq_s2s", ("gb_per_sec_pq_s2s",)),
+        ("wall_sec_direct", ("gb_per_sec_direct",)),
+        ("wall_sec_direct_balanced", ("gb_per_sec_direct_balanced",)),
+    ]
     best = dict(results[0])
     for r in results[1:]:
-        if r["wall_sec"] < best["wall_sec"]:
-            for k in ("wall_sec", "rows_per_sec", "gb_per_sec"):
-                best[k] = r[k]
-        if r["wall_sec_salted"] < best["wall_sec_salted"]:
-            best["wall_sec_salted"] = r["wall_sec_salted"]
-            best["gb_per_sec_salted"] = r["gb_per_sec_salted"]
-        if r["wall_sec_balanced"] < best["wall_sec_balanced"]:
-            best["wall_sec_balanced"] = r["wall_sec_balanced"]
-            best["gb_per_sec_balanced"] = r["gb_per_sec_balanced"]
-        if r["wall_sec_parquet_zstd"] < best["wall_sec_parquet_zstd"]:
-            best["wall_sec_parquet_zstd"] = r["wall_sec_parquet_zstd"]
-            best["gb_per_sec_parquet_zstd"] = r["gb_per_sec_parquet_zstd"]
+        for wall_key, linked in modes:
+            if r[wall_key] < best[wall_key]:
+                best[wall_key] = r[wall_key]
+                for k in linked:
+                    best[k] = r[k]
     return best
 
 
@@ -920,6 +979,41 @@ the trade curve.
   control above. On separate executor hosts each node brings its own
   bus.)
 
+## Scan-direct encode (storage-to-storage)
+
+The rows above hand both contenders the input as in-memory Spark rows —
+the JVM writer's best case (zero read cost) and our worst (every byte
+pays the JVM->Python Arrow transfer). The deployment shape at
+10^12-document scale is different: the input is a parquet/Iceberg table
+on storage. The **scan-direct path** (`choetl_spark.direct`) encodes
+that shape the way a native data source would — the driver plans
+row-group splits from the parquet footers (zero Spark jobs), each
+Python task reads its split with pyarrow and feeds Arrow batches
+straight into the codec kernel. Input bytes never cross the JVM->Python
+boundary; there is no shuffle and no exchange in the plan (pinned by
+`tests/test_direct.py`). Both contenders below read the SAME snappy
+parquet files (written once, untimed) and write their result back to
+storage:
+
+| GB/s, storage-to-storage | local[{r8["cores"]}] (N) | local[{r32["cores"]}] (4N) |
+|---|---|---|
+| JVM: read parquet -> write parquet+zstd | {r8["gb_per_sec_pq_s2s"]} | {r32["gb_per_sec_pq_s2s"]} |
+| ours: scan-direct, DEFAULT profile | {r8["gb_per_sec_direct"]} | {r32["gb_per_sec_direct"]} |
+| ours: scan-direct, balanced profile | {r8["gb_per_sec_direct_balanced"]} | {r32["gb_per_sec_direct_balanced"]} |
+
+- scan-direct DEFAULT vs the JVM pipeline:
+  **{r8["gb_per_sec_direct"] / r8["gb_per_sec_pq_s2s"]:.2f}x** at local[{r8["cores"]}],
+  **{r32["gb_per_sec_direct"] / r32["gb_per_sec_pq_s2s"]:.2f}x** at local[{r32["cores"]}]
+  (2x rule: >= 0.5x)
+- scan-direct balanced vs the JVM pipeline:
+  **{r8["gb_per_sec_direct_balanced"] / r8["gb_per_sec_pq_s2s"]:.2f}x** at local[{r8["cores"]}],
+  **{r32["gb_per_sec_direct_balanced"] / r32["gb_per_sec_pq_s2s"]:.2f}x** at local[{r32["cores"]}]
+- scan-direct speedup N->4N: default
+  **{r8["wall_sec_direct"] / r32["wall_sec_direct"]:.2f}x**
+  (efficiency **{r8["wall_sec_direct"] / r32["wall_sec_direct"] / 4:.3f}**),
+  balanced **{r8["wall_sec_direct_balanced"] / r32["wall_sec_direct_balanced"]:.2f}x**
+  (efficiency **{r8["wall_sec_direct_balanced"] / r32["wall_sec_direct_balanced"] / 4:.3f}**)
+
 ## Compression footprint
 
 | | bytes |
@@ -960,6 +1054,13 @@ rule on shared-bus hardware, and the reason is arithmetic, not tuning:
 The balanced profile stays the right opt-in at 10^12-document scale
 when storage dominates: persistent bytes and every downstream scan pay
 the footprint forever, the encode cost amortizes once.
+
+The scan-direct section above shows what happens when the input is
+already on storage (the deployment shape): the ~4 s/GB transfer term
+leaves OUR side of the ledger entirely — the kernel reads its split
+natively — while the JVM pipeline picks up its own read cost, and the
+throughput ratios shift accordingly (see that table for whether the
+balanced profile clears 0.5x there).
 
 The actual reference (ChoETL, single-threaded C# row pivot +
 Parquet.Net) is orders of magnitude below either number at this data

@@ -1609,8 +1609,19 @@ def encode_with_resume(
     delete_commits: list[tuple[str, int]] | None = None,
     eq_delete_commits: list[tuple[str, int, str]] | None = None,
     staged: bool = False,
+    encoder=None,
+    schema_df: DataFrame | None = None,
 ) -> dict:
     """Encode ``df`` to ``out_dir``, skipping partitions already done.
+
+    ``encoder`` swaps the encode plan while keeping every commit
+    mechanic (manifest merge, integrity gate, attempt-keyed ledger
+    append): a callable ``(pending_df, cfg) -> encoded-chunk DataFrame``
+    — the scan-direct path (:func:`choetl_spark.direct.
+    encode_direct_with_resume`) passes split DESCRIPTORS as ``df`` and
+    reads the data inside its own kernel. ``schema_df`` then supplies
+    the source schema for the manifest (``df`` carries descriptors, not
+    data columns).
 
     ``staged=True`` is the WRITE half of write-audit-publish
     (:mod:`choetl_spark.refs`): partitions commit with ledger status
@@ -1704,7 +1715,9 @@ def encode_with_resume(
     # column's chunks already occupy it — re-adding a dropped name must
     # NOT resurrect the old bytes.
     os.makedirs(out_dir, exist_ok=True)
-    new_manifest = column_manifest(df, cfg)
+    new_manifest = column_manifest(
+        schema_df if schema_df is not None else df, cfg
+    )
     prior = read_manifest(out_dir) or {}
     taken = reserved_physicals(prior)
     for col, m in list(new_manifest.items()):
@@ -1739,6 +1752,16 @@ def encode_with_resume(
     write_manifest(out_dir, new_manifest)
     # encode under the PHYSICAL keys (only renamed/re-added columns
     # differ); cfg column references follow the rename
+    if encoder is not None and any(
+        physical_name(m, c) != c
+        for c, m in manifest_data_items(new_manifest)
+    ):
+        raise ValueError(
+            "custom encoder into a store with renamed/re-added columns "
+            "is not supported: physical chunk keys differ from display "
+            "names and the encoder reads the source itself — use the "
+            "standard encode_with_resume path for this store"
+        )
     phys_map = {
         c: physical_name(m, c)
         for c, m in manifest_data_items(new_manifest)
@@ -1773,7 +1796,7 @@ def encode_with_resume(
                 for c, v in cfg.codec_overrides.items()
             },
         )
-    enc = encode_dataframe(pending, cfg_enc).withColumn(
+    enc = (encoder or encode_dataframe)(pending, cfg_enc).withColumn(
         "attempt_id", F.lit(attempt_id)
     )
     enc.write.mode("append").option("compression", "none").parquet(
