@@ -679,6 +679,44 @@ def q_roundtrip_text_identity(spark, sf_dir):
     return matched.agg(F.count("*").alias("n_match"))
 
 
+def q_direct_roundtrip(spark, sf_dir):
+    """Scan-direct encode path (choetl_spark/direct.py): the pages are
+    written to parquet, the driver plans row-group splits from the
+    footers, each Python task reads its split natively with pyarrow and
+    encodes it — input bytes never cross the JVM->Python boundary. The
+    resumable store is scanned back and every (url, text) must match the
+    source bit-identically; the oracle is the document count, so a
+    dropped split, a mis-tiled chunk, or any value corruption flips it.
+    Collected eagerly so the temp parquet + store can be deleted."""
+    import shutil
+    import tempfile
+
+    from choetl_spark.direct import encode_direct_with_resume
+    from choetl_spark.engine import EncodeConfig
+    from choetl_spark.ledger import scan_encoded
+    from choetl_spark.synth import webpages_from_documents
+
+    pages = webpages_from_documents(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="choetl_direct_")
+    try:
+        src, store = f"{tmp}/src", f"{tmp}/store"
+        pages.write.parquet(src)
+        cfg = EncodeConfig(chunk_rows=2048, chunk_bytes=4 << 20)
+        encode_direct_with_resume(
+            spark, src, store, cfg, target_split_bytes=4 << 20
+        )
+        decoded = scan_encoded(spark, store, columns=["url", "text"])
+        n = (
+            decoded.alias("d")
+            .join(pages.alias("s"), "url")
+            .filter(F.col("d.text") == F.col("s.text"))
+            .count()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame([(n,)], "n_match long")
+
+
 def q_prune_urlrange(spark, sf_dir):
     """String zone-map partition pruning, end-to-end (SURVEY §step-2
     stats / Parquet row-group-skip analog): encode the documents-derived
@@ -1897,6 +1935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "encode_summary": q_encode_summary,
         "roundtrip_text_identity": q_roundtrip_text_identity,
+        "direct_roundtrip": q_direct_roundtrip,
         "prune_urlrange": q_prune_urlrange,
         "prune_bloom_url": q_prune_bloom_url,
         "point_lookup_store": q_point_lookup_store,
@@ -2890,6 +2929,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cosine_r DESC, vec_id LIMIT 10
         """,
         "roundtrip_text_identity": """
+            SELECT count(*) AS n_match FROM documents
+        """,
+        "direct_roundtrip": """
             SELECT count(*) AS n_match FROM documents
         """,
         "prune_urlrange": f"""
