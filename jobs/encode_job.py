@@ -38,6 +38,18 @@ def main(argv: list[str] | None = None) -> int:
         "file-partitioned)",
     )
     p.add_argument(
+        "--direct", action="store_true",
+        help="scan-direct mode (parquet inputs only): the driver plans "
+        "row-group splits from the footers and each Python task reads "
+        "its split natively with pyarrow — input bytes never cross the "
+        "JVM->Python boundary and the plan has no shuffle. Ignores "
+        "--shuffle/--partitions; split size set by --split-bytes",
+    )
+    p.add_argument(
+        "--split-bytes", type=int, default=128 << 20,
+        help="scan-direct split target (uncompressed row-group bytes)",
+    )
+    p.add_argument(
         "--bloom-columns", default=None,
         help="comma list of string columns to build per-chunk Bloom "
         "filters for (point-lookup pruning via "
@@ -52,10 +64,10 @@ def main(argv: list[str] | None = None) -> int:
     from choetl_spark.ledger import encode_with_resume, read_encoded
 
     spark = SparkSession.builder.appName("choetl-encode").getOrCreate()
-    if "/" in args.input or args.input.endswith(".parquet"):
-        df = spark.read.parquet(args.input)
-    else:
-        df = spark.table(args.input)
+    is_parquet = "/" in args.input or args.input.endswith(".parquet")
+    if args.direct and not is_parquet:
+        p.error("--direct needs a parquet path input")
+    df = spark.read.parquet(args.input) if is_parquet else spark.table(args.input)
 
     cfg = EncodeConfig(
         columns=args.columns.split(",") if args.columns else None,
@@ -70,7 +82,17 @@ def main(argv: list[str] | None = None) -> int:
             c.strip() for c in args.bloom_columns.split(",") if c.strip()
         ) if args.bloom_columns else (),
     )
-    summary = encode_with_resume(spark, df, args.output, cfg, run_id=args.run_id)
+    if args.direct:
+        from choetl_spark.direct import encode_direct_with_resume
+
+        summary = encode_direct_with_resume(
+            spark, args.input, args.output, cfg, run_id=args.run_id,
+            target_split_bytes=args.split_bytes,
+        )
+    else:
+        summary = encode_with_resume(
+            spark, df, args.output, cfg, run_id=args.run_id
+        )
     report = compression_report(read_encoded(spark, args.output)).collect()
     summary["columns"] = [r.asDict() for r in report]
     print(json.dumps(summary, default=str))

@@ -125,6 +125,33 @@ def test_direct_resume_skips_done_splits(spark, pages_parquet, tmp_path):
     assert decoded.exceptAll(a).count() == 0
 
 
+def test_encode_job_direct_mode(spark, pages_parquet, tmp_path, capsys):
+    """The spark-submit CLI's --direct flag drives the scan-direct path
+    end-to-end (in-process main(); the packaged-zip subprocess contract
+    is covered by test_submit_job.py)."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "encode_job",
+        os.path.join(os.path.dirname(__file__), "..", "jobs", "encode_job.py"),
+    )
+    job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(job)
+    out = str(tmp_path / "store")
+    rc = job.main(
+        [
+            "--input", pages_parquet, "--output", out, "--direct",
+            "--split-bytes", str(4 << 20), "--chunk-rows", "512",
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["partitions_encoded_this_run"] > 0
+    assert summary["columns"]  # compression report present
+
+
 def test_direct_rejects_nested_columns(spark, tmp_path):
     path = str(tmp_path / "nested.parquet")
     spark.range(10).select(
