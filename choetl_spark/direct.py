@@ -261,9 +261,12 @@ def encode_direct_with_resume(
     Delegates commit mechanics (manifest merge, integrity gate, ledger
     append, crash-orphan invisibility) to
     :func:`choetl_spark.ledger.encode_with_resume` via its ``encoder``
-    hook; the split part_ids are deterministic for the same input files,
-    so a restarted run anti-joins the ledger and re-encodes only the
-    splits that never committed.
+    hook; the split part_ids are deterministic for the same input files
+    AND the same ``target_split_bytes``, so a restarted run anti-joins
+    the ledger and re-encodes only the splits that never committed.
+    (Changing the split target between a crash and its resume re-plans
+    the part_ids — resume then re-encodes everything into fresh ids;
+    keep the knob stable across retries of one logical run.)
     """
     from choetl_spark.ledger import encode_with_resume
 
