@@ -717,6 +717,97 @@ def q_direct_roundtrip(spark, sf_dir):
     return spark.createDataFrame([(n,)], "n_match long")
 
 
+def q_warc_ingest_webpages(spark, sf_dir):
+    """Raw-crawl ingestion (ISO 28500): render the documents-derived
+    pages as Common-Crawl-layout WARC (.warc.gz response records with a
+    real HTTP envelope, one gzip member per record) plus a WET sidecar
+    (conversion records carrying the extracted text), read both back
+    with the distributed WARC reader, stitch them into the north-rule
+    table, and emit per-url content digests. The oracle recomputes
+    every digest from `documents` directly — a dropped record, a
+    corrupted byte through the HTTP/gzip envelope, a wrong
+    Content-Length, or a timestamp drift flips the hash. Collected
+    eagerly so the temp crawl files can be deleted."""
+    import shutil
+    import tempfile
+
+    from choetl_spark.sources import read_warc, warc_webpages, write_warc
+    from choetl_spark.synth import webpages_from_documents
+
+    pages = webpages_from_documents(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="choetl_warc_")
+    try:
+        write_warc(
+            pages.select("url", "warc_ts", F.col("html").alias("payload")),
+            f"{tmp}/warc", record_type="response",
+        )
+        write_warc(
+            pages.select(
+                "url", "warc_ts",
+                F.encode("text", "utf-8").alias("payload"), "lang",
+            ),
+            f"{tmp}/wet", record_type="conversion", lang_col="lang",
+        )
+        recs = read_warc(spark, f"{tmp}/warc").unionAll(
+            read_warc(spark, f"{tmp}/wet")
+        )
+        web = warc_webpages(recs)
+        rows = web.select(
+            "url",
+            F.md5("html").alias("html_md5"),
+            F.md5(F.encode("text", "utf-8")).alias("text_md5"),
+            F.unix_micros("warc_ts").alias("ts_us"),
+            "lang",
+        ).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "url string, html_md5 string, text_md5 string, ts_us long,"
+        " lang string",
+    )
+
+
+def q_html_charset_decode(spark, sf_dir):
+    """Charset-correct html decoding (operators.with_html_decoded —
+    BOM > Content-Type > <meta charset> > utf-8, the WHATWG sniff
+    order): plant a mixed-charset corpus from documents (utf-8 with a
+    header, ISO-8859-1 declared only by an embedded <meta> tag, and
+    JVM UTF-16 whose BOM must win), decode, and emit per-doc digests
+    of the decoded text. The oracle rebuilds the expected DECODED
+    string directly from `documents` — any charset mix-up, BOM
+    leftover, or mangled byte flips the md5. Non-ascii is stripped
+    from the base text first so every planted charset can encode it;
+    the é probe char pins the non-ascii path."""
+    from choetl_spark.operators import with_html_decoded
+
+    docs = _read(spark, sf_dir, "documents")
+    ascii_text = F.regexp_replace("text", "[^ -~]", "")
+    body = F.concat(F.lit("é "), ascii_text)
+    mode = F.col("doc_id") % 3
+    payload = (
+        F.when(mode == 0, F.encode(body, "UTF-8"))
+        .when(
+            mode == 1,
+            F.encode(
+                F.concat(F.lit('<meta charset="ISO-8859-1">'), body),
+                "ISO-8859-1",
+            ),
+        )
+        .otherwise(F.encode(body, "UTF-16"))  # JVM UTF-16 = BOM + BE
+    )
+    ctype = F.when(
+        mode == 0, F.lit("text/html; charset=utf-8")
+    ).otherwise(F.lit(None).cast("string"))
+    planted = docs.select(
+        "doc_id", payload.alias("html"), ctype.alias("ctype")
+    )
+    out = with_html_decoded(planted, "html", ctype_col="ctype")
+    return out.select(
+        "doc_id", F.md5(F.encode("html_text", "UTF-8")).alias("dec_md5")
+    )
+
+
 def q_prune_urlrange(spark, sf_dir):
     """String zone-map partition pruning, end-to-end (SURVEY §step-2
     stats / Parquet row-group-skip analog): encode the documents-derived
@@ -1936,6 +2027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_summary": q_encode_summary,
         "roundtrip_text_identity": q_roundtrip_text_identity,
         "direct_roundtrip": q_direct_roundtrip,
+        "warc_ingest_webpages": q_warc_ingest_webpages,
+        "html_charset_decode": q_html_charset_decode,
         "prune_urlrange": q_prune_urlrange,
         "prune_bloom_url": q_prune_bloom_url,
         "point_lookup_store": q_point_lookup_store,
@@ -2933,6 +3026,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "direct_roundtrip": """
             SELECT count(*) AS n_match FROM documents
+        """,
+        "warc_ingest_webpages": f"""
+            SELECT {_URL_SQL} AS url,
+                   md5({_HTML_SQL}) AS html_md5,
+                   md5(text) AS text_md5,
+                   CAST(1690000000000000 + doc_id * 37000000
+                        AS BIGINT) AS ts_us,
+                   lang
+            FROM documents
+        """,
+        "html_charset_decode": """
+            WITH t AS (
+              SELECT doc_id,
+                     'é ' || regexp_replace(text, '[^ -~]', '', 'g')
+                       AS body
+              FROM documents
+            )
+            SELECT doc_id,
+                   md5(CASE WHEN doc_id % 3 = 1
+                            THEN '<meta charset="ISO-8859-1">' || body
+                            ELSE body END) AS dec_md5
+            FROM t
         """,
         "prune_urlrange": f"""
             WITH t AS (SELECT {_URL_SQL} AS url FROM documents)

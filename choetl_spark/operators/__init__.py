@@ -45,6 +45,8 @@ from choetl_spark.operators.sampling import (  # noqa: F401
 )
 from choetl_spark.operators.weburl import (  # noqa: F401
     domain_stats,
+    sniff_charset,
+    with_html_decoded,
     with_url_canonical,
     with_url_parts,
 )

@@ -17,6 +17,8 @@ tiny post-combine.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Column, functions as F
 
 # RFC 3986-ish scheme, authority, path, query, fragment split. All
@@ -142,3 +144,101 @@ def domain_stats(
             ),
         ]
     return parts.groupBy("registered_domain").agg(*aggs)
+
+
+# --------------------------------------------------------------- charset
+
+_META_CHARSET_RE = (
+    rb"""charset\s*=\s*["']?\s*([A-Za-z0-9_][A-Za-z0-9._-]*)"""
+)
+
+
+def sniff_charset(
+    payload: bytes, declared: str | None = None
+) -> str:
+    """Charset for one html payload, in the order real crawlers use:
+    BOM > Content-Type header charset > <meta charset> in the first
+    2 KiB > utf-8. Returns a Python codec name; unknown labels fall
+    through to the next source (crawls declare garbage constantly)."""
+    import codecs
+    import re
+
+    if payload[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if payload[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"
+    for cand in (declared, None):
+        if cand is None:
+            m = re.search(_META_CHARSET_RE, payload[:2048], re.IGNORECASE)
+            if not m:
+                continue
+            cand = m.group(1).decode("ascii", errors="replace")
+        else:
+            m2 = re.search(
+                _META_CHARSET_RE, cand.encode("ascii", errors="replace"),
+                re.IGNORECASE,
+            )
+            if not m2:
+                continue
+            cand = m2.group(1).decode("ascii", errors="replace")
+        try:
+            codecs.lookup(cand)
+            return cand
+        except LookupError:
+            continue
+    return "utf-8"
+
+
+def with_html_decoded(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "html_text",
+    ctype_col: str | None = None,
+) -> DataFrame:
+    """Decode raw html bytes (e.g. a WARC response payload) to a string
+    column using the page's ACTUAL charset — Common-Crawl html is only
+    mostly utf-8; the tail is windows-125x/latin-1/shift_jis/gbk and a
+    blind ``F.decode(.., 'utf-8')`` silently mangles it.
+
+    Charset per page: BOM > ``ctype_col`` (the HTTP Content-Type, e.g.
+    from :func:`choetl_spark.sources.read_warc`'s
+    ``http_content_type``) > ``<meta charset>`` sniff in the first
+    2 KiB > utf-8; undecodable bytes take U+FFFD (decode must never
+    kill a task). Arrow-batched pandas UDF — a pure map, no shuffle;
+    the dominant cost is the C-level ``bytes.decode`` itself. The
+    sniff order and the 2 KiB window are the public WHATWG
+    encoding-sniffing algorithm's shape (header beats meta, bounded
+    prescan)."""
+    from pyspark.sql.functions import pandas_udf
+
+    if ctype_col is not None:
+
+        @pandas_udf("string")
+        def dec2(html: pd.Series, ctype: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    None
+                    if b is None
+                    else bytes(b).decode(
+                        sniff_charset(bytes(b), c), errors="replace"
+                    )
+                    for b, c in zip(html, ctype)
+                ],
+                dtype=object,
+            )
+
+        return df.withColumn(out_col, dec2(F.col(html_col), F.col(ctype_col)))
+
+    @pandas_udf("string")
+    def dec1(html: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if b is None
+                else bytes(b).decode(sniff_charset(bytes(b)), errors="replace")
+                for b in html
+            ],
+            dtype=object,
+        )
+
+    return df.withColumn(out_col, dec1(F.col(html_col)))

@@ -1167,6 +1167,200 @@ def write_manifold(
     rendered.write.mode("overwrite").text(path)
 
 
+_WARC_SCHEMA_DDL = (
+    "file string, record_seq long, record_type string, url string, "
+    "warc_ts timestamp, content_type string, http_status int, "
+    "http_content_type string, lang string, payload binary"
+)
+
+
+def read_warc(
+    spark: SparkSession,
+    path: str,
+    max_file_bytes: int | None = 4 << 30,
+) -> DataFrame:
+    """Distributed WARC/WET reader — one row per WARC record.
+
+    The raw-crawl entry point for the north-rule table (Common Crawl
+    ships .warc.gz of HTTP ``response`` records and .wet.gz of
+    ``conversion`` text records; see :mod:`choetl_spark.sources.warc_py`
+    for the spec provenance and the per-record-Python justification).
+    Plan shape: the driver lists files (metadata only), one descriptor
+    row per task partition (same no-Exchange recipe as
+    ``direct._splits_dataframe``), each task streams its file through
+    the pure-Python parser and emits Arrow batches — record payloads
+    never cross the JVM boundary on the way in.
+
+    A file is one task (WARC's gzip-member framing supports
+    member-boundary splits on a cluster reader; a sandbox file is
+    already task-sized). ``max_file_bytes`` guards task memory the same
+    way the wholetext formats do: a crawl file decompresses fully in
+    one task, so reject files whose COMPRESSED size already exceeds the
+    cap instead of OOMing mid-job; pass None to opt out.
+    """
+    import glob as _glob
+    import os as _os
+
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            "read_warc lists local paths; for object storage mount or "
+            "localize the crawl files (cluster readers split on gzip "
+            "member boundaries instead)"
+        )
+    p = path.removeprefix("file://")
+    if _os.path.isdir(p):
+        files = sorted(
+            f
+            for f in _glob.glob(_os.path.join(p, "*"))
+            if _os.path.isfile(f)
+            and not _os.path.basename(f).startswith(("_", "."))
+            and _os.path.splitext(f)[1] in (".warc", ".wet", ".gz")
+        )
+    else:
+        files = sorted(_glob.glob(p)) or [p]
+    if not files:
+        raise FileNotFoundError(f"no WARC files under {path!r}")
+    if max_file_bytes is not None:
+        big = [
+            f for f in files if _os.path.getsize(f) > max_file_bytes
+        ]
+        if big:
+            raise ValueError(
+                f"read_warc: file(s) exceed max_file_bytes="
+                f"{max_file_bytes}: {sorted(big)[:3]}. One file "
+                "decompresses inside one task; raise the cap "
+                "explicitly (max_file_bytes=None) or split the input."
+            )
+    rdd = spark.sparkContext.parallelize(
+        [(f,) for f in files], numSlices=len(files)
+    )
+    desc = spark.createDataFrame(rdd, "file string")
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        from choetl_spark.sources.warc_py import read_warc_file
+
+        for batch in batches:
+            for fname in batch.column(0).to_pylist():
+                rows = list(read_warc_file(fname))
+                if not rows:
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([fname] * len(rows)),
+                        pa.array(range(len(rows)), type=pa.int64()),
+                        pa.array([r["record_type"] for r in rows]),
+                        pa.array([r["url"] for r in rows]),
+                        pa.array(
+                            [r["warc_ts"] for r in rows],
+                            type=pa.timestamp("us", tz="UTC"),
+                        ),
+                        pa.array([r["content_type"] for r in rows]),
+                        pa.array(
+                            [r["http_status"] for r in rows],
+                            type=pa.int32(),
+                        ),
+                        pa.array([r["http_content_type"] for r in rows]),
+                        pa.array([r["lang"] for r in rows]),
+                        pa.array(
+                            [r["payload"] for r in rows], type=pa.binary()
+                        ),
+                    ],
+                    names=[
+                        "file", "record_seq", "record_type", "url",
+                        "warc_ts", "content_type", "http_status",
+                        "http_content_type", "lang", "payload",
+                    ],
+                )
+
+    return desc.mapInArrow(kernel, _WARC_SCHEMA_DDL)
+
+
+def warc_webpages(records: DataFrame) -> DataFrame:
+    """Compose WARC records into the north-rule web-page table
+    ``(url, warc_ts, html, text, lang)``.
+
+    ``response`` records carry html (the HTTP body), ``conversion``
+    (WET) records carry the extracted text — and Common Crawl's
+    ``WARC-Identified-Content-Language`` annotation — for the same
+    target URI; a left join stitches them (one shuffle on url — or a
+    broadcast when the WET side is small; AQE decides). ``lang`` is
+    the PRIMARY identified language (first of the comma list), NULL
+    when the crawl did not annotate — refine downstream with
+    :func:`choetl_spark.operators.with_lang_id`.
+    """
+    resp = records.filter(F.col("record_type") == "response").select(
+        "url", "warc_ts", F.col("payload").alias("html")
+    )
+    conv = records.filter(F.col("record_type") == "conversion").select(
+        "url",
+        F.decode("payload", "utf-8").alias("text"),
+        F.split("lang", ",").getItem(0).alias("lang"),
+    )
+    return resp.join(conv, "url", "left").select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+
+
+def write_warc(
+    df: DataFrame,
+    path: str,
+    record_type: str = "response",
+    http_content_type: str = "text/html; charset=utf-8",
+    lang_col: str | None = None,
+) -> None:
+    """Distributed WARC writer: each task writes one ``.warc.gz`` with
+    one gzip member PER RECORD (the Common-Crawl layout that makes
+    member-boundary range splits possible on read). Expects columns
+    ``url string, warc_ts timestamp, payload binary``. ``response``
+    wraps payloads in an HTTP/1.1 envelope; ``conversion`` writes the
+    raw block (the WET layout) and, when ``lang_col`` is given, stamps
+    ``WARC-Identified-Content-Language``. Deterministic bytes for
+    deterministic input (record ids derive from content, not uuids)."""
+    from choetl_spark.sources.partfiles import write_part_files
+
+    def encode_batches(batches, fh) -> int:
+        import pyarrow as pa
+
+        from choetl_spark.sources.warc_py import (
+            build_warc_record,
+            write_warc_member,
+        )
+
+        n = 0
+        for batch in batches:
+            urls = batch.column(batch.schema.get_field_index("url"))
+            tss = batch.column(
+                batch.schema.get_field_index("warc_ts")
+            ).cast(pa.timestamp("us", tz="UTC"))
+            payloads = batch.column(
+                batch.schema.get_field_index("payload")
+            )
+            langs = (
+                batch.column(
+                    batch.schema.get_field_index(lang_col)
+                ).to_pylist()
+                if lang_col is not None
+                else [None] * batch.num_rows
+            )
+            for url, ts, payload, lang in zip(
+                urls.to_pylist(), tss.to_pylist(), payloads.to_pylist(),
+                langs,
+            ):
+                rec = build_warc_record(
+                    record_type, url, ts,
+                    payload if payload is not None else b"",
+                    http_content_type=http_content_type,
+                    lang=lang,
+                )
+                write_warc_member(fh, rec)
+                n += 1
+        return n
+
+    write_part_files(df, path, "warc.gz", encode_batches)
+
+
 # Executable SQLite staging bridge (reference ChoETL.Sqlite parity) —
 # real database file via stdlib sqlite3; see sqlite_py module docstring.
 from choetl_spark.sources.sqlite_py import (  # noqa: E402,F401

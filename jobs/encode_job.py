@@ -55,6 +55,21 @@ def main(argv: list[str] | None = None) -> int:
         "filters for (point-lookup pruning via "
         "prune_partitions_by_bloom; ~1-2 bytes/row of stats metadata)",
     )
+    p.add_argument(
+        "--input-format", default="auto",
+        choices=["auto", "parquet", "table", "warc"],
+        help="warc: --input is a dir of .warc(.gz) response records "
+        "(optionally --wet for the extracted-text sidecar); the job "
+        "ingests the raw crawl straight into the encoded store. WARC "
+        "inputs should keep the default --shuffle salted: the "
+        "data-derived (url-host) part ids stay resume-stable across "
+        "the WET join's shuffle",
+    )
+    p.add_argument(
+        "--wet", default=None,
+        help="WET sidecar dir for --input-format warc (conversion "
+        "records; joined to responses by url)",
+    )
     p.add_argument("--run-id", default=None)
     args = p.parse_args(argv)
 
@@ -64,10 +79,26 @@ def main(argv: list[str] | None = None) -> int:
     from choetl_spark.ledger import encode_with_resume, read_encoded
 
     spark = SparkSession.builder.appName("choetl-encode").getOrCreate()
-    is_parquet = "/" in args.input or args.input.endswith(".parquet")
-    if args.direct and not is_parquet:
+    fmt = args.input_format
+    if fmt == "auto":
+        fmt = (
+            "parquet"
+            if "/" in args.input or args.input.endswith(".parquet")
+            else "table"
+        )
+    if args.direct and fmt != "parquet":
         p.error("--direct needs a parquet path input")
-    df = spark.read.parquet(args.input) if is_parquet else spark.table(args.input)
+    if fmt == "warc":
+        from choetl_spark.sources import read_warc, warc_webpages
+
+        recs = read_warc(spark, args.input)
+        if args.wet:
+            recs = recs.unionAll(read_warc(spark, args.wet))
+        df = warc_webpages(recs)
+    elif fmt == "parquet":
+        df = spark.read.parquet(args.input)
+    else:
+        df = spark.table(args.input)
 
     cfg = EncodeConfig(
         columns=args.columns.split(",") if args.columns else None,

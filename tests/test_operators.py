@@ -1560,3 +1560,45 @@ def test_text_normalized_forms_nulls_and_controls(spark):
 
     with _pytest.raises(ValueError):
         with_text_normalized(df, "text", "NFX")
+
+
+def test_html_charset_decode(spark):
+    """WHATWG-order charset resolution: BOM > Content-Type header >
+    <meta charset> prescan > utf-8; undecodable bytes -> U+FFFD, null
+    payloads stay null. The WARC reader's http_content_type feeds
+    ctype_col directly."""
+    from choetl_spark.operators import with_html_decoded
+
+    rows = [
+        ("utf8", "héllo ✓".encode("utf-8"), "text/html; charset=utf-8"),
+        ("latin_hdr", "café".encode("latin-1"),
+         "text/html; charset=ISO-8859-1"),
+        ("meta_1252", '<meta charset="windows-1252">–dash'.encode(
+            "windows-1252"), None),
+        ("sjis_hdr", "テスト".encode("shift_jis"),
+         "text/html; charset=Shift_JIS"),
+        ("bom16", "héllo".encode("utf-16"), None),  # BOM beats everything
+        ("bogus_hdr", "plain ascii".encode(), "text/html; charset=bogus"),
+        ("broken", b"\xff\xfa bad utf8", None),  # replacement, no crash
+        ("nullp", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, html binary, ctype string"
+    )
+    out = {
+        r.id: r.html_text
+        for r in with_html_decoded(df, "html", ctype_col="ctype").collect()
+    }
+    assert out["utf8"] == "héllo ✓"
+    assert out["latin_hdr"] == "café"
+    assert out["meta_1252"] == '<meta charset="windows-1252">–dash'
+    assert out["sjis_hdr"] == "テスト"
+    assert out["bom16"] == "héllo"
+    assert out["bogus_hdr"] == "plain ascii"
+    assert "�" in out["broken"]
+    assert out["nullp"] is None
+    # no-ctype variant sniffs meta alone
+    one = with_html_decoded(
+        df.filter("id = 'meta_1252'").select("html")
+    ).collect()[0].html_text
+    assert one == '<meta charset="windows-1252">–dash'
