@@ -808,6 +808,101 @@ def q_html_charset_decode(spark, sf_dir):
     )
 
 
+def q_outlinks_webpages(spark, sf_dir):
+    """Link extraction (operators.with_outlinks — the web-graph edge
+    list): plant html with one absolute link, one root-relative link
+    (must resolve against the page's origin), one fragment-only link
+    and one javascript: pseudo-link (both must drop), then emit the
+    pipe-joined resolved outlinks per doc. The oracle constructs the
+    expected resolved strings directly from `documents` — a missed
+    quote style, a broken origin resolution, or a fragment leak flips
+    the row."""
+    from choetl_spark.operators import with_outlinks
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    html = F.concat(
+        F.lit('<a href="https://ext'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('.example.org/p">x</a>'),
+        F.lit("<a href='/local/"),
+        F.col("doc_id").cast("string"),
+        F.lit("'>y</a>"),
+        F.lit('<a href="#frag">z</a><a href="javascript:void(0)">j</a>'),
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+    )
+    planted = docs.select(
+        "doc_id", url.alias("url"), F.encode(html, "utf-8").alias("html")
+    )
+    out = with_outlinks(planted)
+    return out.select(
+        "doc_id", F.concat_ws("|", "outlinks").alias("links_s")
+    )
+
+
+def q_pagerank_linkgraph(spark, sf_dir):
+    """PageRank over a planted link graph (operators.pagerank): node
+    ids doc_id % 200, edges i -> (i+1) % 200 and i -> (i*3+1) % 200 —
+    every node has out-degree >= 1 (no dangling mass) so the DuckDB
+    oracle can replay all 4 power iterations as chained CTEs with the
+    identical update rule (damping 0.85, uniform init). Ranks rounded
+    to 8 dp on both sides; any join/degree/redistribution bug shifts
+    rank mass and flips the hash."""
+    from choetl_spark.operators import pagerank
+
+    docs = _read(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 200).alias("i")
+    )
+    e1 = docs.select(F.col("i").alias("src"), ((F.col("i") + 1) % 200).alias("dst"))
+    e2 = docs.select(
+        F.col("i").alias("src"), ((F.col("i") * 3 + 1) % 200).alias("dst")
+    )
+    ranks = pagerank(e1.unionAll(e2), n_iter=4, damping=0.85)
+    return ranks.select("node", F.round("rank", 8).alias("rank_r"))
+
+
+def _oracle_pagerank(n_iter: int = 4, n_mod: int = 200, d: float = 0.85) -> str:
+    """Replay pagerank's update rule in SQL: same distinct edge set,
+    same degrees, same damping; no dangling term by construction."""
+    ctes = [
+        f"""e AS (
+            SELECT DISTINCT src, dst FROM (
+              SELECT doc_id % {n_mod} AS src,
+                     (doc_id % {n_mod} + 1) % {n_mod} AS dst
+              FROM documents
+              UNION ALL
+              SELECT doc_id % {n_mod} AS src,
+                     ((doc_id % {n_mod}) * 3 + 1) % {n_mod} AS dst
+              FROM documents
+            )
+        )""",
+        "nodes AS (SELECT DISTINCT src AS node FROM e "
+        "UNION SELECT DISTINCT dst FROM e)",
+        "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for k in range(1, n_iter + 1):
+        ctes.append(f"""r{k} AS (
+            SELECT nodes.node,
+                   (1.0 - {d}) / (SELECT n FROM nn)
+                   + {d} * COALESCE(rx.received, 0.0) AS rank
+            FROM nodes
+            LEFT JOIN (
+              SELECT e.dst AS node, SUM(p.rank / deg.deg) AS received
+              FROM e JOIN r{k - 1} p ON e.src = p.node
+                     JOIN deg ON e.src = deg.src
+              GROUP BY e.dst
+            ) rx ON rx.node = nodes.node
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, round(rank, 8) AS rank_r FROM r{n_iter}"
+    )
+
+
 def q_prune_urlrange(spark, sf_dir):
     """String zone-map partition pruning, end-to-end (SURVEY §step-2
     stats / Parquet row-group-skip analog): encode the documents-derived
@@ -2029,6 +2124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "direct_roundtrip": q_direct_roundtrip,
         "warc_ingest_webpages": q_warc_ingest_webpages,
         "html_charset_decode": q_html_charset_decode,
+        "outlinks_webpages": q_outlinks_webpages,
+        "pagerank_linkgraph": q_pagerank_linkgraph,
         "prune_urlrange": q_prune_urlrange,
         "prune_bloom_url": q_prune_bloom_url,
         "point_lookup_store": q_point_lookup_store,
@@ -3034,6 +3131,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1690000000000000 + doc_id * 37000000
                         AS BIGINT) AS ts_us,
                    lang
+            FROM documents
+        """,
+        "pagerank_linkgraph": _oracle_pagerank(n_iter=4),
+        "outlinks_webpages": """
+            SELECT doc_id,
+                   'https://ext' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example.org/p|https://' || source
+                   || '.example.com/local/' || CAST(doc_id AS VARCHAR)
+                     AS links_s
             FROM documents
         """,
         "html_charset_decode": """

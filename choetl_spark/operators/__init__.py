@@ -43,10 +43,14 @@ from choetl_spark.operators.sampling import (  # noqa: F401
     sample_mixture,
     with_split,
 )
+from choetl_spark.operators.graph import (  # noqa: F401
+    pagerank,
+)
 from choetl_spark.operators.weburl import (  # noqa: F401
     domain_stats,
     sniff_charset,
     with_html_decoded,
+    with_outlinks,
     with_url_canonical,
     with_url_parts,
 )

@@ -242,3 +242,64 @@ def with_html_decoded(
         )
 
     return df.withColumn(out_col, dec1(F.col(html_col)))
+
+
+# --------------------------------------------------------------- outlinks
+
+# href values in single or double quotes — one capture group for both
+# styles (an alternation with two groups would return per-match EMPTY
+# captures for the other branch and scramble document order), no
+# backreferences (Java regex ∩ RE2, DuckDB-mirrorable). Values
+# containing the opposite quote character truncate at it — real-world
+# URLs percent-encode quotes, and a truncated link is strictly safer
+# than a mis-spanned one swallowing html between two attributes.
+_HREF_RE = """href\\s*=\\s*["']([^"'<>]*)["']"""
+
+
+def with_outlinks(
+    df: DataFrame,
+    html_col: str = "html",
+    base_url_col: str | None = "url",
+    out_col: str = "outlinks",
+) -> DataFrame:
+    """Extract the page's outgoing links — the edge list of the web
+    graph (crawl frontier expansion, link-based spam/dup clustering;
+    feeds :func:`connected_components` / :func:`domain_stats`).
+
+    Pure codegen: ``regexp_extract_all`` over the html (binary columns
+    decoded utf-8 first — run :func:`with_html_decoded` upstream for
+    charset-correct bytes), scheme-relative (``//host/..``) and
+    root-relative (``/path``) hrefs resolved against ``base_url_col``'s
+    scheme/host when given; fragments and javascript:/mailto: pseudo
+    links dropped. No UDF, no shuffle — a pure map whatever the corpus
+    size; the explode-shaped cost is bounded by links-per-page.
+    """
+    html = F.col(html_col)
+    if dict(df.dtypes).get(html_col) == "binary":
+        html = F.decode(html, "utf-8")
+    raw = F.filter(
+        F.regexp_extract_all(html, F.lit(_HREF_RE), 1),
+        lambda x: x != F.lit(""),
+    )
+    # strip fragments; drop pseudo-schemes
+    cleaned = F.transform(raw, lambda x: F.regexp_replace(x, "#.*", ""))
+    cleaned = F.filter(
+        cleaned,
+        lambda x: (x != F.lit(""))
+        & ~F.lower(x).rlike("^(javascript|mailto|data|tel):"),
+    )
+    if base_url_col is not None:
+        scheme = F.regexp_extract(F.col(base_url_col), _SCHEME_RE, 1)
+        origin = F.regexp_extract(
+            F.col(base_url_col), r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1
+        )
+        cleaned = F.transform(
+            cleaned,
+            lambda x: F.when(x.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), x)
+            .when(
+                x.startswith("//"), F.concat(scheme, F.lit(":"), x)
+            )
+            .when(x.startswith("/"), F.concat(origin, x))
+            .otherwise(x),  # relative-path links kept verbatim
+        )
+    return df.withColumn(out_col, cleaned)

@@ -1602,3 +1602,74 @@ def test_html_charset_decode(spark):
         df.filter("id = 'meta_1252'").select("html")
     ).collect()[0].html_text
     assert one == '<meta charset="windows-1252">–dash'
+
+
+def test_with_outlinks(spark):
+    """Link extraction: quote styles, scheme-/root-relative resolution
+    against the page url, fragment stripping, pseudo-scheme drops,
+    binary html decode."""
+    from choetl_spark.operators import with_outlinks
+
+    html = (
+        '<a href="https://a.example.org/x">abs</a>'
+        "<a href='//cdn.example.org/lib.js'>scheme-rel</a>"
+        '<link href="/css/site.css">'
+        '<a href="page2.html">rel</a>'
+        '<a href="#top">frag-only</a>'
+        '<a href="/p#sec">frag-strip</a>'
+        '<a href="javascript:void(0)">js</a>'
+        '<a href="mailto:x@example.org">mail</a>'
+    )
+    df = spark.createDataFrame(
+        [("https://www.example.com:443/dir/page", html.encode())],
+        "url string, html binary",
+    )
+    [row] = with_outlinks(df).collect()
+    assert row.outlinks == [
+        "https://a.example.org/x",
+        "https://cdn.example.org/lib.js",
+        "https://www.example.com:443/css/site.css",
+        "page2.html",
+        "https://www.example.com:443/p",
+    ]
+    # no base url: relative links stay verbatim
+    [row2] = with_outlinks(df, base_url_col=None).collect()
+    assert row2.outlinks == [
+        "https://a.example.org/x",
+        "//cdn.example.org/lib.js",
+        "/css/site.css",
+        "page2.html",
+        "/p",
+    ]
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """PageRank vs a dense numpy replay of the same update rule
+    (uniform dangling redistribution, damping 0.85), incl. a dangling
+    node and a duplicate edge that must collapse. Mass stays 1.0."""
+    import numpy as np
+
+    from choetl_spark.operators import pagerank
+
+    # 0->1, 0->2, 1->2, 2->0, 3->2 ; 4 dangling; dup edge 0->1 repeated
+    edges = [(0, 1), (0, 2), (0, 1), (1, 2), (2, 0), (3, 2), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    n_iter, d = 7, 0.85
+    got = {r.node: r.rank for r in pagerank(df, n_iter=n_iter).collect()}
+
+    uniq = sorted(set(edges))
+    nodes = sorted({x for e in uniq for x in e})
+    n = len(nodes)
+    deg = {u: sum(1 for s, _ in uniq if s == u) for u in nodes}
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        dangling = sum(r[i] for i, u in enumerate(nodes) if deg[u] == 0)
+        recv = np.zeros(n)
+        for s, t in uniq:
+            recv[nodes.index(t)] += r[nodes.index(s)] / deg[s]
+        r = (1 - d) / n + d * dangling / n + d * recv
+    for i, u in enumerate(nodes):
+        assert abs(got[u] - r[i]) < 1e-12, (u, got[u], r[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+    # the hub target (2) outranks everything; dangling sink (4) is low
+    assert got[2] == max(got.values())

@@ -219,3 +219,41 @@ def test_encode_job_warc_input_mode(spark, tmp_path, capsys):
     got = {r.url: r.text for r in back.collect()}
     want = {r.url: r.text for r in pages.select("url", "text").collect()}
     assert got == want
+
+
+def test_warc_codec_property_roundtrip():
+    """Property: any (type, url, ts, payload) round-trips bit-exact
+    through build -> parse, for arbitrary binary payloads (including
+    ones containing WARC/CRLF framing markers) and any microsecond
+    timestamp."""
+    from hypothesis import given, settings, strategies as st
+
+    from choetl_spark.sources.warc_py import (
+        build_warc_record,
+        parse_warc_stream,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        rtype=st.sampled_from(["response", "conversion", "metadata"]),
+        url=st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1, max_size=64,
+        ),
+        us=st.integers(min_value=0, max_value=4_102_444_800_000_000),
+        payload=st.binary(max_size=2048),
+        lang=st.none() | st.sampled_from(["en", "de,zho", "fr"]),
+    )
+    def check(rtype, url, us, payload, lang):
+        ts = datetime.fromtimestamp(us / 1e6, tz=timezone.utc)
+        raw = build_warc_record(rtype, url, ts, payload, lang=lang)
+        (rec,) = parse_warc_stream(raw)
+        assert rec["record_type"] == rtype
+        assert rec["url"] == url
+        assert rec["warc_ts"] == ts
+        assert rec["payload"] == payload
+        assert rec["lang"] == lang
+        # two concatenated copies parse as exactly two records
+        assert len(list(parse_warc_stream(raw + raw))) == 2
+
+    check()
