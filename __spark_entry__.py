@@ -903,6 +903,111 @@ def _oracle_pagerank(n_iter: int = 4, n_mod: int = 200, d: float = 0.85) -> str:
     )
 
 
+def q_anchor_texts_webpages(spark, sf_dir):
+    """Anchor-text pairs (operators.with_anchor_texts — link-context
+    labels): plant html with one double-quoted anchor carrying plain
+    text and one single-quoted anchor whose body has an inner tag +
+    run of whitespace that must collapse, then emit the pipe-joined
+    "href^text" pairs per doc. The oracle constructs the expected
+    strings from `documents` — a missed quote style, an unstripped
+    inner tag, or a pair misalignment flips the row."""
+    from choetl_spark.operators import with_anchor_texts
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    html = F.concat(
+        F.lit('<a href="https://ext'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('.example.org/p">Link '),
+        F.col("doc_id").cast("string"),
+        F.lit("</a>"),
+        F.lit("<a class='x' href='/local/"),
+        F.col("doc_id").cast("string"),
+        F.lit("'>see  <b>also</b>\n now</a>"),
+    )
+    planted = docs.select(
+        "doc_id", F.encode(html, "utf-8").alias("html")
+    )
+    out = with_anchor_texts(planted)
+    pair_s = F.transform(
+        F.col("anchors"),
+        lambda p: F.concat(p["href"], F.lit("^"), p["text"]),
+    )
+    return out.select(
+        "doc_id", F.concat_ws("|", pair_s).alias("anchors_s")
+    )
+
+
+def q_hits_linkgraph(spark, sf_dir):
+    """HITS hubs/authorities over the same planted link graph as
+    pagerank_linkgraph (operators.hits): node ids doc_id % 200, edges
+    i -> (i+1) % 200 and i -> (i*3+1) % 200. The DuckDB oracle replays
+    all 3 L1-normalized iterations as chained CTEs with the identical
+    update rule; scores rounded to 8 dp on both sides."""
+    from choetl_spark.operators import hits
+
+    docs = _read(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 200).alias("i")
+    )
+    e1 = docs.select(F.col("i").alias("src"), ((F.col("i") + 1) % 200).alias("dst"))
+    e2 = docs.select(
+        F.col("i").alias("src"), ((F.col("i") * 3 + 1) % 200).alias("dst")
+    )
+    scores = hits(e1.unionAll(e2), n_iter=3)
+    return scores.select(
+        "node",
+        F.round("hub", 8).alias("hub_r"),
+        F.round("auth", 8).alias("auth_r"),
+    )
+
+
+def _oracle_hits(n_iter: int = 3, n_mod: int = 200) -> str:
+    """Replay hits' L1-normalized update rule in SQL: same distinct
+    edge set, same init, same per-round normalization."""
+    ctes = [
+        f"""e AS (
+            SELECT DISTINCT src, dst FROM (
+              SELECT doc_id % {n_mod} AS src,
+                     (doc_id % {n_mod} + 1) % {n_mod} AS dst
+              FROM documents
+              UNION ALL
+              SELECT doc_id % {n_mod} AS src,
+                     ((doc_id % {n_mod}) * 3 + 1) % {n_mod} AS dst
+              FROM documents
+            )
+        )""",
+        "nodes AS (SELECT DISTINCT src AS node FROM e "
+        "UNION SELECT DISTINCT dst FROM e)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        "h0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS hub FROM nodes)",
+    ]
+    for k in range(1, n_iter + 1):
+        ctes.append(f"""a{k}r AS (
+            SELECT e.dst AS node, SUM(h.hub) AS v
+            FROM e JOIN h{k - 1} h ON e.src = h.node GROUP BY e.dst
+        )""")
+        ctes.append(f"""a{k} AS (
+            SELECT nodes.node,
+                   COALESCE(r.v, 0.0) / (SELECT SUM(v) FROM a{k}r) AS auth
+            FROM nodes LEFT JOIN a{k}r r ON r.node = nodes.node
+        )""")
+        ctes.append(f"""h{k}r AS (
+            SELECT e.src AS node, SUM(a.auth) AS v
+            FROM e JOIN a{k} a ON e.dst = a.node GROUP BY e.src
+        )""")
+        ctes.append(f"""h{k} AS (
+            SELECT nodes.node,
+                   COALESCE(r.v, 0.0) / (SELECT SUM(v) FROM h{k}r) AS hub
+            FROM nodes LEFT JOIN h{k}r r ON r.node = nodes.node
+        )""")
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+        SELECT h.node, round(h.hub, 8) AS hub_r,
+               round(a.auth, 8) AS auth_r
+        FROM h{n_iter} h JOIN a{n_iter} a ON h.node = a.node"""
+    )
+
+
 def q_prune_urlrange(spark, sf_dir):
     """String zone-map partition pruning, end-to-end (SURVEY §step-2
     stats / Parquet row-group-skip analog): encode the documents-derived
@@ -2126,6 +2231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_charset_decode": q_html_charset_decode,
         "outlinks_webpages": q_outlinks_webpages,
         "pagerank_linkgraph": q_pagerank_linkgraph,
+        "anchor_texts_webpages": q_anchor_texts_webpages,
+        "hits_linkgraph": q_hits_linkgraph,
         "prune_urlrange": q_prune_urlrange,
         "prune_bloom_url": q_prune_bloom_url,
         "point_lookup_store": q_point_lookup_store,
@@ -3134,6 +3241,15 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "pagerank_linkgraph": _oracle_pagerank(n_iter=4),
+        "hits_linkgraph": _oracle_hits(n_iter=3),
+        "anchor_texts_webpages": """
+            SELECT doc_id,
+                   'https://ext' || CAST(doc_id % 7 AS VARCHAR)
+                   || '.example.org/p^Link ' || CAST(doc_id AS VARCHAR)
+                   || '|/local/' || CAST(doc_id AS VARCHAR)
+                   || '^see also now' AS anchors_s
+            FROM documents
+        """,
         "outlinks_webpages": """
             SELECT doc_id,
                    'https://ext' || CAST(doc_id % 7 AS VARCHAR)

@@ -44,11 +44,13 @@ from choetl_spark.operators.sampling import (  # noqa: F401
     with_split,
 )
 from choetl_spark.operators.graph import (  # noqa: F401
+    hits,
     pagerank,
 )
 from choetl_spark.operators.weburl import (  # noqa: F401
     domain_stats,
     sniff_charset,
+    with_anchor_texts,
     with_html_decoded,
     with_outlinks,
     with_url_canonical,

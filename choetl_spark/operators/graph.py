@@ -98,3 +98,83 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select("node", "rank")
+
+
+def hits(
+    edges: DataFrame,
+    n_iter: int = 8,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, hub, auth) after ``n_iter`` HITS iterations (Kleinberg
+    1999, "Authoritative sources in a hyperlinked environment" — public
+    algorithm): authorities are pages good hubs point AT, hubs are pages
+    that point at good authorities. The anchor/link analog of PageRank
+    for intra-corpus quality signals.
+
+    Update rule, kept exactly SQL-replayable for the driver oracle:
+
+      - duplicate edges collapse; nodes = distinct(src) ∪ distinct(dst)
+      - hub_0 = auth_0 = 1/N
+      - each round: auth'(v) = Σ_{u→v} hub(u), then L1-normalized
+        (auth = auth'/Σauth'); hub'(u) = Σ_{u→v} auth(v), L1-normalized.
+        L1 instead of the textbook L2 keeps the oracle's CTE chain in
+        plain SQL; normalization choice rescales, never reranks.
+
+    Scale shape: per round, TWO equi-joins + TWO groupBys over the
+    (src, dst) long-pair projection (16 bytes/edge of shuffle) and two
+    scalar normalization aggregates; lineage truncated per round
+    (localCheckpoint) like :func:`pagerank`. Nodes with no in-edges
+    have auth 0, nodes with no out-edges hub 0 — both stay in the
+    output.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("hub", F.lit(0.0)).withColumn(
+            "auth", F.lit(0.0)
+        )
+    scores = nodes.select(
+        "node", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth")
+    )
+    for _ in range(n_iter):
+        # auth'(v) = sum of hub over in-neighbors, L1-normalized
+        a_raw = (
+            e.join(scores, e.src == scores.node)
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        a = nodes.join(a_raw, nodes.node == a_raw.dst, "left").select(
+            "node", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw")
+        )
+        a_sum = a.agg(F.sum("a_raw")).collect()[0][0] or 1.0
+        a = a.select("node", (F.col("a_raw") / a_sum).alias("auth"))
+        # hub'(u) = sum of the NEW auth over out-neighbors, L1-normalized
+        h_raw = (
+            e.join(a, e.dst == a.node)
+            .groupBy("src")
+            .agg(F.sum("auth").alias("h_raw"))
+        )
+        h = nodes.join(h_raw, nodes.node == h_raw.src, "left").select(
+            "node", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw")
+        )
+        h_sum = h.agg(F.sum("h_raw")).collect()[0][0] or 1.0
+        h = h.select("node", (F.col("h_raw") / h_sum).alias("hub"))
+        scores = (
+            h.join(a, "node").select("node", "hub", "auth").localCheckpoint()
+        )
+    return scores

@@ -303,3 +303,54 @@ def with_outlinks(
             .otherwise(x),  # relative-path links kept verbatim
         )
     return df.withColumn(out_col, cleaned)
+
+
+# ------------------------------------------------------------ anchor text
+
+# Full <a ...>text</a> spans: href value captured as group 1 (either
+# quote style, same charclass discipline as _HREF_RE), the anchor body
+# as group 2 (non-greedy, (?s) so anchors spanning lines match). No
+# backreferences/lookaround — Java regex ∩ RE2, so the DuckDB oracle
+# runs the IDENTICAL pattern. Two regexp_extract_all passes over the
+# same pattern (group 1, then group 2) return the same match spans in
+# document order, so the arrays zip positionally.
+_ANCHOR_RE = (
+    """(?s)<[Aa](?:\\s[^>]*?)?\\shref\\s*=\\s*["']([^"'<>]*)["']"""
+    """[^>]*>(.*?)</[Aa]\\s*>"""
+)
+
+
+def with_anchor_texts(
+    df: DataFrame,
+    html_col: str = "html",
+    out_col: str = "anchors",
+) -> DataFrame:
+    """Extract ``(href, text)`` pairs from every ``<a>`` element — the
+    anchor-text signal (link-context labels for training data, the
+    classic relevance feature web search built on: the LINKING page
+    describes the linked page).
+
+    Returns ``array<struct<href:string, text:string>>``; the text is
+    the anchor's visible form — inner tags stripped, whitespace
+    collapsed, trimmed. Pure codegen (``regexp_extract_all`` +
+    higher-order array fns over the decoded html), zero shuffle, zero
+    UDF — same scale shape as :func:`with_outlinks`. Anchors without an
+    href attribute (``<a name=...>`` targets) produce no pair; href
+    resolution against the page origin is :func:`with_outlinks`'s job —
+    this operator reports hrefs verbatim so the pair stays a faithful
+    quote of the document.
+    """
+    html = F.col(html_col)
+    if dict(df.dtypes).get(html_col) == "binary":
+        html = F.decode(html, "utf-8")
+    hrefs = F.regexp_extract_all(html, F.lit(_ANCHOR_RE), 1)
+    texts = F.transform(
+        F.regexp_extract_all(html, F.lit(_ANCHOR_RE), 2),
+        lambda x: F.trim(
+            F.regexp_replace(
+                F.regexp_replace(x, "<[^>]*>", " "), r"\s+", " "
+            )
+        ),
+    )
+    pairs = F.arrays_zip(hrefs.alias("href"), texts.alias("text"))
+    return df.withColumn(out_col, pairs)

@@ -1673,3 +1673,66 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
     # the hub target (2) outranks everything; dangling sink (4) is low
     assert got[2] == max(got.values())
+
+
+def test_with_anchor_texts(spark):
+    """Anchor-text pairs: quote styles, inner-tag stripping, whitespace
+    collapse, multiline anchors, href-less <a name=> ignored, binary
+    html decode."""
+    from choetl_spark.operators import with_anchor_texts
+
+    html = (
+        '<a href="https://a.example.org/x">Plain  link</a>'
+        "<a class='b' href='/rel'>with <b>bold</b>\n inner</a>"
+        '<a name="target">no href</a>'
+        '<a href="/img"><img src="i.png"></a>'
+    )
+    df = spark.createDataFrame(
+        [(html.encode(),)], "html binary"
+    )
+    [row] = with_anchor_texts(df).collect()
+    got = [(p["href"], p["text"]) for p in row.anchors]
+    assert got == [
+        ("https://a.example.org/x", "Plain link"),
+        ("/rel", "with bold inner"),
+        ("/img", ""),  # image-only anchor: empty visible text
+    ]
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    """HITS vs a dense numpy replay of the same L1-normalized update
+    rule, incl. a source-only node (auth 0), a sink-only node (hub 0),
+    and a duplicate edge that must collapse."""
+    import numpy as np
+
+    from choetl_spark.operators import hits
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 2), (0, 1), (4, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    n_iter = 6
+    got = {r.node: (r.hub, r.auth) for r in hits(df, n_iter=n_iter).collect()}
+
+    uniq = sorted(set(edges))
+    nodes = sorted({x for e in uniq for x in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for s, t in uniq:
+        A[idx[s], idx[t]] = 1.0
+    h = np.full(n, 1.0 / n)
+    a = np.full(n, 1.0 / n)
+    for _ in range(n_iter):
+        a = A.T @ h
+        a = a / a.sum()
+        h = A @ a
+        h = h / h.sum()
+    for u in nodes:
+        assert abs(got[u][0] - h[idx[u]]) < 1e-12, ("hub", u)
+        assert abs(got[u][1] - a[idx[u]]) < 1e-12, ("auth", u)
+    # node 2 is the authority (most pointed-at); node 0 the top hub
+    assert max(got, key=lambda u: got[u][1]) == 2
+    assert max(got, key=lambda u: got[u][0]) == 0
+    # source-only node 4: auth 0; L1 mass = 1 on both scores
+    assert got[4][1] == 0.0
+    assert abs(sum(v[0] for v in got.values()) - 1.0) < 1e-9
+    assert abs(sum(v[1] for v in got.values()) - 1.0) < 1e-9
