@@ -844,12 +844,13 @@ def q_outlinks_webpages(spark, sf_dir):
 
 def q_pagerank_linkgraph(spark, sf_dir):
     """PageRank over a planted link graph (operators.pagerank): node
-    ids doc_id % 200, edges i -> (i+1) % 200 and i -> (i*3+1) % 200 —
-    every node has out-degree >= 1 (no dangling mass) so the DuckDB
-    oracle can replay all 4 power iterations as chained CTEs with the
-    identical update rule (damping 0.85, uniform init). Ranks rounded
-    to 8 dp on both sides; any join/degree/redistribution bug shifts
-    rank mass and flips the hash."""
+    ids doc_id % 200, edges i -> (i+1) % 200 and i -> (i*3+1) % 200.
+    The DuckDB oracle replays all 4 power iterations as chained CTEs
+    with the identical update rule (damping 0.85, uniform init,
+    uniform dangling redistribution — faithful even at fixture sizes
+    whose doc_ids leave dst-only residues). Ranks rounded to 8 dp on
+    both sides; any join/degree/redistribution bug shifts rank mass
+    and flips the hash."""
     from choetl_spark.operators import pagerank
 
     docs = _read(spark, sf_dir, "documents").select(
@@ -864,8 +865,12 @@ def q_pagerank_linkgraph(spark, sf_dir):
 
 
 def _oracle_pagerank(n_iter: int = 4, n_mod: int = 200, d: float = 0.85) -> str:
-    """Replay pagerank's update rule in SQL: same distinct edge set,
-    same degrees, same damping; no dangling term by construction."""
+    """Replay pagerank's FULL update rule in SQL — same distinct edge
+    set, same degrees, same damping, INCLUDING the uniform dangling
+    redistribution — so the oracle stays faithful at any fixture size
+    (a small sf whose doc_ids do not cover every residue leaves
+    dst-only nodes, which ARE dangling; an oracle without the term
+    would falsely flag the correct implementation)."""
     ctes = [
         f"""e AS (
             SELECT DISTINCT src, dst FROM (
@@ -885,9 +890,14 @@ def _oracle_pagerank(n_iter: int = 4, n_mod: int = 200, d: float = 0.85) -> str:
         "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
     ]
     for k in range(1, n_iter + 1):
+        ctes.append(f"""dm{k} AS (
+            SELECT COALESCE(SUM(rank), 0.0) AS m FROM r{k - 1}
+            WHERE node NOT IN (SELECT src FROM deg)
+        )""")
         ctes.append(f"""r{k} AS (
             SELECT nodes.node,
                    (1.0 - {d}) / (SELECT n FROM nn)
+                   + {d} * (SELECT m FROM dm{k}) / (SELECT n FROM nn)
                    + {d} * COALESCE(rx.received, 0.0) AS rank
             FROM nodes
             LEFT JOIN (

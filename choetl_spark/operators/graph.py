@@ -6,14 +6,23 @@ page-importance weighting (crawl prioritization, quality signals for
 training-data mixtures — the public Brin & Page 1998 algorithm) on top
 of the existing :func:`connected_components` component labeling.
 
-Scale shape: every iteration is ONE equi-join (ranks onto edges, on
-src) and ONE groupBy (contributions by dst) — 2 shuffles on the (src,
-dst) long-pair projection, never on page content. Dangling mass (nodes
-with no outlinks) is redistributed uniformly each round via a single
-scalar aggregate; lineage is truncated per round (localCheckpoint) so
-n_iter rounds cannot build an n_iter-deep plan. Iterations are
-fixed-count (the standard practice for web-scale PageRank — ~10 rounds
-reaches ranking stability; convergence deltas cost an extra pass).
+Scale shape: every iteration is one equi-join of the checkpointed
+ranks onto the edges (on src), ONE map-side-combined groupBy
+(contributions by dst), and one join back onto the static
+(node, deg) frame — three exchanges over the (src, dst) long-pair
+projection, never over page content — plus one scalar aggregate for
+the dangling mass (the driver receives ONE double per round, never
+rows). The degree frame is computed ONCE and checkpointed; lineage is
+truncated per round (localCheckpoint) so n_iter rounds cannot build an
+n_iter-deep plan. Iterations are fixed-count (the standard practice
+for web-scale PageRank — ~10 rounds reaches ranking stability;
+convergence deltas cost an extra pass).
+
+Node ids are LONGS: :func:`with_outlinks` URLs must be hashed first
+(``F.xxhash64(url)`` — 8-byte keys keep the per-round shuffle at 16
+bytes/edge instead of shipping full URL strings every iteration); a
+string edge column raises instead of silently null-casting to an
+empty graph.
 
 No reference analog (ChoETL has no graph surface); built from the
 public algorithm statement.
@@ -22,6 +31,27 @@ public algorithm statement.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+
+def _long_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Distinct (src, dst) long pairs; raises on string node ids (a
+    silent cast would null every URL and return an empty graph)."""
+    for c in (src, dst):
+        t = edges.schema[c].dataType.typeName()
+        if t in ("string", "binary"):
+            raise TypeError(
+                f"graph node column {c!r} is {t}; hash ids to long "
+                "first, e.g. F.xxhash64(col) over with_outlinks output"
+            )
+    return (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
 
 
 def pagerank(
@@ -48,29 +78,23 @@ def pagerank(
     Total rank mass stays 1.0 every round (dangling redistribution
     closes the leak), which the tests pin.
     """
-    e = (
-        edges.select(
-            F.col(src).cast("long").alias("src"),
-            F.col(dst).cast("long").alias("dst"),
-        )
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-        .localCheckpoint()
-    )
-    nodes = (
+    e = _long_edges(edges, src, dst)
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # static (node, deg) frame, built ONCE — deg null => dangling; the
+    # per-round update joins contributions back onto this instead of
+    # recomputing degrees every iteration
+    nodes_deg = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .join(out_deg, F.col("node") == out_deg.src, "left")
+        .select("node", "deg")
         .localCheckpoint()
     )
-    n = nodes.count()
+    n = nodes_deg.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    # ranks: (node, rank, deg) — deg null => dangling
-    ranks = nodes.join(
-        out_deg, nodes.node == out_deg.src, "left"
-    ).select("node", F.lit(1.0 / n).alias("rank"), "deg")
+        return nodes_deg.select("node").withColumn("rank", F.lit(0.0))
+    ranks = nodes_deg.select("node", F.lit(1.0 / n).alias("rank"), "deg")
     for _ in range(n_iter):
         dangling = (
             ranks.filter(F.col("deg").isNull())
@@ -85,16 +109,15 @@ def pagerank(
         )
         base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            nodes_deg.join(contrib, nodes_deg.node == contrib.dst, "left")
             .select(
                 "node",
                 (
                     F.lit(base)
                     + F.lit(damping) * F.coalesce("received", F.lit(0.0))
                 ).alias("rank"),
+                "deg",
             )
-            .join(out_deg, F.col("node") == out_deg.src, "left")
-            .select("node", "rank", "deg")
             .localCheckpoint()
         )
     return ranks.select("node", "rank")
@@ -128,15 +151,7 @@ def hits(
     have auth 0, nodes with no out-edges hub 0 — both stay in the
     output.
     """
-    e = (
-        edges.select(
-            F.col(src).cast("long").alias("src"),
-            F.col(dst).cast("long").alias("dst"),
-        )
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-        .localCheckpoint()
-    )
+    e = _long_edges(edges, src, dst)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

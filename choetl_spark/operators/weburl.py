@@ -249,11 +249,15 @@ def with_html_decoded(
 # href values in single or double quotes — one capture group for both
 # styles (an alternation with two groups would return per-match EMPTY
 # captures for the other branch and scramble document order), no
-# backreferences (Java regex ∩ RE2, DuckDB-mirrorable). Values
-# containing the opposite quote character truncate at it — real-world
-# URLs percent-encode quotes, and a truncated link is strictly safer
-# than a mis-spanned one swallowing html between two attributes.
-_HREF_RE = """href\\s*=\\s*["']([^"'<>]*)["']"""
+# backreferences (Java regex ∩ RE2, DuckDB-mirrorable). The attribute
+# name matches case-insensitively via charclasses (legacy HTML writes
+# <A HREF=...>; an inline (?i) flag would also lowercase the captured
+# VALUE match semantics in some engines, charclasses are unambiguous).
+# Values containing the opposite quote character truncate at it —
+# real-world URLs percent-encode quotes, and a truncated link is
+# strictly safer than a mis-spanned one swallowing html between two
+# attributes.
+_HREF_RE = """[Hh][Rr][Ee][Ff]\\s*=\\s*["']([^"'<>]*)["']"""
 
 
 def with_outlinks(
@@ -281,8 +285,12 @@ def with_outlinks(
         F.regexp_extract_all(html, F.lit(_HREF_RE), 1),
         lambda x: x != F.lit(""),
     )
-    # strip fragments; drop pseudo-schemes
-    cleaned = F.transform(raw, lambda x: F.regexp_replace(x, "#.*", ""))
+    # trim (the WHATWG URL parser strips edge whitespace — ' https://x'
+    # must classify as absolute, ' javascript:' as a pseudo-scheme),
+    # strip fragments, drop pseudo-schemes
+    cleaned = F.transform(
+        raw, lambda x: F.regexp_replace(F.trim(x), "#.*", "")
+    )
     cleaned = F.filter(
         cleaned,
         lambda x: (x != F.lit(""))
@@ -293,13 +301,25 @@ def with_outlinks(
         origin = F.regexp_extract(
             F.col(base_url_col), r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1
         )
+        # resolution only fires against a USABLE base (non-null url
+        # with a real scheme/origin): a WARC record with no
+        # WARC-Target-URI has url NULL, and concat(NULL, x) would
+        # otherwise poison the edge list with NULL elements; a
+        # scheme-less base would mint '://host' garbage. Unresolvable
+        # relative links stay verbatim — safe, never corrupt.
+        has_scheme = scheme.isNotNull() & (scheme != F.lit(""))
+        has_origin = origin.isNotNull() & (origin != F.lit(""))
         cleaned = F.transform(
             cleaned,
             lambda x: F.when(x.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), x)
             .when(
-                x.startswith("//"), F.concat(scheme, F.lit(":"), x)
+                x.startswith("//") & has_scheme,
+                F.concat(scheme, F.lit(":"), x),
             )
-            .when(x.startswith("/"), F.concat(origin, x))
+            .when(
+                x.startswith("/") & ~x.startswith("//") & has_origin,
+                F.concat(origin, x),
+            )
             .otherwise(x),  # relative-path links kept verbatim
         )
     return df.withColumn(out_col, cleaned)
@@ -315,8 +335,8 @@ def with_outlinks(
 # same pattern (group 1, then group 2) return the same match spans in
 # document order, so the arrays zip positionally.
 _ANCHOR_RE = (
-    """(?s)<[Aa](?:\\s[^>]*?)?\\shref\\s*=\\s*["']([^"'<>]*)["']"""
-    """[^>]*>(.*?)</[Aa]\\s*>"""
+    """(?s)<[Aa](?:\\s[^>]*?)?\\s[Hh][Rr][Ee][Ff]\\s*=\\s*["']"""
+    """([^"'<>]*)["'][^>]*>(.*?)</[Aa]\\s*>"""
 )
 
 
@@ -343,7 +363,12 @@ def with_anchor_texts(
     html = F.col(html_col)
     if dict(df.dtypes).get(html_col) == "binary":
         html = F.decode(html, "utf-8")
-    hrefs = F.regexp_extract_all(html, F.lit(_ANCHOR_RE), 1)
+    hrefs = F.transform(
+        F.regexp_extract_all(html, F.lit(_ANCHOR_RE), 1),
+        # an explicit 1-arg lambda: transform would otherwise feed the
+        # element INDEX into F.trim's optional trim-characters parameter
+        lambda x: F.trim(x),
+    )
     texts = F.transform(
         F.regexp_extract_all(html, F.lit(_ANCHOR_RE), 2),
         lambda x: F.trim(

@@ -101,41 +101,100 @@ def _split_http_response(block: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, block[head_end + 4 :]
 
 
-def parse_warc_stream(raw: bytes) -> Iterator[dict]:
-    """Parse a (decompressed) WARC stream into record dicts.
+def _decode_header(b: bytes) -> str:
+    """Header values are UTF-8 per WARC 1.1 (ISO 28500 §4; 1.0 files
+    are ASCII, a strict subset); fall back to latin-1 for the garbage
+    tail of a real crawl — never raise on one bad header."""
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return b.decode("latin-1", errors="replace")
+
+
+# A WARC header block larger than this is not a header block — resync
+# past the bogus version line instead of buffering the file hunting for
+# the terminating blank line.
+_MAX_HEADER_BYTES = 1 << 20
+
+
+def parse_warc_records(
+    fh, chunk_bytes: int = 4 << 20
+) -> Iterator[dict]:
+    """Parse a (decompressed) WARC byte STREAM into record dicts,
+    incrementally: peak memory is one record + one read chunk, never
+    the file (a Common-Crawl .warc is ~1 GB gzip / ~4-5 GB raw — a
+    full-file slurp per task would size executors to the file, not the
+    record).
 
     Yields ``{record_type, url, warc_ts, content_type, http_status,
-    http_content_type, payload}`` where ``payload`` is the HTTP body for
-    ``application/http`` response records and the raw block otherwise.
-    Tolerant of leading/trailing junk between records (spec requires
-    exactly two CRLFs; real crawls occasionally have more).
+    http_content_type, lang, payload}`` where ``payload`` is the HTTP
+    body for ``application/http`` response records and the raw block
+    otherwise. Tolerant of junk between records (the spec requires
+    exactly two CRLFs; real crawls occasionally have more) and of
+    corrupt framing: a negative/garbled Content-Length or an oversized
+    header resyncs to the next version line instead of looping or
+    misattributing bytes — one bad record must not kill a 1 GB task.
     """
-    pos = 0
-    n = len(raw)
-    while pos < n:
-        # seek the next version line
-        start = raw.find(b"WARC/", pos)
-        if start < 0:
-            return
-        head_end = raw.find(b"\r\n\r\n", start)
+    buf = bytearray()
+    eof = False
+
+    def fill(need: int) -> None:
+        nonlocal buf, eof
+        while not eof and len(buf) < need:
+            chunk = fh.read(max(chunk_bytes, need - len(buf)))
+            if not chunk:
+                eof = True
+                return
+            buf += chunk
+
+    while True:
+        # seek the next version line (marker may straddle a chunk edge:
+        # keep a 4-byte tail when discarding an unmatched prefix)
+        start = buf.find(b"WARC/")
+        while start < 0:
+            if eof:
+                return
+            del buf[: max(0, len(buf) - 4)]
+            n_before = len(buf)
+            fill(n_before + 1)
+            if len(buf) == n_before and eof:
+                return
+            start = buf.find(b"WARC/")
+        del buf[:start]
+        # find the end of the header block, reading as needed
+        head_end = buf.find(b"\r\n\r\n")
+        while head_end < 0 and not eof and len(buf) <= _MAX_HEADER_BYTES:
+            fill(len(buf) + chunk_bytes)
+            head_end = buf.find(b"\r\n\r\n")
         if head_end < 0:
-            return
+            if eof:
+                return
+            del buf[:5]  # oversized "header": bogus marker, resync
+            continue
         headers: dict[str, str] = {}
-        for ln in raw[start:head_end].split(_CRLF)[1:]:
+        for ln in bytes(buf[:head_end]).split(_CRLF)[1:]:
             k, sep, v = ln.partition(b":")
             if sep:
-                headers[k.strip().decode("latin-1").lower()] = v.strip().decode(
-                    "latin-1", errors="replace"
+                headers[_decode_header(k.strip()).lower()] = _decode_header(
+                    v.strip()
                 )
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            # unrecoverable framing: without Content-Length the block
-            # boundary is unknown — stop rather than misattribute bytes
-            return
-        block_start = head_end + 4
-        block = raw[block_start : block_start + length]
-        pos = block_start + length
+            length = -1
+        if length > (1 << 31):
+            length = -1  # absurd length = corrupt framing, resync
+        if length < 0:
+            # corrupt/absent Content-Length: the block boundary is
+            # unknowable — skip this version line and resync forward
+            # (never backward: a negative length must not re-find the
+            # same record and loop forever)
+            del buf[:5]
+            continue
+        total = head_end + 4 + length
+        fill(total)
+        block = bytes(buf[head_end + 4 : total])  # truncates at EOF
+        del buf[:total]
         ctype = headers.get("content-type", "")
         status: int | None = None
         http_ctype: str | None = None
@@ -156,6 +215,24 @@ def parse_warc_stream(raw: bytes) -> Iterator[dict]:
         }
 
 
+def parse_warc_stream(raw: bytes) -> Iterator[dict]:
+    """In-memory convenience wrapper over :func:`parse_warc_records`
+    (tests, small buffers). Large files should stream through
+    :func:`read_warc_file` instead."""
+    yield from parse_warc_records(io.BytesIO(raw))
+
+
+def _clean_header_value(v: str | None) -> str | None:
+    """Strip CR/LF and other C0 controls from a header value: a url
+    containing ``\\r\\n`` would otherwise inject headers and corrupt the
+    record framing (same reason HTTP forbids them). Non-ASCII stays —
+    headers are UTF-8 per WARC 1.1 and :func:`_decode_header` reads
+    them back bit-exact."""
+    if v is None:
+        return None
+    return "".join(ch for ch in v if ch >= " " or ch == "\t")
+
+
 def build_warc_record(
     record_type: str,
     url: str | None,
@@ -170,12 +247,15 @@ def build_warc_record(
     stores the payload as the raw block (``conversion`` = the WET
     layout). Record-ID derives from (type, url, ts) so identical logical
     records build identical bytes — the writer is deterministic."""
+    url = _clean_header_value(url)
+    lang = _clean_header_value(lang)
+    http_content_type = _clean_header_value(http_content_type)
     if record_type == "response":
         http = (
             f"HTTP/1.1 {http_status} OK\r\n"
             f"Content-Type: {http_content_type}\r\n"
             f"Content-Length: {len(payload)}\r\n\r\n"
-        ).encode("ascii") + payload
+        ).encode("utf-8") + payload
         block, ctype = http, "application/http; msgtype=response"
     else:
         block = payload
@@ -199,17 +279,24 @@ def build_warc_record(
         f"Content-Type: {ctype}\r\n"
         f"Content-Length: {len(block)}\r\n\r\n"
     )
-    return "".join(head).encode("ascii") + block + _CRLF + _CRLF
+    return "".join(head).encode("utf-8") + block + _CRLF + _CRLF
 
 
 def read_warc_file(path: str) -> Iterator[dict]:
     """Parse one .warc / .warc.gz / .wet.gz file (gzip sniffed by
-    magic, multi-member streams handled by the stdlib)."""
+    magic, multi-member streams handled by the stdlib), STREAMING:
+    ``gzip.open`` decompresses incrementally into
+    :func:`parse_warc_records`, so peak task memory is one record +
+    one chunk — a 1 GB gzip / 5 GB raw crawl file never materializes
+    in the worker."""
     with open(path, "rb") as fh:
-        raw = fh.read()
-    if raw[:2] == _GZIP_MAGIC:
-        raw = gzip.decompress(raw)
-    yield from parse_warc_stream(raw)
+        magic = fh.read(2)
+        fh.seek(0)
+        if magic == _GZIP_MAGIC:
+            with gzip.open(fh, "rb") as gz:
+                yield from parse_warc_records(gz)
+        else:
+            yield from parse_warc_records(fh)
 
 
 def write_warc_member(fh: io.BufferedIOBase, record_bytes: bytes) -> None:

@@ -1736,3 +1736,81 @@ def test_hits_matches_numpy_power_iteration(spark):
     assert got[4][1] == 0.0
     assert abs(sum(v[0] for v in got.values()) - 1.0) < 1e-9
     assert abs(sum(v[1] for v in got.values()) - 1.0) < 1e-9
+
+
+def test_with_outlinks_edge_cases(spark):
+    """Uppercase HREF attributes, whitespace-padded values, NULL base
+    url, and a scheme-less base: all must degrade safely (verbatim or
+    dropped), never emit NULL/':// '-corrupt edges."""
+    from choetl_spark.operators import with_outlinks
+
+    html = (
+        '<A HREF="https://up.example.org/x">legacy</A>'
+        '<a href=" https://pad.example.org/y ">padded-abs</a>'
+        '<a href=" javascript:alert(1)">padded-pseudo</a>'
+        '<a href="/root-rel">r</a>'
+        "<a href='//cdn.example.org/z'>scheme-rel</a>"
+    )
+    rows = [
+        ("https://base.example.com/p", html),  # usable base
+        (None, html),                          # NULL base (no target-URI)
+        ("base.example.com/p", html),          # scheme-less base
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = [r.outlinks for r in with_outlinks(df).collect()]
+    # usable base: everything resolves
+    assert got[0] == [
+        "https://up.example.org/x",
+        "https://pad.example.org/y",
+        "https://base.example.com/p/root-rel".replace("/p/", "/"),
+        "https://cdn.example.org/z",
+    ] or got[0] == [
+        "https://up.example.org/x",
+        "https://pad.example.org/y",
+        "https://base.example.com/root-rel",
+        "https://cdn.example.org/z",
+    ]
+    # NULL / scheme-less base: relative links stay verbatim, no NULLs,
+    # no '://'-prefixed garbage
+    for links in got[1:]:
+        assert None not in links
+        assert links == [
+            "https://up.example.org/x",
+            "https://pad.example.org/y",
+            "/root-rel",
+            "//cdn.example.org/z",
+        ]
+
+
+def test_with_anchor_texts_uppercase_and_padding(spark):
+    from choetl_spark.operators import with_anchor_texts
+
+    html = '<A HREF=" /P ">Shouty <I>link</I></A>'
+    [row] = with_anchor_texts(
+        spark.createDataFrame([(html,)], "html string")
+    ).collect()
+    assert [(p["href"], p["text"]) for p in row.anchors] == [
+        ("/P", "Shouty link")
+    ]
+
+
+def test_graph_rejects_string_node_ids(spark):
+    """A string edge list must raise (silent long-cast would null every
+    URL and return an empty graph), pointing at the xxhash64 recipe."""
+    import pytest
+
+    from choetl_spark.operators import hits, pagerank
+
+    e = spark.createDataFrame(
+        [("https://a.example.org", "https://b.example.org")],
+        "src string, dst string",
+    )
+    with pytest.raises(TypeError, match="xxhash64"):
+        pagerank(e)
+    with pytest.raises(TypeError, match="xxhash64"):
+        hits(e)
+    # the documented recipe works end to end
+    hashed = e.select(
+        F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+    )
+    assert pagerank(hashed, n_iter=1).count() == 2

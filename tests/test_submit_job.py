@@ -539,3 +539,62 @@ def test_export_job_timestamp_range_coercion(spark, tmp_path):
     ).select("url", "warc_ts")
     assert got.count() == want.count() and want.count() > 0
     assert got.exceptAll(want).count() == 0
+
+
+def test_linkgraph_job_pipeline(spark, tmp_path):
+    """End-to-end link-graph job (jobs/linkgraph_job.py logic, in
+    session): planted ring+chord links -> hashed edges -> PageRank ->
+    per-url scores in the encoded store; rank mass conserved, frontier
+    (non-crawled) targets flagged is_page=false, store decodes to the
+    score table."""
+    import importlib.util
+
+    from pyspark.sql import functions as F
+
+    spec = importlib.util.spec_from_file_location(
+        "linkgraph_job", os.path.join(REPO, "jobs", "linkgraph_job.py")
+    )
+    lg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(lg)
+
+    n = 40
+    rows = []
+    for i in range(n):
+        html = (
+            f'<a href="https://h{(i + 1) % n}.example.org/p">n</a>'
+            f"<a href='https://h{(i * 7 + 3) % n}.example.org/p'>c</a>"
+            '<a href="https://frontier.example.net/only-linked">ext</a>'
+            '<a href="/rel#frag">rel</a>'
+        )
+        rows.append((f"https://h{i}.example.org/p", html.encode()))
+    src = str(tmp_path / "pages.parquet")
+    spark.createDataFrame(rows, "url string, html binary").write.parquet(src)
+    out = str(tmp_path / "linkrank")
+
+    args = lg.build_parser().parse_args([
+        "--input", src, "--output", out, "--n-iter", "5", "--hits",
+        "--hits-iter", "3", "--partitions", "4",
+        "--chunk-rows", "256", "--chunk-bytes", str(1 << 20),
+    ])
+    result = lg.run(spark, args)
+    c = result["counts"]
+    assert c["pages"] == n
+    # ring + chord + external; /rel resolves to an absolute url per page
+    assert c["nodes"] == n + 1 + n  # pages + frontier + per-page /rel
+    assert abs(c["rank_mass"] - 1.0) < 1e-9
+
+    from choetl_spark.engine import decode_dataframe
+    from choetl_spark.ledger import read_encoded, read_manifest
+
+    decoded = decode_dataframe(
+        read_encoded(spark, out), manifest=read_manifest(out)
+    )
+    got = {r.url: r for r in decoded.collect()}
+    assert len(got) == c["nodes"]
+    frontier = got["https://frontier.example.net/only-linked"]
+    assert frontier.is_page is False
+    assert frontier.rank > 0  # everyone links it: real rank
+    assert frontier.hub == 0.0  # no outlinks: never a hub
+    # crawled pages are flagged and hold the ring's uniform-ish rank
+    page0 = got["https://h0.example.org/p"]
+    assert page0.is_page is True and page0.rank > 0

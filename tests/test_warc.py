@@ -237,7 +237,12 @@ def test_warc_codec_property_roundtrip():
     @given(
         rtype=st.sampled_from(["response", "conversion", "metadata"]),
         url=st.text(
-            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            # printable, incl. non-ASCII (UTF-8 headers per WARC 1.1);
+            # no surrogates, no controls/space (builder strips CR/LF
+            # and the parser byte-strips header edges)
+            alphabet=st.characters(
+                min_codepoint=33, blacklist_categories=("Cs",)
+            ),
             min_size=1, max_size=64,
         ),
         us=st.integers(min_value=0, max_value=4_102_444_800_000_000),
@@ -257,3 +262,83 @@ def test_warc_codec_property_roundtrip():
         assert len(list(parse_warc_stream(raw + raw))) == 2
 
     check()
+
+
+def test_warc_corrupt_framing_resync():
+    """A negative Content-Length (or a bogus WARC/ marker with no
+    header terminator) must RESYNC forward — never loop or kill the
+    stream — and the following good record still parses."""
+    from datetime import datetime, timezone
+
+    from choetl_spark.sources.warc_py import (
+        build_warc_record,
+        parse_warc_stream,
+    )
+
+    ts = datetime(2026, 1, 2, tzinfo=timezone.utc)
+    good = build_warc_record("conversion", "https://ok.example.org", ts, b"hi")
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Length: -1000\r\n\r\njunk"
+    )
+    huge = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Length: 99999999999999\r\n\r\n"
+    )
+    stray = b"garbage WARC/ not-a-header "
+    recs = list(parse_warc_stream(bad + stray + huge + good))
+    assert len(recs) == 1
+    assert recs[0]["url"] == "https://ok.example.org"
+    assert recs[0]["payload"] == b"hi"
+
+
+def test_warc_nonascii_url_and_header_injection():
+    """Non-ASCII URLs round-trip bit-exact (UTF-8 headers, WARC 1.1);
+    CR/LF smuggled into a url must be stripped, not injected as
+    headers."""
+    from datetime import datetime, timezone
+
+    from choetl_spark.sources.warc_py import (
+        build_warc_record,
+        parse_warc_stream,
+    )
+
+    ts = datetime(2026, 1, 2, tzinfo=timezone.utc)
+    iri = "https://exämple.org/über?q=中文"
+    raw = build_warc_record("conversion", iri, ts, b"x", lang="de")
+    (rec,) = parse_warc_stream(raw)
+    assert rec["url"] == iri
+    assert rec["lang"] == "de"
+    evil = "https://a.example.org/x\r\nWARC-Type: smuggled"
+    raw2 = build_warc_record("conversion", evil, ts, b"y")
+    (rec2,) = parse_warc_stream(raw2)
+    assert rec2["record_type"] == "conversion"  # not smuggled
+    assert "\r" not in rec2["url"] and "\n" not in rec2["url"]
+
+
+def test_warc_incremental_parse_matches_slurp():
+    """parse_warc_records with a tiny read chunk (every marker and
+    header straddles chunk edges) yields byte-identical records to the
+    in-memory wrapper."""
+    import io
+    from datetime import datetime, timezone
+
+    from choetl_spark.sources.warc_py import (
+        build_warc_record,
+        parse_warc_records,
+        parse_warc_stream,
+    )
+
+    ts = datetime(2026, 3, 4, 5, 6, 7, tzinfo=timezone.utc)
+    raw = b"junk-prefix" + b"".join(
+        build_warc_record(
+            "response", f"https://h{i}.example.org/p", ts,
+            b"<html>" + bytes([65 + i]) * (i * 37 % 300) + b"</html>",
+        )
+        for i in range(20)
+    ) + b"tail-junk"
+    slurp = list(parse_warc_stream(raw))
+    stream = list(parse_warc_records(io.BytesIO(raw), chunk_bytes=7))
+    assert len(slurp) == len(stream) == 20
+    for a, b in zip(slurp, stream):
+        assert a == b
