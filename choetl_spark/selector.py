@@ -96,8 +96,20 @@ _PROFILE_FSST_SYMBOLS = {"ratio": 127, "balanced": 48, "speed": 16}
 # the speed). So when the estimate picks fsst/worddict, both pipelines
 # run zstd-inclusive on a deterministic head sample and the expensive
 # codec must beat plain+zstd by the profile's margin to keep the pick.
+#
+# The balanced margin (0.72) is a COST-BENEFIT gate, not a tie-breaker:
+# a symbol-table codec costs ~2-2.5x the plain+zstd encode, so balanced
+# keeps it only when it buys >=28% footprint. Measured on the synthetic
+# web table (93 MB chunks, one core):
+#   text: worddict+z 0.149 vs plain+z 0.260 (0.57x) at 2.0x cost
+#         -> ~22 MB saved per extra CPU-second  -> keep
+#   html: worddict+z 0.196 vs plain+z 0.257 (0.76x) at 2.5x cost
+#         -> ~8 MB saved per extra CPU-second   -> plain+zstd
+# The gate moved the balanced profile from 83 MB/s to ~127 MB/s per core
+# while keeping ~80% of its footprint advantage over the speed profile.
+# The ratio profile keeps every measured win (margin 1.0).
 _TRIAL_ROWS = 256
-_TRIAL_MARGIN = {"balanced": 0.88, "ratio": 1.0}
+_TRIAL_MARGIN = {"balanced": 0.72, "ratio": 1.0}
 
 
 def zstd_level_for(codec: str, optimize_for: str) -> int:
