@@ -433,9 +433,11 @@ def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
     """One row per commit epoch (the Iceberg snapshot-list analog):
     ``(run_seq, run_id, operation, n_partitions, n_rows, raw_bytes,
     encoded_bytes)``, ordered by epoch — ``operation`` is "append"
-    (an ingest; ``n_rows`` = rows committed) or "delete" (a row-level
-    tombstone commit; ``n_rows`` = rows deleted, ``n_partitions`` 0
-    since no partition was written). Pass a ``run_seq`` to
+    (an ingest; ``n_rows`` = rows committed), "replace" (the epoch also
+    retires partitions: overwrite / compaction / rollback), or "delete"
+    (a row-level tombstone commit; ``n_rows`` = rows deleted,
+    ``n_partitions`` 0 since no partition was written). Pass a
+    ``run_seq`` to
     ``read_encoded``/``scan_encoded`` ``as_of=`` for time travel."""
     ledger = read_ledger(spark, out_dir)
     if ledger is None:
@@ -445,6 +447,16 @@ def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
             " n_partitions long, n_rows long,"
             " raw_bytes long, encoded_bytes long",
         )
+    # an epoch that both commits new partitions AND retires old ones is
+    # an atomic replace snapshot (overwrite / rewrite_partitions /
+    # rollback-with-rewrite) — Iceberg's "replace" operation; a pure
+    # ingest epoch is "append"
+    retire_seqs = (
+        ledger.filter(F.col("status") == "retired")
+        .select("run_seq")
+        .distinct()
+        .withColumn("has_retire", F.lit(True))
+    )
     base = (
         ledger.filter(F.col("status").isin("done", "delete", "eqdelete"))
         .groupBy("run_seq", "run_id", "status")
@@ -454,10 +466,16 @@ def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:
             F.sum("raw_bytes").alias("raw_bytes"),
             F.sum("encoded_bytes").alias("encoded_bytes"),
         )
+        .join(F.broadcast(retire_seqs), "run_seq", "left")
         .select(
             "run_seq",
             "run_id",
-            F.when(F.col("status") == "done", F.lit("append"))
+            F.when(
+                (F.col("status") == "done")
+                & F.coalesce(F.col("has_retire"), F.lit(False)),
+                F.lit("replace"),
+            )
+            .when(F.col("status") == "done", F.lit("append"))
             .when(F.col("status") == "delete", F.lit("delete"))
             .otherwise(F.lit("eqdelete"))
             .alias("operation"),
