@@ -717,6 +717,46 @@ def q_direct_roundtrip(spark, sf_dir):
     return spark.createDataFrame([(n,)], "n_match long")
 
 
+def q_datasource_roundtrip(spark, sf_dir):
+    """The ``choetl`` Spark data source (choetl_spark/datasource.py):
+    pages write into the store through the distributed Arrow writer
+    (``df.write.format("choetl")``), read back through the Python data
+    source (``spark.read.format("choetl")``) with a pushed string
+    filter exercising the task-side Arrow mask, and every (url, text)
+    must match the source bit-identically. The result is the per-lang
+    matched-row census, so a dropped split, a mis-committed attempt,
+    an over-eager filter mask, or any value corruption flips a count.
+    Collected eagerly so the temp store can be deleted."""
+    import shutil
+    import tempfile
+
+    from choetl_spark.datasource import register
+    from choetl_spark.synth import webpages_from_documents
+
+    register(spark)
+    pages = webpages_from_documents(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="choetl_ds_")
+    try:
+        store = f"{tmp}/store"
+        pages.write.format("choetl").mode("append").save(store)
+        back = (
+            spark.read.format("choetl")
+            .load(store)
+            .filter(F.col("lang").isNotNull() & (F.col("lang") >= ""))
+        )
+        rows = (
+            back.alias("d")
+            .join(pages.alias("s"), "url")
+            .filter(F.col("d.text") == F.col("s.text"))
+            .groupBy(F.col("d.lang").alias("lang"))
+            .agg(F.count("*").alias("n_match"))
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "lang string, n_match long")
+
+
 def q_warc_ingest_webpages(spark, sf_dir):
     """Raw-crawl ingestion (ISO 28500): render the documents-derived
     pages as Common-Crawl-layout WARC (.warc.gz response records with a
@@ -2237,6 +2277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_summary": q_encode_summary,
         "roundtrip_text_identity": q_roundtrip_text_identity,
         "direct_roundtrip": q_direct_roundtrip,
+        "datasource_roundtrip": q_datasource_roundtrip,
         "warc_ingest_webpages": q_warc_ingest_webpages,
         "html_charset_decode": q_html_charset_decode,
         "outlinks_webpages": q_outlinks_webpages,
@@ -3240,6 +3281,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "direct_roundtrip": """
             SELECT count(*) AS n_match FROM documents
+        """,
+        "datasource_roundtrip": """
+            SELECT lang, count(*) AS n_match FROM documents
+            GROUP BY lang
         """,
         "warc_ingest_webpages": f"""
             SELECT {_URL_SQL} AS url,
