@@ -757,6 +757,71 @@ def q_datasource_roundtrip(spark, sf_dir):
     return spark.createDataFrame(rows, "lang string, n_match long")
 
 
+def q_robots_crawlable(spark, sf_dir):
+    """RFC 9309 robots evaluation (choetl_spark/operators/robots.py):
+    every host publishes a planted policy — a catch-all group that
+    DISALLOWS EVERYTHING plus a ccbot group with a /de/ disallow, a
+    longer /de/1 allow, and a wildcard+anchor /zh/*7$ disallow — and
+    the per-lang (pages, allowed) census must match the closed-form
+    recomputation. Wrong group selection (ccbot merged into *) zeroes
+    every allowed count; broken longest-match precedence flips the de
+    rows; broken wildcard/anchor compilation flips the zh rows."""
+    from choetl_spark.operators.robots import parse_robots, robots_allowed
+    from choetl_spark.operators.weburl import with_url_parts
+    from choetl_spark.synth import webpages_from_documents
+
+    pages = webpages_from_documents(spark, sf_dir)
+    body = (
+        "# planted policy\n"
+        "User-agent: *\nDisallow: /\n\n"
+        "User-agent: ccbot\n"
+        "Disallow: /de/\nAllow: /de/1\nDisallow: /zh/*7$\n"
+    )
+    robots = (
+        with_url_parts(pages.select("url"))
+        .select("host")
+        .distinct()
+        .withColumn("body", F.lit(body))
+    )
+    rules = parse_robots(robots, agent="ccbot")
+    out = robots_allowed(pages, rules)
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.count(F.when(F.col("crawlable"), 1)).alias("n_allowed"),
+    )
+
+
+def q_cdx_index_webpages(spark, sf_dir):
+    """CDXJ capture index round-trip (write_cdxj/read_cdxj +
+    with_surt): pages index into sorted `<surt> <ts14> <json>` lines
+    and read back; the oracle recomputes every surt key, 14-digit
+    timestamp, and text digest from `documents` directly — a wrong
+    host reversal, a timezone shift, or any meta-JSON corruption flips
+    a row. Collected eagerly so the temp index can be deleted."""
+    import shutil
+    import tempfile
+
+    from choetl_spark.sources import read_cdxj, write_cdxj
+    from choetl_spark.synth import webpages_from_documents
+
+    pages = webpages_from_documents(spark, sf_dir).select(
+        "url", "warc_ts", F.md5("text").alias("digest")
+    )
+    tmp = tempfile.mkdtemp(prefix="choetl_cdxj_")
+    try:
+        idx = f"{tmp}/index"
+        write_cdxj(
+            pages, idx, meta_cols=("url", "digest"), num_partitions=4
+        )
+        back = read_cdxj(spark, idx, "url string, digest string")
+        rows = back.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "surt string, ts14 string, url string, digest string"
+    )
+
+
 def q_warc_ingest_webpages(spark, sf_dir):
     """Raw-crawl ingestion (ISO 28500): render the documents-derived
     pages as Common-Crawl-layout WARC (.warc.gz response records with a
@@ -2279,6 +2344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "direct_roundtrip": q_direct_roundtrip,
         "datasource_roundtrip": q_datasource_roundtrip,
         "warc_ingest_webpages": q_warc_ingest_webpages,
+        "robots_crawlable": q_robots_crawlable,
+        "cdx_index_webpages": q_cdx_index_webpages,
         "html_charset_decode": q_html_charset_decode,
         "outlinks_webpages": q_outlinks_webpages,
         "pagerank_linkgraph": q_pagerank_linkgraph,
@@ -3285,6 +3352,26 @@ def oracle_sql() -> dict[str, str]:
         "datasource_roundtrip": """
             SELECT lang, count(*) AS n_match FROM documents
             GROUP BY lang
+        """,
+        "robots_crawlable": """
+            SELECT lang,
+                   count(*) AS n_pages,
+                   count(*) FILTER (WHERE
+                     (lang = 'de' AND CAST(doc_id AS VARCHAR) LIKE '1%')
+                     OR (lang = 'zh'
+                         AND CAST(doc_id AS VARCHAR) NOT LIKE '%7')
+                     OR lang NOT IN ('de', 'zh')
+                   ) AS n_allowed
+            FROM documents GROUP BY lang
+        """,
+        "cdx_index_webpages": f"""
+            SELECT 'com,example,' || source || ')/' || lang || '/'
+                     || CAST(doc_id AS VARCHAR) AS surt,
+                   strftime(make_timestamp(1690000000000000
+                     + doc_id * 37000000), '%Y%m%d%H%M%S') AS ts14,
+                   {_URL_SQL} AS url,
+                   md5(text) AS digest
+            FROM documents
         """,
         "warc_ingest_webpages": f"""
             SELECT {_URL_SQL} AS url,

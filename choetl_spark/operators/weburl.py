@@ -120,6 +120,38 @@ def with_url_canonical(
     return df.withColumn(out_col, canon)
 
 
+def with_surt(
+    df: DataFrame, url_col: str = "url", out_col: str = "surt"
+) -> DataFrame:
+    """SURT key (Sort-friendly URI Reordering Transform) — the sort /
+    range-partition key of web-archive capture indexes (Common Crawl's
+    CDXJ, OpenWayback): lowercase the host, drop a leading ``www.``
+    label, REVERSE the remaining labels comma-joined, then append
+    ``)`` + path (+ ``?`` + query). Reversal makes every host of a
+    registered domain contiguous under a range scan — the property the
+    index's binary-searchable sort depends on, and exactly what
+    ``rewrite_clustered(sort)`` wants as its key for web-page stores.
+
+    ``www2.host.example.com/de/7`` -> ``com,example,host,www2)/de/7``.
+
+    Pure codegen chain (split / reverse / concat_ws) with a DuckDB
+    twin (``list_reverse`` + ``array_to_string``), so oracle queries
+    mirror it byte-for-byte. Scheme-less input yields ``''`` host ->
+    surt ``)``-prefixed; filter upstream if that matters."""
+    p = _parts(F.col(url_col))
+    host = F.regexp_replace(p["host"], r"^www\.", "")
+    rev = F.concat_ws(",", F.reverse(F.split(host, r"\.")))
+    surt = F.concat(
+        rev,
+        F.lit(")"),
+        F.when(p["path"] == "", F.lit("/")).otherwise(p["path"]),
+        F.when(
+            p["query"] != "", F.concat(F.lit("?"), p["query"])
+        ).otherwise(F.lit("")),
+    )
+    return df.withColumn(out_col, surt)
+
+
 def domain_stats(
     df: DataFrame,
     url_col: str = "url",

@@ -1361,6 +1361,83 @@ def write_warc(
     write_part_files(df, path, "warc.gz", encode_batches)
 
 
+def write_cdxj(
+    df: DataFrame,
+    path: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    meta_cols: tuple = ("url",),
+    sort: bool = True,
+    num_partitions: int | None = None,
+    compression: str | None = None,
+) -> None:
+    """Write a CDXJ capture index (the Common-Crawl / OpenWayback
+    index format): one line per capture, ``<surt> <ts14> <json>`` —
+    the SURT sort key (:func:`choetl_spark.operators.weburl.with_surt`),
+    the 14-digit ``yyyyMMddHHmmss`` timestamp, and a JSON object of
+    ``meta_cols`` (CC ships url/mime/status/digest/length; pass
+    whichever your table carries — all rendered with ``to_json``).
+
+    ``sort=True`` builds the index the way the consumer needs it:
+    ``repartitionByRange`` on (surt, ts) then ``sortWithinPartitions``
+    — globally range-clustered part files, each internally sorted, so
+    a binary-searching reader touches one file per key range. That is
+    ONE range shuffle of (key + meta) columns, the same cost Common
+    Crawl's own index build pays; ``sort=False`` skips it for
+    already-clustered input. Everything is codegen (surt chain,
+    date_format, to_json) — no Python in the row path. ``ts14`` uses
+    the session timezone, like every Spark datetime function — run
+    index builds under UTC (crawl timestamps are UTC by spec)."""
+    from choetl_spark.operators.weburl import with_surt
+
+    keyed = with_surt(df, url_col, "_surt").select(
+        "_surt",
+        F.date_format(F.col(ts_col), "yyyyMMddHHmmss").alias("_ts14"),
+        F.to_json(F.struct(*[F.col(c) for c in meta_cols])).alias(
+            "_meta"
+        ),
+    )
+    if sort:
+        if num_partitions:
+            keyed = keyed.repartitionByRange(
+                num_partitions, "_surt", "_ts14"
+            )
+        else:
+            keyed = keyed.repartitionByRange("_surt", "_ts14")
+        keyed = keyed.sortWithinPartitions("_surt", "_ts14")
+    line = F.concat_ws(" ", "_surt", "_ts14", "_meta")
+    writer = keyed.select(line.alias("value")).write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.text(path)
+
+
+def read_cdxj(
+    spark: SparkSession,
+    path: str,
+    meta_schema: str = "url string",
+) -> DataFrame:
+    """Read a CDXJ capture index back into ``(surt, ts14, <meta
+    fields>)`` — ``spark.read.text`` + a codegen'd split of the two
+    space-delimited key fields + ``from_json`` of the remainder under
+    the caller's ``meta_schema`` DDL (unknown JSON keys are ignored,
+    missing ones read NULL — the usual from_json leniency). ``ts14``
+    stays the 14-char string (timezone-free by construction); cast
+    with ``to_timestamp(ts14, 'yyyyMMddHHmmss')`` under UTC when an
+    instant is needed. Scale: plain text-file scan — splittable,
+    column-pruned at the JSON level, no Python."""
+    lines = spark.read.text(path)
+    v = F.col("value")
+    meta = F.from_json(
+        F.regexp_extract(v, r"^\S+ \S+ (.*)$", 1), meta_schema
+    )
+    return lines.select(
+        F.substring_index(v, " ", 1).alias("surt"),
+        F.element_at(F.split(v, " ", 3), 2).alias("ts14"),
+        meta.alias("_m"),
+    ).select("surt", "ts14", "_m.*")
+
+
 # Executable SQLite staging bridge (reference ChoETL.Sqlite parity) —
 # real database file via stdlib sqlite3; see sqlite_py module docstring.
 from choetl_spark.sources.sqlite_py import (  # noqa: E402,F401
