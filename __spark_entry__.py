@@ -822,6 +822,40 @@ def q_cdx_index_webpages(spark, sf_dir):
     )
 
 
+def q_content_extract_webpages(spark, sf_dir):
+    """Boilerpipe-style main-content extraction
+    (operators/textstats.with_content_blocks): each page is planted
+    with a link-dense nav block, the document text as the article
+    block, and a short footer; the extractor must return EXACTLY the
+    cleaned article text (nav and footer classified as chrome). The
+    oracle rebuilds the expected content per doc — a block-boundary
+    bug, a broken link-density count, or chrome leaking into the
+    output flips that row's hash."""
+    from choetl_spark.operators.textstats import with_content_blocks
+    from choetl_spark.synth import webpages_from_documents
+
+    pages = webpages_from_documents(spark, sf_dir)
+    html = F.concat(
+        F.lit(
+            '<html><body><div class="nav"><a href="/">Home</a> '
+            '<a href="/x">More</a> <a href="/y">About</a></div><p>'
+        ),
+        F.col("text"),
+        F.lit(
+            '</p><div><a href="/tos">Terms of service page link</a>'
+            "</div></body></html>"
+        ),
+    )
+    out = with_content_blocks(
+        pages.select("url", html.alias("html")), "html"
+    )
+    return out.select(
+        "url",
+        F.md5("content_text").alias("content_md5"),
+        "n_content_blocks",
+    )
+
+
 def q_warc_ingest_webpages(spark, sf_dir):
     """Raw-crawl ingestion (ISO 28500): render the documents-derived
     pages as Common-Crawl-layout WARC (.warc.gz response records with a
@@ -2346,6 +2380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest_webpages": q_warc_ingest_webpages,
         "robots_crawlable": q_robots_crawlable,
         "cdx_index_webpages": q_cdx_index_webpages,
+        "content_extract_webpages": q_content_extract_webpages,
         "html_charset_decode": q_html_charset_decode,
         "outlinks_webpages": q_outlinks_webpages,
         "pagerank_linkgraph": q_pagerank_linkgraph,
@@ -3372,6 +3407,20 @@ def oracle_sql() -> dict[str, str]:
                    {_URL_SQL} AS url,
                    md5(text) AS digest
             FROM documents
+        """,
+        "content_extract_webpages": f"""
+            WITH cleaned AS (
+              SELECT {_URL_SQL} AS url,
+                     trim(regexp_replace(text, '\\s+', ' ', 'g')) AS c
+              FROM documents
+            )
+            SELECT url,
+                   md5(CASE WHEN len(string_split(c, ' ')) >= 8
+                            THEN c ELSE '' END) AS content_md5,
+                   CAST(CASE WHEN len(string_split(c, ' ')) >= 8
+                             THEN 1 ELSE 0 END AS INTEGER)
+                     AS n_content_blocks
+            FROM cleaned
         """,
         "warc_ingest_webpages": f"""
             SELECT {_URL_SQL} AS url,
