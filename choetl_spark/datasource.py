@@ -36,13 +36,16 @@ primary readers (``scan_encoded`` / ``read_encoded``): commit
 resolution on ``(part_id, attempt_id)``, time travel (``as_of`` /
 ``ref`` options), retired-partition invisibility, schema-evolution
 renames + late-added-column nulls + type widening, positional-delete
-subtraction, and WAP-staged invisibility all behave identically.
+subtraction, EQUALITY-delete subtraction (value sets are O(deleted
+keys) — they load driver-side, ride the splits, and apply task-side
+under the data-seq < delete-seq rule; splits whose partitions all
+post-date every delete skip the probe), and WAP-staged invisibility
+all behave identically.
 
 Scope guards (v1, each raises with a pointer to the primary API):
 nested/decimal ("logical") columns — their JSON restore happens
-JVM-side in :func:`choetl_spark.engine.decode_dataframe`; stores with
-un-materialized EQUALITY deletes (``rewrite_partitions`` materializes
-them, or read via ``scan_encoded``).
+JVM-side in :func:`choetl_spark.engine.decode_dataframe`; equality
+deletes whose key column was renamed/dropped after the delete.
 
 Filter pushdown: ``pushFilters`` keeps simple predicates and evaluates
 them task-side with ``pyarrow.compute`` so non-matching rows never
@@ -108,6 +111,7 @@ from choetl_spark.engine import (
     _spark_type_ddl,
 )
 from choetl_spark.deletes import _deletes_dir
+from choetl_spark.eqdeletes import _eq_dir
 from choetl_spark.ledger import (
     LEDGER_SCHEMA_DDL,
     _chunks_dir,
@@ -125,7 +129,7 @@ from choetl_spark.ledger import (
 # driver-side metadata (pure pyarrow — zero Spark jobs)
 # ---------------------------------------------------------------------------
 
-_LEDGER_COLS = ["part_id", "attempt_id", "run_seq", "status"]
+_LEDGER_COLS = ["part_id", "attempt_id", "run_seq", "status", "codec_map"]
 
 
 def _read_parquet_dir(d: str, columns: list[str] | None = None) -> pa.Table | None:
@@ -155,6 +159,8 @@ def _ledger_table(out_dir: str) -> pa.Table | None:
         t = t.append_column("run_seq", pa.array([1] * n, pa.int64()))
     if "attempt_id" not in names:
         t = t.append_column("attempt_id", pa.nulls(n, pa.string()))
+    if "codec_map" not in names:
+        t = t.append_column("codec_map", pa.nulls(n, pa.string()))
     return t
 
 
@@ -171,9 +177,10 @@ def _ledger_state(out_dir: str, as_of: int | None = None) -> dict:
     state = {
         "live": {},  # part_id -> set of attempt_id (None = legacy row)
         "delete_ids": set(),
-        "has_eq_deletes": False,
+        "eq_commits": [],  # (delete_id, run_seq, key_col)
+        "part_seq": {},  # part_id -> first done epoch (eq eligibility)
         "max_seq": 0,
-        "live_rows": [],  # (part_id, run_seq) for streaming/overwrite
+        "max_part": -1,  # over EVERY ledger row (writer id allocation)
     }
     if t is None:
         return state
@@ -181,40 +188,37 @@ def _ledger_state(out_dir: str, as_of: int | None = None) -> dict:
     att = t.column("attempt_id").to_pylist()
     seq = [s if s is not None else 1 for s in t.column("run_seq").to_pylist()]
     status = t.column("status").to_pylist()
+    cmap = t.column("codec_map").to_pylist()
     state["max_seq"] = max(seq, default=0)
+    state["max_part"] = max(
+        (p for p in pid if p is not None), default=-1
+    )
     lim = int(as_of) if as_of is not None else None
     done: dict[int, set] = {}
-    done_seq: dict[tuple, int] = {}
     retired: set[int] = set()
-    aborted_or_done: set[tuple] = set()
-    staged: list[tuple] = []
     for i in range(len(pid)):
         if lim is not None and seq[i] > lim:
             continue
         st = status[i]
         if st == "done":
             done.setdefault(pid[i], set()).add(att[i])
-            done_seq[(pid[i], att[i])] = seq[i]
-            aborted_or_done.add((pid[i], att[i]))
+            prev = state["part_seq"].get(pid[i])
+            if prev is None or seq[i] < prev:
+                state["part_seq"][pid[i]] = seq[i]
         elif st == "retired":
             retired.add(pid[i])
         elif st == "delete":
             state["delete_ids"].add(att[i])
         elif st == "eqdelete":
-            state["has_eq_deletes"] = True
-        elif st == "staged":
-            staged.append((pid[i], att[i], seq[i]))
-        elif st == "aborted":
-            aborted_or_done.add((pid[i], att[i]))
-    # staged rows awaiting their WAP verdict are invisible to readers
-    # (published copies already appear as "done"; aborted ones never do)
-    del staged  # tracked only to document the invisibility rule
+            # codec_map carries the delete's key column name
+            state["eq_commits"].append((att[i], seq[i], cmap[i]))
+        # "staged" rows awaiting their WAP verdict are invisible to
+        # readers (published copies re-appear as "done"); "aborted"
+        # attempts never surface
     for p, atts in done.items():
         if p in retired:
             continue
         state["live"][p] = atts
-        for a in atts:
-            state["live_rows"].append((p, done_seq[(p, a)]))
     return state
 
 
@@ -243,6 +247,51 @@ def _delete_positions(out_dir: str, state: dict) -> dict[int, "object"]:
     for i in range(len(bounds) - 1):
         s, e = bounds[i], bounds[i + 1]
         out[int(pid[s])] = np.unique(pos[s:e])
+    return out
+
+
+def _eq_value_maps(
+    out_dir: str, state: dict, items: list[tuple[str, dict]]
+) -> dict[str, dict]:
+    """Committed equality-delete value sets, per key column: ``{col:
+    {value: newest delete epoch}}`` — loaded driver-side with pyarrow
+    (the value tables are O(deleted keys), tiny by the eq-delete
+    write contract). A row dies iff its partition's first-done epoch
+    is STRICTLY BEFORE the newest delete epoch naming its key value —
+    the same data-seq < delete-seq rule the primary reader resolves
+    lazily with a Spark decode; here the sets ride the splits and the
+    subtraction happens task-side on already-decoded batches."""
+    if not state["eq_commits"]:
+        return {}
+    display = {c for c, _ in items}
+    by_col: dict[str, list[tuple[str, int]]] = {}
+    for did, seq, col in state["eq_commits"]:
+        if col not in display:
+            raise ValueError(
+                f"equality-delete key column {col!r} is not a current "
+                "column of this store (renamed or dropped after the "
+                "delete) — read via scan_encoded"
+            )
+        by_col.setdefault(col, []).append((did, seq))
+    out: dict[str, dict] = {}
+    for col, commits in by_col.items():
+        t = _read_parquet_dir(_eq_dir(out_dir, col))
+        if t is None:
+            raise RuntimeError(
+                f"store at {out_dir} has committed equality-delete "
+                f"epochs for column {col!r} but no readable value "
+                "table — refusing to read (it would resurrect rows)"
+            )
+        seq_of = dict(commits)
+        vmap: dict = {}
+        for did, val in zip(
+            t.column("delete_id").to_pylist(),
+            t.column("value").to_pylist(),
+        ):
+            s = seq_of.get(did)
+            if s is not None and (val not in vmap or vmap[val] < s):
+                vmap[val] = s
+        out[col] = vmap
     return out
 
 
@@ -286,6 +335,8 @@ class StoreSplit(InputPartition):
     files: tuple  # ((path, (rg, ...)), ...)
     attempts: dict  # part_id -> frozenset of committed attempt_ids
     tombstones: dict  # part_id -> np.ndarray of deleted row_pos
+    eq: dict  # key_col -> {value: newest delete epoch} (tiny)
+    pseq: dict  # part_id -> first done epoch (eq eligibility)
 
 
 def _footer_spans(out_dir: str) -> list[tuple[str, int, int | None, int | None, int]]:
@@ -312,6 +363,7 @@ def plan_store_splits(
     out_dir: str,
     state: dict,
     tombstones: dict,
+    eq_maps: dict | None = None,
     target_split_bytes: int = 128 << 20,
 ) -> list[StoreSplit]:
     """Greedy-pack the live part_ids into byte-balanced contiguous
@@ -354,6 +406,19 @@ def plan_store_splits(
             if smin <= hi and smax >= lo:
                 files.setdefault(path, []).append(rg)
         gset = set(grp)
+        # eq sets ride a split only when one of its partitions predates
+        # a delete epoch (post-rewrite stores stop paying the probe)
+        pseq = {p: state["part_seq"].get(p, 1) for p in grp}
+        eq = eq_maps or {}
+        if eq:
+            max_eq = max(
+                (s for m in eq.values() for s in m.values()),
+                default=None,
+            )
+            if max_eq is None or not any(
+                s < max_eq for s in pseq.values()
+            ):
+                eq = {}
         out.append(
             StoreSplit(
                 parts=tuple(grp),
@@ -364,6 +429,8 @@ def plan_store_splits(
                 tombstones={
                     p: tombstones[p] for p in gset & set(tombstones)
                 },
+                eq=eq,
+                pseq=pseq if eq else {},
             )
         )
     return out
@@ -427,7 +494,7 @@ def _decode_split(
         [phys_to_display[n] for n in chunks.column("column").to_pylist()],
         pa.string(),
     )
-    with_pos = bool(split.tombstones)
+    with_pos = bool(split.tombstones) or bool(split.eq)
     kernel = _make_decode_kernel(
         col_order, out_schema, batch_rows, with_pos=with_pos
     )
@@ -450,6 +517,25 @@ def _decode_split(
                 if dead is not None:
                     sel = parts_np == p
                     mask[sel] &= ~np.isin(pos_np[sel], dead)
+            if split.eq:
+                # equality-delete subtraction: a row dies iff its
+                # partition's first-done epoch is STRICTLY BEFORE the
+                # newest delete epoch naming its key value (data-seq <
+                # delete-seq; re-inserted keys survive)
+                pseq_np = np.array(
+                    [split.pseq.get(int(p), 1 << 62) for p in parts_np],
+                    dtype=np.int64,
+                )
+                for col, vmap in split.eq.items():
+                    vals = batch.column(
+                        batch.schema.get_field_index(col)
+                    ).to_pylist()
+                    vseq = np.fromiter(
+                        (vmap.get(v, 0) for v in vals),
+                        dtype=np.int64,
+                        count=len(vals),
+                    )
+                    mask &= ~(pseq_np < vseq)
             batch = pa.RecordBatch.from_arrays(
                 [batch.column(i) for i in range(2, batch.num_columns)],
                 schema=pa.schema(list(batch.schema)[2:]),
@@ -505,6 +591,13 @@ def _compile_masks(filters: list[Filter], items) -> tuple[list[Filter], list[tup
         elif isinstance(f, In) and all(
             isinstance(v, _MASKABLE) for v in f.value
         ):
+            try:
+                # an IN-list literal outside the storage type's range
+                # (e.g. 300 against int8) cannot build a typed value
+                # set — skip the mask (exact-or-skipped contract)
+                pa.array(list(f.value), t)
+            except Exception:
+                continue
             masks.append(("in", col, list(f.value)))
         elif isinstance(f, GreaterThan) and isinstance(f.value, _MASKABLE):
             masks.append(("gt", col, f.value))
@@ -528,22 +621,28 @@ def _apply_masks(batch: pa.RecordBatch, masks: list[tuple]) -> pa.RecordBatch:
     for m in masks:
         op, col = m[0], m[1]
         arr = batch.column(batch.schema.get_field_index(col))
-        if op == "isnull":
-            cond = pc.is_null(arr)
-        elif op == "notnull":
-            cond = pc.is_valid(arr)
-        elif op == "eq":
-            cond = pc.equal(arr, m[2])
-        elif op == "in":
-            cond = pc.is_in(arr, value_set=pa.array(m[2], arr.type))
-        elif op == "gt":
-            cond = pc.greater(arr, m[2])
-        elif op == "ge":
-            cond = pc.greater_equal(arr, m[2])
-        elif op == "lt":
-            cond = pc.less(arr, m[2])
-        else:
-            cond = pc.less_equal(arr, m[2])
+        try:
+            if op == "isnull":
+                cond = pc.is_null(arr)
+            elif op == "notnull":
+                cond = pc.is_valid(arr)
+            elif op == "eq":
+                cond = pc.equal(arr, m[2])
+            elif op == "in":
+                cond = pc.is_in(arr, value_set=pa.array(m[2], arr.type))
+            elif op == "gt":
+                cond = pc.greater(arr, m[2])
+            elif op == "ge":
+                cond = pc.greater_equal(arr, m[2])
+            elif op == "lt":
+                cond = pc.less(arr, m[2])
+            else:
+                cond = pc.less_equal(arr, m[2])
+        except Exception:
+            # a comparison Arrow cannot type (range overflow, cast)
+            # skips ITS mask only — Spark re-applies every filter, so
+            # the result stays exact (the contract: exact-or-skipped)
+            continue
         cond = pc.fill_null(cond, op == "isnull")
         keep = cond if keep is None else pc.and_(keep, cond)
     return batch.filter(keep) if keep is not None else batch
@@ -577,18 +676,17 @@ class ChoetlBatchReader(DataSourceReader):
 
     def partitions(self):
         state = _ledger_state(self._dir, self._as_of)
-        if state["has_eq_deletes"]:
-            # NOT NotImplementedError: Spark treats that exception from
-            # partitions() as "optional API absent" and silently falls
-            # back to a single None partition
-            raise ValueError(
-                "store has committed equality deletes; materialize them "
-                "with rewrite_partitions or read via scan_encoded"
-            )
         tomb = _delete_positions(self._dir, state)
-        return plan_store_splits(self._dir, state, tomb, self._target)
+        eq = _eq_value_maps(self._dir, state, self._items)
+        return plan_store_splits(
+            self._dir, state, tomb, eq, self._target
+        )
 
     def read(self, partition: StoreSplit):
+        if partition is None:
+            # Spark substitutes [None] when partitions() returns [] —
+            # an empty store reads as an empty DataFrame, not a crash
+            return
         yield from _decode_split(
             partition, self._items, self._batch_rows, self._masks
         )
@@ -644,7 +742,7 @@ class ChoetlStreamReader(DataSourceStreamReader):
                 "semantics), or consume exact diffs with "
                 "ledger.read_changes."
             )
-        state = {"live": {}, "delete_ids": set()}
+        state = {"live": {}, "delete_ids": set(), "part_seq": {}}
         for i in range(len(pid)):
             if (
                 lo < seq[i] <= hi
@@ -652,9 +750,13 @@ class ChoetlStreamReader(DataSourceStreamReader):
                 and seq[i] not in change_epochs
             ):
                 state["live"].setdefault(pid[i], set()).add(att[i])
-        return plan_store_splits(self._dir, state, {}, self._target)
+        return plan_store_splits(
+            self._dir, state, {}, None, self._target
+        )
 
     def read(self, partition: StoreSplit):
+        if partition is None:
+            return  # empty epoch range planned [] -> Spark sends None
         yield from _decode_split(partition, self._items, self._batch_rows)
 
     def commit(self, end):
@@ -745,14 +847,19 @@ class ChoetlWriter(DataSourceArrowWriter):
         if "chunk_bytes" in options:
             kw["chunk_bytes"] = int(options["chunk_bytes"])
         self._cfg = EncodeConfig(**kw)
+        if "part_id" in [f.name for f in schema.fields]:
+            # the datasource writer owns partition-id assignment (base +
+            # task id); a caller-planned part_id column would collide
+            # with it and double up inside the encode kernel's feed
+            raise ValueError(
+                "input has a part_id column: the datasource writer "
+                "assigns partition ids itself — drop the column, or "
+                "use encode_with_resume for caller-planned part ids"
+            )
         # fail fast on unsupported schemas (driver, before any task)
         _schema_manifest_fallback(schema, self._tz)
         state = _ledger_state(self._dir)
-        self._base = (max(state["live"], default=-1)) + 1
-        t = _ledger_table(self._dir)
-        if t is not None:
-            pids = [p for p in t.column("part_id").to_pylist() if p is not None]
-            self._base = max(self._base, max(pids, default=-1) + 1)
+        self._base = state["max_part"] + 1
 
     def write(self, iterator: Iterator[pa.RecordBatch]) -> _TaskResult:
         from pyspark import TaskContext

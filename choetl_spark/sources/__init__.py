@@ -1397,6 +1397,13 @@ def write_cdxj(
             "_meta"
         ),
     )
+    # a capture without its sort key cannot be indexed: concat_ws would
+    # silently DROP the null field and emit a shifted two-field line
+    # that read_cdxj mis-splits — exclude such rows (the same contract
+    # as CC's own index: url + timestamp are mandatory)
+    keyed = keyed.filter(
+        F.col("_surt").isNotNull() & F.col("_ts14").isNotNull()
+    )
     if sort:
         if num_partitions:
             keyed = keyed.repartitionByRange(

@@ -104,14 +104,73 @@ def test_positional_deletes_subtracted(ds_spark, store):
     assert _key_rows(pre) == _key_rows(pages)
 
 
-def test_eq_deletes_refuse(ds_spark, store):
+def test_eq_deletes_subtracted_with_reinsert_and_rewrite(ds_spark, store):
+    """Equality deletes apply task-side under the strict data-seq <
+    delete-seq rule: deleted keys vanish, time travel sees pre-delete
+    state, a key re-inserted AFTER the delete survives, and a
+    materializing rewrite leaves the datasource read unchanged."""
     out, pages = store
+    from choetl_spark.deletes import rewrite_partitions
     from choetl_spark.eqdeletes import delete_by_key
 
-    a_url = pages.select("url").first()["url"]
-    delete_by_key(ds_spark, out, "url", [a_url])
-    with pytest.raises(Exception, match="equality deletes"):
-        ds_spark.read.format("choetl").load(out).collect()
+    a_url, b_url = [
+        r["url"] for r in pages.select("url").limit(2).collect()
+    ]
+    delete_by_key(ds_spark, out, "url", [a_url, b_url])
+    got = ds_spark.read.format("choetl").load(out)
+    want = pages.filter(~F.col("url").isin([a_url, b_url]))
+    assert _key_rows(got) == _key_rows(want)
+    pre = ds_spark.read.format("choetl").option("as_of", 1).load(out)
+    assert _key_rows(pre) == _key_rows(pages)
+    reborn = pages.filter(F.col("url") == a_url).withColumn(
+        "part_id", F.lit(500).cast("long")
+    )
+    encode_with_resume(
+        ds_spark, reborn, out, EncodeConfig(**CFG), run_id="reborn"
+    )
+    got2 = ds_spark.read.format("choetl").load(out)
+    want2 = pages.filter(F.col("url") != b_url)
+    assert _key_rows(got2) == _key_rows(want2)
+    rewrite_partitions(
+        ds_spark, out, min_deleted_fraction=0.0, cfg=EncodeConfig(**CFG)
+    )
+    got3 = ds_spark.read.format("choetl").load(out)
+    assert _key_rows(got3) == _key_rows(want2)
+
+
+def test_empty_store_reads_empty(ds_spark, tmp_path):
+    out = str(tmp_path / "estore")
+    empty = webpages(ds_spark, 10, partitions=1).filter(F.lit(False))
+    empty.write.format("choetl").mode("append").save(out)
+    got = ds_spark.read.format("choetl").load(out)
+    assert got.count() == 0
+    assert set(got.columns) == {"url", "warc_ts", "html", "text", "lang"}
+
+
+def test_writer_rejects_caller_part_id(ds_spark, tmp_path):
+    df = webpages(ds_spark, 10, partitions=1).withColumn(
+        "part_id", F.lit(0)
+    )
+    with pytest.raises(Exception, match="part_id"):
+        df.write.format("choetl").mode("append").save(
+            str(tmp_path / "pstore")
+        )
+
+
+def test_out_of_range_in_mask_is_skipped():
+    import pyarrow as pa
+
+    from pyspark.sql.datasource import In
+
+    items = [("i", {"dtype": "int8"})]
+    _, masks = _compile_masks([In(("i",), (300, 1))], items)
+    assert masks == []  # 300 cannot build an int8 value set -> skipped
+    # range comparisons promote safely in Arrow (exact all-False here);
+    # the apply-time guard only matters if a kernel refuses — either
+    # way the call must not kill the task
+    batch = pa.record_batch({"i": pa.array([1, 2], pa.int8())})
+    out = _apply_masks(batch, [("gt", "i", 3000)])
+    assert len(out) == 0  # exact: nothing exceeds 3000
 
 
 def test_rename_is_followed(ds_spark, store):

@@ -196,3 +196,25 @@ def test_cdxj_roundtrip_sorted(spark, tmp_path):
         with open(f) as fh:
             lines = [ln for ln in fh.read().splitlines() if ln]
         assert lines == sorted(lines)
+
+
+def test_cdxj_null_key_rows_are_excluded(spark, tmp_path):
+    """concat_ws silently drops null fields — a capture with a null
+    timestamp or url must be excluded, not emitted as a shifted
+    two-field line the reader mis-splits."""
+    df = spark.createDataFrame(
+        [
+            ("https://a.example.com/1", "2023-01-01 00:00:00"),
+            ("https://a.example.com/2", None),
+            (None, "2023-01-01 00:00:00"),
+        ],
+        "url string, ts string",
+    ).withColumn("warc_ts", F.to_timestamp("ts")).drop("ts")
+    out = str(tmp_path / "cdxj_nulls")
+    write_cdxj(df, out, meta_cols=("url",), num_partitions=1)
+    back = read_cdxj(spark, out, "url string")
+    rows = back.collect()
+    assert [(r["surt"], r["url"]) for r in rows] == [
+        ("com,example,a)/1", "https://a.example.com/1")
+    ]
+    assert rows[0]["ts14"] == "20230101000000"
