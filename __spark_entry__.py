@@ -856,6 +856,24 @@ def q_content_extract_webpages(spark, sf_dir):
     )
 
 
+def q_crawl_frontier_webpages(spark, sf_dir):
+    """Crawl-frontier scheduling (operators/frontier.py): rank each
+    host's pages by a planted deterministic score, keep the top 5, and
+    space fetches 2 s apart within the host (the Mercator politeness
+    shape). The oracle replays the window in SQL — a wrong partition
+    key, tiebreak, limit, or offset arithmetic flips rows."""
+    from choetl_spark.operators.frontier import crawl_frontier
+    from choetl_spark.synth import webpages_from_documents
+
+    pages = webpages_from_documents(spark, sf_dir).select("url")
+    doc_id = F.regexp_extract("url", r"/(\d+)$", 1).cast("long")
+    scored = pages.withColumn("score", (doc_id * 37) % 101)
+    out = crawl_frontier(
+        scored, k_per_host=5, score_col="score", interval_sec=2.0
+    )
+    return out.select("url", "host", "fetch_rank", "fetch_offset_sec")
+
+
 def q_warc_ingest_webpages(spark, sf_dir):
     """Raw-crawl ingestion (ISO 28500): render the documents-derived
     pages as Common-Crawl-layout WARC (.warc.gz response records with a
@@ -2381,6 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_crawlable": q_robots_crawlable,
         "cdx_index_webpages": q_cdx_index_webpages,
         "content_extract_webpages": q_content_extract_webpages,
+        "crawl_frontier_webpages": q_crawl_frontier_webpages,
         "html_charset_decode": q_html_charset_decode,
         "outlinks_webpages": q_outlinks_webpages,
         "pagerank_linkgraph": q_pagerank_linkgraph,
@@ -3407,6 +3426,25 @@ def oracle_sql() -> dict[str, str]:
                    {_URL_SQL} AS url,
                    md5(text) AS digest
             FROM documents
+        """,
+        "crawl_frontier_webpages": f"""
+            WITH scored AS (
+              SELECT {_URL_SQL} AS url,
+                     source || '.example.com' AS host,
+                     (doc_id * 37) % 101 AS score
+              FROM documents
+            ), ranked AS (
+              SELECT url, host,
+                     row_number() OVER (
+                       PARTITION BY host
+                       ORDER BY score DESC, url ASC
+                     ) AS fetch_rank
+              FROM scored
+            )
+            SELECT url, host, CAST(fetch_rank AS INTEGER) AS fetch_rank,
+                   CAST((fetch_rank - 1) * 2.0 AS DOUBLE)
+                     AS fetch_offset_sec
+            FROM ranked WHERE fetch_rank <= 5
         """,
         "content_extract_webpages": f"""
             WITH cleaned AS (
