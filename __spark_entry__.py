@@ -856,6 +856,35 @@ def q_content_extract_webpages(spark, sf_dir):
     )
 
 
+def q_mime_sniff_webpages(spark, sf_dir):
+    """Magic-byte content sniffing (operators/weburl.
+    with_mime_detected): each doc's payload is planted with a format
+    signature chosen by doc_id (PNG/JPEG/gzip/PDF/HTML/plain) and the
+    sniffer must label every one — a wrong prefix table, precedence
+    order, or text fallback flips rows. The oracle is the closed-form
+    kind assignment."""
+    from choetl_spark.operators.weburl import with_mime_detected
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = F.col("doc_id") % 6
+    body = F.col("text").cast("binary")
+    payload = (
+        F.when(k == 0, F.concat(F.lit(b"\x89PNG\r\n\x1a\x0a"), body))
+        .when(k == 1, F.concat(F.lit(b"\xff\xd8\xff\xe0"), body))
+        .when(k == 2, F.concat(F.lit(b"\x1f\x8b\x08"), body))
+        .when(k == 3, F.concat(F.lit(b"%PDF-1.7 "), body))
+        .when(
+            k == 4,
+            F.concat(F.lit(b"<html><p>"), body, F.lit(b"</p></html>")),
+        )
+        .otherwise(body)
+    )
+    out = with_mime_detected(
+        docs.select("doc_id", payload.alias("payload")), "payload"
+    )
+    return out.select("doc_id", "mime")
+
+
 def q_crawl_frontier_webpages(spark, sf_dir):
     """Crawl-frontier scheduling (operators/frontier.py): rank each
     host's pages by a planted deterministic score, keep the top 5, and
@@ -2400,6 +2429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index_webpages": q_cdx_index_webpages,
         "content_extract_webpages": q_content_extract_webpages,
         "crawl_frontier_webpages": q_crawl_frontier_webpages,
+        "mime_sniff_webpages": q_mime_sniff_webpages,
         "html_charset_decode": q_html_charset_decode,
         "outlinks_webpages": q_outlinks_webpages,
         "pagerank_linkgraph": q_pagerank_linkgraph,
@@ -3425,6 +3455,18 @@ def oracle_sql() -> dict[str, str]:
                      + doc_id * 37000000), '%Y%m%d%H%M%S') AS ts14,
                    {_URL_SQL} AS url,
                    md5(text) AS digest
+            FROM documents
+        """,
+        "mime_sniff_webpages": """
+            SELECT doc_id,
+                   CASE doc_id % 6
+                     WHEN 0 THEN 'image/png'
+                     WHEN 1 THEN 'image/jpeg'
+                     WHEN 2 THEN 'application/gzip'
+                     WHEN 3 THEN 'application/pdf'
+                     WHEN 4 THEN 'text/html'
+                     ELSE 'text/plain'
+                   END AS mime
             FROM documents
         """,
         "crawl_frontier_webpages": f"""

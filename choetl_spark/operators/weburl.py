@@ -178,6 +178,83 @@ def domain_stats(
     return parts.groupBy("registered_domain").agg(*aggs)
 
 
+# ------------------------------------------------------------ MIME sniff
+
+# (hex-prefix, mime) in precedence order — longer/more-specific first.
+# The well-known magic numbers; matching is on the HEX of the leading
+# bytes, which both Spark (hex/substring on binary) and DuckDB can
+# compute identically.
+MAGIC_PREFIXES: list[tuple[str, str]] = [
+    ("89504E470D0A1A0A", "image/png"),
+    ("25504446", "application/pdf"),
+    ("474946383761", "image/gif"),
+    ("474946383961", "image/gif"),
+    ("FFD8FF", "image/jpeg"),
+    ("1F8B", "application/gzip"),
+    ("28B52FFD", "application/zstd"),
+    ("504B0304", "application/zip"),
+    ("494433", "audio/mpeg"),
+    ("52494646", "_riff"),  # container: WAV or WEBP, resolved below
+    ("4F676753", "application/ogg"),
+]
+
+
+def with_mime_detected(
+    df: DataFrame, payload_col: str = "html", out_col: str = "mime"
+) -> DataFrame:
+    """Content sniffing from magic bytes — what a crawl pipeline runs
+    on every fetched payload BEFORE trusting the server's Content-Type
+    (mislabelled responses are endemic; decoding a PNG as HTML
+    corrupts text extraction, gzip must be inflated first). Detects
+    the common binary formats by leading-byte signatures, resolves
+    RIFF containers (WAV vs WEBP) by their format tag, and falls back
+    to ``text/html`` when the first bytes look like markup, else
+    ``text/plain``, else ``application/octet-stream``.
+
+    Pure codegen: one ``hex`` of the first 16 bytes + a CASE chain —
+    no UDF, no shuffle; the hex-prefix table is shared with the DuckDB
+    oracle so both engines sniff identically. ``payload_col`` may be
+    string (cast to binary as utf-8)."""
+    raw = F.col(payload_col).cast("binary")
+    h = F.upper(F.hex(F.substring(raw, 1, 16)))
+    # text fallbacks: leading whitespace tolerated, then markup probe
+    text = F.trim(F.substring(raw.cast("string"), 1, 256))
+    fallback = (
+        F.when(
+            text.startswith("<"), F.lit("text/html")
+        )
+        .when(F.length(text) > 0, F.lit("text/plain"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    # the magic CASE chain, most-specific prefix first; fallback is
+    # the chain's otherwise
+    mime = None
+    for prefix, label in MAGIC_PREFIXES:
+        cond = h.startswith(prefix)
+        if label == "_riff":
+            branch = (
+                F.when(
+                    F.substring(raw, 9, 4) == F.lit(b"WAVE"),
+                    "audio/wav",
+                )
+                .when(
+                    F.substring(raw, 9, 4) == F.lit(b"WEBP"),
+                    "image/webp",
+                )
+                .otherwise("application/octet-stream")
+            )
+        else:
+            branch = F.lit(label)
+        mime = mime.when(cond, branch) if mime is not None else F.when(
+            cond, branch
+        )
+    mime = mime.otherwise(fallback)
+    return df.withColumn(
+        out_col,
+        F.when(raw.isNull(), F.lit(None).cast("string")).otherwise(mime),
+    )
+
+
 # --------------------------------------------------------------- charset
 
 _META_CHARSET_RE = (

@@ -218,3 +218,37 @@ def test_cdxj_null_key_rows_are_excluded(spark, tmp_path):
         ("com,example,a)/1", "https://a.example.com/1")
     ]
     assert rows[0]["ts14"] == "20230101000000"
+
+
+def test_mime_detection_magic_bytes(spark):
+    from choetl_spark.operators.weburl import with_mime_detected
+
+    rows = [
+        (b"\x89PNG\r\n\x1a\x0apayload", "image/png"),
+        (b"\xff\xd8\xff\xe0JFIF", "image/jpeg"),
+        (b"GIF89a....", "image/gif"),
+        (b"%PDF-1.7 x", "application/pdf"),
+        (b"\x1f\x8b\x08deflated", "application/gzip"),
+        (b"(\xb5/\xfdzstd", "application/zstd"),
+        (b"PK\x03\x04zip", "application/zip"),
+        (b"RIFF....WAVEfmt ", "audio/wav"),
+        (b"RIFF....WEBPVP8 ", "image/webp"),
+        (b"RIFF....XXXX", "application/octet-stream"),
+        (b"  <html><body>", "text/html"),
+        (b"plain words here", "text/plain"),
+        (b"", "application/octet-stream"),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(p,) for p, _ in rows], "p binary")
+    got = [
+        r["mime"] for r in with_mime_detected(df, "p").collect()
+    ]
+    assert got == [m for _, m in rows]
+    # pure map: no exchange in the plan
+    plan = (
+        with_mime_detected(df, "p")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
