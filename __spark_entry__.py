@@ -856,6 +856,35 @@ def q_content_extract_webpages(spark, sf_dir):
     )
 
 
+def q_float_roundtrip_alp(spark, sf_dir):
+    """Scalar-float storage through the engine: a planted two-decimal
+    price column (the ALP shape — codecs/alp.py, Afroozeh & Boncz
+    VLDB'23) encodes and must decode to the exact same values the
+    oracle recomputes closed-form. The selector picks ALP for decimal
+    chunks (pinned by tests/test_alp.py); this gate pins the VALUE
+    fidelity end-to-end whatever codec each chunk chose."""
+    from choetl_spark.engine import (
+        EncodeConfig,
+        column_manifest,
+        decode_dataframe,
+        encode_dataframe,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = docs.select(
+        "doc_id",
+        (
+            F.round((F.col("doc_id") * 37 % 1000) / 100.0, 2) + 5.0
+        ).alias("price"),
+    )
+    planned = src.withColumn(
+        "part_id", (F.col("doc_id") % 4).cast("long")
+    ).repartition(4, "part_id")
+    cfg = EncodeConfig(chunk_rows=2048, shuffle="none", deterministic=True)
+    enc = encode_dataframe(planned, cfg)
+    return decode_dataframe(enc, manifest=column_manifest(src, cfg))
+
+
 def q_mime_sniff_webpages(spark, sf_dir):
     """Magic-byte content sniffing (operators/weburl.
     with_mime_detected): each doc's payload is planted with a format
@@ -2430,6 +2459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_extract_webpages": q_content_extract_webpages,
         "crawl_frontier_webpages": q_crawl_frontier_webpages,
         "mime_sniff_webpages": q_mime_sniff_webpages,
+        "float_roundtrip_alp": q_float_roundtrip_alp,
         "html_charset_decode": q_html_charset_decode,
         "outlinks_webpages": q_outlinks_webpages,
         "pagerank_linkgraph": q_pagerank_linkgraph,
@@ -3455,6 +3485,11 @@ def oracle_sql() -> dict[str, str]:
                      + doc_id * 37000000), '%Y%m%d%H%M%S') AS ts14,
                    {_URL_SQL} AS url,
                    md5(text) AS digest
+            FROM documents
+        """,
+        "float_roundtrip_alp": """
+            SELECT doc_id,
+                   round((doc_id * 37 % 1000) / 100.0, 2) + 5.0 AS price
             FROM documents
         """,
         "mime_sniff_webpages": """

@@ -29,6 +29,7 @@ from choetl_spark.codecs.core import (
     encode_rle,
 )
 from choetl_spark.codecs.core import encode_plain_parts
+from choetl_spark.codecs.alp import decode_alp, encode_alp
 from choetl_spark.codecs.fsst import decode_fsst, encode_fsst
 from choetl_spark.codecs.veclist import (
     decode_veclist,
@@ -51,6 +52,7 @@ _ENCODERS = {
     "fsst": encode_fsst,
     "worddict": encode_worddict,
     "veclist": encode_veclist,
+    "alp": encode_alp,
 }
 
 _PART_ENCODERS = {
@@ -71,6 +73,7 @@ _DECODERS = {
     "fsst": decode_fsst,
     "worddict": decode_worddict,
     "veclist": decode_veclist,
+    "alp": decode_alp,
 }
 
 

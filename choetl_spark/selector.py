@@ -30,6 +30,7 @@ _DECODE_COST = {
     "dict": 3,
     "worddict": 3,
     "fsst": 4,
+    "alp": 2,  # unpack + one float divide + exception patch
 }
 
 
@@ -63,6 +64,40 @@ def estimate_sizes(arr: pa.Array, st: ChunkStats) -> dict[str, float]:
         if ndv < n / 4:
             idx_w = max(bit_width(ndv - 1), 1)
             est["dict"] = n * idx_w / 8 + ndv * 8 + 32
+        if n >= 64:
+            # ALP (Afroozeh & Boncz VLDB'23): decimal columns become
+            # tightly-packed ints. Probe a head sample for the best
+            # exponent + conforming fraction; estimate = packed width
+            # from the sampled int span + verbatim exceptions. The
+            # sample makes this a measured estimate, same discipline
+            # as the fsst/worddict trials.
+            from choetl_spark.codecs.alp import (
+                _exact_mask,
+                _f64,
+                alp_sample_exponent,
+            )
+
+            v64, f32 = _f64(arr)
+            e, frac = alp_sample_exponent(v64, f32)
+            item = 4 if f32 else 8
+            if frac >= 0.5:
+                import numpy as _np
+
+                head = v64[:512]
+                m = _exact_mask(head, e, f32)
+                if m.any():
+                    d = _np.round(
+                        head[m] * _np.float64(10.0**e)
+                    ).astype(_np.int64)
+                    span = int(d.max() - d.min()) if len(d) else 0
+                    w = bit_width(max(span, 1))
+                else:
+                    w = 64
+                est["alp"] = (
+                    n * frac * w / 8
+                    + n * (1 - frac) * (item + 4)
+                    + 48
+                )
     else:  # string / binary
         avg = max(st.avg_len, 1.0)
         if ndv < n / 2:
