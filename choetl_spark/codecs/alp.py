@@ -79,19 +79,22 @@ def _exact_mask(v64: np.ndarray, e: int, f32: bool) -> np.ndarray:
 def alp_sample_exponent(
     v64: np.ndarray, f32: bool, sample: int = 512
 ) -> tuple[int, float]:
-    """(best exponent, exact fraction) on a head sample — the
-    selector's cheap applicability probe."""
-    head = v64[:sample]
-    if len(head) == 0:
+    """(best exponent, exact fraction) on an evenly-STRIDED sample —
+    a head slice would miss a decimal-prefix/random-tail chunk (the
+    same hazard the delta estimator documents), so the probe spans
+    the whole chunk. Deterministic for a given chunk."""
+    if len(v64) == 0:
         return 0, 1.0
+    stride = max(1, len(v64) // sample)
+    probe = v64[::stride][:sample]
     best_e, best_n = 0, -1
     for e in range(_MAX_E + 1):
-        n_ok = int(_exact_mask(head, e, f32).sum())
+        n_ok = int(_exact_mask(probe, e, f32).sum())
         if n_ok > best_n:
             best_e, best_n = e, n_ok
-        if n_ok == len(head):
+        if n_ok == len(probe):
             break
-    return best_e, best_n / len(head)
+    return best_e, best_n / len(probe)
 
 
 def encode_alp(arr: pa.Array, exponent: int | None = None) -> tuple[bytes, dict]:
@@ -102,7 +105,11 @@ def encode_alp(arr: pa.Array, exponent: int | None = None) -> tuple[bytes, dict]
     scale = np.float64(10.0**exponent)
     with np.errstate(invalid="ignore", over="ignore"):
         d = np.round(v64 * scale)
-    ints = np.where(exact, d, 0.0).astype(np.int64)
+    # exception slots get an IN-RANGE placeholder (the first exact
+    # value), not 0 — a 0 would drag the frame-of-reference min to 0
+    # and inflate the packed width several-fold on high-offset columns
+    fill = float(d[exact][0]) if exact.any() else 0.0
+    ints = np.where(exact, d, fill).astype(np.int64)
     ref = int(ints.min()) if len(ints) else 0
     deltas = (ints - np.int64(ref)).astype(np.uint64)
     w = bit_width(int(deltas.max())) if len(deltas) else 0

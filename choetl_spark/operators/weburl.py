@@ -217,12 +217,20 @@ def with_mime_detected(
     string (cast to binary as utf-8)."""
     raw = F.col(payload_col).cast("binary")
     h = F.upper(F.hex(F.substring(raw, 1, 16)))
-    # text fallbacks: leading whitespace tolerated, then markup probe
-    text = F.trim(F.substring(raw.cast("string"), 1, 256))
+    # text fallbacks. The binary->string cast never fails (invalid
+    # byte sequences ride through verbatim), so "it casted" proves
+    # nothing: a head with a NUL or invalid UTF-8 is BINARY
+    # (octet-stream), not text. Leading whitespace (\s incl. \n\t\r)
+    # and a UTF-8 BOM are tolerated before the markup probe (real
+    # pages often start with a newline before <!DOCTYPE).
+    head = F.substring(raw.cast("string"), 1, 256)
+    looks_binary = head.contains("\x00") | ~F.expr(
+        f"is_valid_utf8(substring(cast(`{payload_col}` as string), 1, 256))"
+    )
+    text = F.regexp_replace(head, r"^[\s﻿]+", "")
     fallback = (
-        F.when(
-            text.startswith("<"), F.lit("text/html")
-        )
+        F.when(looks_binary, F.lit("application/octet-stream"))
+        .when(text.startswith("<"), F.lit("text/html"))
         .when(F.length(text) > 0, F.lit("text/plain"))
         .otherwise(F.lit("application/octet-stream"))
     )

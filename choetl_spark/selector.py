@@ -93,10 +93,10 @@ def estimate_sizes(arr: pa.Array, st: ChunkStats) -> dict[str, float]:
                     w = bit_width(max(span, 1))
                 else:
                     w = 64
+                # EVERY row pays a packed slot (exceptions included);
+                # exceptions add position + verbatim bits on top
                 est["alp"] = (
-                    n * frac * w / 8
-                    + n * (1 - frac) * (item + 4)
-                    + 48
+                    n * w / 8 + n * (1 - frac) * (item + 4) + 48
                 )
     else:  # string / binary
         avg = max(st.avg_len, 1.0)
@@ -172,7 +172,14 @@ def _sample_trial(
         plain, _ = encode_array(sample, codec="plain", zstd="auto")
     except (ValueError, TypeError):  # pragma: no cover - defensive
         return name
-    margin = _TRIAL_MARGIN.get(optimize_for, 0.88)
+    if name == "alp":
+        # alp decode is cheap (one divide + patch, cost tier 2); the
+        # trial only needs to catch a mis-estimated chunk (random tail
+        # behind a decimal head) where alp LOSES to plain outright —
+        # not to demand the symbol-table codecs' 28% win
+        margin = 0.98
+    else:
+        margin = _TRIAL_MARGIN.get(optimize_for, 0.88)
     return name if len(cand) < len(plain) * margin else "plain"
 
 
@@ -211,7 +218,7 @@ def choose_codec(
     n_syms = _PROFILE_FSST_SYMBOLS.get(optimize_for, 48)
     if name == "fsst":
         opts["max_symbols"] = n_syms
-    if name in ("fsst", "worddict") and len(arr) >= 1024:
+    if name in ("fsst", "worddict", "alp") and len(arr) >= 1024:
         # measured backstop check (see _sample_trial); head slice keeps
         # the choice deterministic for a given chunk
         key = (name, n_syms)

@@ -87,6 +87,49 @@ def main(argv: list[str] | None = None) -> int:
     return 0
 
 
+def _store_sketch_columns(spark, store: str) -> dict:
+    """Which DISPLAY columns carry bloom / NDV / quantile sketches in
+    the existing chunks — so maintenance rewrites keep building them
+    (a rewrite that silently drops sketches breaks ANALYZE and Bloom
+    pruning for the rewritten partitions). One metadata-scale pass
+    over the chunk table's (column, stats) projection."""
+    from pyspark.sql import functions as F
+
+    from choetl_spark.ledger import (
+        physical_name,
+        read_encoded,
+        read_manifest,
+    )
+
+    manifest = read_manifest(store) or {}
+    display_of = {
+        physical_name(m, c): c
+        for c, m in manifest.items()
+        if isinstance(m, dict)
+    }
+    rows = (
+        read_encoded(spark, store)
+        .select("column", "stats")
+        .groupBy("column")
+        .agg(
+            F.max(F.col("stats").contains('"bloom"')).alias("b"),
+            F.max(F.col("stats").contains('"hll"')).alias("h"),
+            F.max(F.col("stats").contains('"qdigest"')).alias("q"),
+        )
+        .collect()
+    )
+    out = {"bloom": [], "ndv": [], "quantile": []}
+    for r in rows:
+        col = display_of.get(r["column"], r["column"])
+        if r["b"]:
+            out["bloom"].append(col)
+        if r["h"]:
+            out["ndv"].append(col)
+        if r["q"]:
+            out["quantile"].append(col)
+    return {k: tuple(sorted(v)) for k, v in out.items()}
+
+
 def optimize_store(
     spark,
     store: str,
@@ -97,15 +140,19 @@ def optimize_store(
     cluster_by: str | None = None,
     profile: str = "speed",
     dry_run: bool = False,
+    cfg=None,
 ) -> dict:
     """The maintenance chain as a callable (the job's testable core).
-    Returns a per-step report; ``dry_run`` computes the candidate sets
-    from metadata and changes nothing."""
+    Returns a per-step report; ``dry_run`` reports candidates from
+    METADATA only (ledger + tombstone tables — never a data scan) and
+    changes nothing. Pass the store's ``EncodeConfig`` as ``cfg`` to
+    control rewrites exactly; otherwise the job infers the sketch
+    columns (bloom/NDV/quantiles) from the existing chunks so
+    maintenance never strips them."""
     from pyspark.sql import functions as F
 
     from choetl_spark.deletes import compact_deletes, rewrite_partitions
     from choetl_spark.engine import EncodeConfig
-    from choetl_spark.eqdeletes import all_delete_positions
     from choetl_spark.ledger import (
         compact_store,
         expire_snapshots,
@@ -115,7 +162,6 @@ def optimize_store(
         vacuum,
     )
 
-    cfg = EncodeConfig(optimize_for=profile)
     report: dict = {"store": store, "dry_run": dry_run, "steps": {}}
 
     ledger = read_ledger(spark, store)
@@ -130,11 +176,23 @@ def optimize_store(
         return mx, fl, max(mx - retain_last + 1, fl)
 
     if dry_run:
+        # METADATA only: the positional tombstone table is O(deleted
+        # rows); equality deletes are reported as commit counts
+        # (resolving them to positions decodes key columns — a data
+        # scan a dry run must never pay)
+        from choetl_spark.deletes import read_delete_positions
+
         max_epoch, floor, expire_to = _expiry_target()
-        tomb = all_delete_positions(spark, store)
+        tomb = read_delete_positions(spark, store)
         n_tomb = tomb.count() if tomb is not None else 0
+        eq_rows = ledger.filter(F.col("status") == "eqdelete").count()
         report["steps"]["rewrite_partitions"] = {
             "pending_delete_positions": n_tomb,
+            "eq_delete_commits": eq_rows,
+            "note": (
+                "positional tombstones only; eq commits resolve "
+                "lazily at rewrite time"
+            ),
             "min_deleted_fraction": min_deleted_fraction,
         }
         report["steps"]["expire_snapshots"] = {
@@ -143,6 +201,16 @@ def optimize_store(
             "max_epoch": max_epoch,
         }
         return report
+
+    if cfg is None:
+        sk = _store_sketch_columns(spark, store)
+        cfg = EncodeConfig(
+            optimize_for=profile,
+            bloom_columns=sk["bloom"],
+            ndv_columns=sk["ndv"],
+            quantile_columns=sk["quantile"],
+        )
+        report["inferred_sketch_columns"] = sk
 
     report["steps"]["rewrite_partitions"] = rewrite_partitions(
         spark, store, min_deleted_fraction=min_deleted_fraction, cfg=cfg

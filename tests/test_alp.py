@@ -99,3 +99,34 @@ def test_selector_picks_alp_for_decimals_not_for_reals():
 def test_alp_property_bit_exact(vals):
     arr = pa.array(vals, pa.float64())
     _roundtrip_bit_identical(arr)
+
+
+def test_selector_rejects_decimal_head_random_tail():
+    """The applicability probe is STRIDED: a chunk whose head is
+    decimal but whose tail is random reals must not pick alp (head-only
+    sampling would estimate frac~1.0 and blow the payload up with
+    exceptions)."""
+    rng = np.random.default_rng(3)
+    vals = [round(i / 100, 2) for i in range(512)] + list(
+        rng.standard_normal(3584)
+    )
+    name, _ = choose_codec(pa.array(vals, pa.float64()))
+    assert name != "alp"
+
+
+def test_exception_placeholder_keeps_packing_tight():
+    """One NaN in a high-offset decimal column must not drag the
+    frame-of-reference min to 0 (the placeholder is an in-range exact
+    value, not 0)."""
+    base = [round(1.7e9 + i / 100, 2) for i in range(1000)]
+    clean_payload, clean_meta = encode_alp(
+        pa.array(base, pa.float64())
+    )
+    dirty = base[:500] + [float("nan")] + base[500:]
+    dirty_payload, dirty_meta = encode_alp(
+        pa.array(dirty, pa.float64())
+    )
+    assert dirty_meta["width"] == clean_meta["width"]
+    assert len(dirty_payload) <= len(clean_payload) + 16
+    out = decode_alp(dirty_payload, dirty_meta).to_pylist()
+    assert math.isnan(out[500]) and out[0] == base[0]

@@ -103,3 +103,47 @@ def test_optimize_store_chain(spark, tmp_path):
     assert rep2["steps"]["rewrite_partitions"]["partitions_rewritten"] == 0
     pages.unpersist()
     more.unpersist()
+
+
+def test_optimize_preserves_sketches(spark, tmp_path):
+    """Maintenance rewrites must keep building the store's sketches:
+    a store with Bloom + NDV columns still answers approx_ndv (and
+    keeps chunk blooms) after deletes are materialized by optimize."""
+    from optimize_job import optimize_store
+
+    from choetl_spark.ndv import approx_ndv
+
+    out = str(tmp_path / "skstore")
+    pages = webpages(spark, 400, partitions=2).cache()
+    pages.count()
+    cfg = EncodeConfig(
+        num_partitions=2, chunk_rows=256,
+        bloom_columns=("url",), ndv_columns=("lang",),
+    )
+    encode_with_resume(spark, pages, out, cfg, run_id="i1")
+    victim = pages.select("lang").first()["lang"]
+    delete_where(spark, out, equals={"lang": victim})
+    rep = optimize_store(
+        spark, out, min_deleted_fraction=0.0, retain_last=1
+    )
+    assert rep["inferred_sketch_columns"]["bloom"] == ("url",)
+    assert rep["inferred_sketch_columns"]["ndv"] == ("lang",)
+    assert rep["steps"]["rewrite_partitions"]["partitions_rewritten"] > 0
+    n_langs = pages.filter(F.col("lang") != victim).select(
+        "lang"
+    ).distinct().count()
+    got = approx_ndv(spark, out, ["lang"])["lang"]
+    assert abs(got - n_langs) <= 1
+    # every rewritten chunk still carries a bloom on the url column
+    from choetl_spark.ledger import read_encoded
+
+    n_no_bloom = (
+        read_encoded(spark, out)
+        .filter(
+            (F.col("column") == "url")
+            & ~F.col("stats").contains('"bloom"')
+        )
+        .count()
+    )
+    assert n_no_bloom == 0
+    pages.unpersist()
