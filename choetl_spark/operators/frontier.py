@@ -86,6 +86,7 @@ def crawl_frontier(
     interval_sec: float = 1.0,
     url_col: str = "url",
     crawlable_col: str | None = None,
+    interval_col: str | None = None,
 ) -> DataFrame:
     """Prioritized, host-polite fetch plan.
 
@@ -98,7 +99,10 @@ def crawl_frontier(
     host's top ``k_per_host`` rows. ``crawlable_col`` names a boolean
     (from :func:`~choetl_spark.operators.robots.robots_allowed`) —
     disallowed rows are dropped BEFORE ranking so they don't occupy
-    fetch slots.
+    fetch slots. ``interval_col`` names a per-row seconds column (the
+    host's robots ``crawl_delay`` joined on by the caller, from
+    :func:`~choetl_spark.operators.robots.parse_robots_directives`);
+    null falls back to ``interval_sec``.
 
     Plan shape: one hash exchange on host + WindowGroupLimit (partial
     top-k before the shuffle). No collect, no second shuffle."""
@@ -111,14 +115,20 @@ def crawl_frontier(
         else [F.col(url_col).asc()]
     )
     w = Window.partitionBy("host").orderBy(*order)
+    per = (
+        F.coalesce(
+            F.col(interval_col).cast("double"),
+            F.lit(float(interval_sec)),
+        )
+        if interval_col is not None
+        else F.lit(float(interval_sec))
+    )
     out = (
         out.withColumn("fetch_rank", F.row_number().over(w))
         .filter(F.col("fetch_rank") <= k_per_host)
         .withColumn(
             "fetch_offset_sec",
-            (F.col("fetch_rank") - 1).cast("double") * F.lit(
-                float(interval_sec)
-            ),
+            (F.col("fetch_rank") - 1).cast("double") * per,
         )
     )
     return out

@@ -46,7 +46,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from choetl_spark.operators.weburl import _parts
 
-__all__ = ["parse_robots", "robots_allowed"]
+__all__ = ["parse_robots", "robots_allowed", "parse_robots_directives"]
 
 
 def _rule_regex(pattern: Column) -> Column:
@@ -128,6 +128,55 @@ def parse_robots(
             F.col("v").alias("pattern"),
         )
         .distinct()
+    )
+
+
+def parse_robots_directives(
+    robots: DataFrame,
+    host_col: str = "host",
+    body_col: str = "body",
+) -> DataFrame:
+    """The non-rule directives real robots.txt files carry: one row
+    per host with ``crawl_delay`` (seconds, double — the de-facto
+    politeness knob honored by most crawlers though absent from RFC
+    9309; smallest value wins when stanzas disagree, the conservative
+    read) and ``sitemaps`` (array of Sitemap: URLs in file order —
+    stanza-independent per the sitemaps.org protocol). Feed
+    ``crawl_delay`` to :func:`~choetl_spark.operators.frontier.
+    crawl_frontier`'s ``interval_col`` for per-host spacing and the
+    sitemap list to the discovery fetcher. Metadata-scale, one
+    groupBy on host."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), r"\r?\n")).alias(
+            "pos", "raw"
+        ),
+    )
+    line = F.trim(F.regexp_replace(F.col("raw"), r"#.*", ""))
+    key = F.lower(F.trim(F.regexp_extract(line, r"^([^:]+):", 1)))
+    # sitemap values contain ':' (the URL scheme) — split on the FIRST
+    val = F.trim(F.regexp_extract(line, r"^[^:]+:(.*)$", 1))
+    parsed = lines.select("host", "pos", key.alias("k"), val.alias("v"))
+    delay = F.when(
+        (F.col("k") == "crawl-delay")
+        & F.col("v").rlike(r"^\d+(\.\d+)?$"),
+        F.col("v").cast("double"),
+    )
+    sitemap = F.when(
+        (F.col("k") == "sitemap") & (F.col("v") != ""), F.col("v")
+    )
+    return parsed.groupBy("host").agg(
+        F.min(delay).alias("crawl_delay"),
+        F.array_sort(
+            F.collect_list(F.struct("pos", sitemap.alias("u")))
+        ).alias("_s"),
+    ).select(
+        "host",
+        "crawl_delay",
+        F.filter(
+            F.transform(F.col("_s"), lambda s: s["u"]),
+            lambda u: u.isNotNull(),
+        ).alias("sitemaps"),
     )
 
 

@@ -80,3 +80,61 @@ def test_crawl_frontier_plan_has_partial_topk(spark):
     )
     assert "WindowGroupLimit" in plan  # map-side partial top-k
     assert plan.count("Exchange") <= 2  # the one hash exchange (+AQE)
+
+
+def test_robots_directives_feed_frontier_intervals(spark):
+    from choetl_spark.operators.robots import parse_robots_directives
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "h1.example.com",
+                "User-agent: *\nCrawl-delay: 10\nDisallow: /x\n"
+                "Sitemap: https://h1.example.com/sm1.xml\n"
+                "User-agent: bot\nCrawl-delay: 2.5\n"
+                "Sitemap: https://h1.example.com/sm2.xml\n",
+            ),
+            ("h2.example.com", "User-agent: *\nDisallow:\n"),
+            ("h3.example.com", "Crawl-delay: oops\n"),
+        ],
+        "host string, body string",
+    )
+    d = {
+        r["host"]: (r["crawl_delay"], r["sitemaps"])
+        for r in parse_robots_directives(robots).collect()
+    }
+    # smallest delay wins; sitemaps keep file order; junk values null
+    assert d["h1.example.com"] == (
+        2.5,
+        ["https://h1.example.com/sm1.xml", "https://h1.example.com/sm2.xml"],
+    )
+    assert d["h2.example.com"] == (None, [])
+    assert d["h3.example.com"] == (None, [])
+
+    urls = spark.createDataFrame(
+        [
+            ("https://h1.example.com/a", 2.0),
+            ("https://h1.example.com/b", 1.0),
+            ("https://h2.example.com/c", 9.0),
+        ],
+        "url string, score double",
+    )
+    from choetl_spark.operators.weburl import _parts
+    from pyspark.sql import functions as F
+
+    joined = urls.withColumn("h", _parts(F.col("url"))["host"]).join(
+        parse_robots_directives(robots).withColumnRenamed("host", "h"),
+        "h",
+        "left",
+    )
+    out = {
+        r["url"]: r["fetch_offset_sec"]
+        for r in crawl_frontier(
+            joined, 5, score_col="score", interval_sec=1.0,
+            interval_col="crawl_delay",
+        ).collect()
+    }
+    # h1 spaces by its crawl-delay (2.5s); h2 falls back to 1.0s
+    assert out["https://h1.example.com/a"] == 0.0
+    assert out["https://h1.example.com/b"] == 2.5
+    assert out["https://h2.example.com/c"] == 0.0
