@@ -190,6 +190,28 @@ def _ledger_signature(out_dir: str) -> tuple | None:
     return tuple(sig)
 
 
+def _chunks_signature(out_dir: str) -> tuple | None:
+    """Same listing recipe as :func:`_ledger_signature` but over the
+    chunk-file directory. The committed-chunk plan cache keys on BOTH:
+    the ledger signature names the visible snapshot, and the chunks
+    signature catches physical file churn the ledger does not append
+    for (``vacuum`` reclaiming an aborted stage's orphans) — a cached
+    parquet frame pins its file listing, so re-executing one after a
+    listed file was deleted would fail mid-scan."""
+    try:
+        names = os.listdir(_chunks_dir(out_dir))
+    except OSError:
+        return None
+    sig = []
+    for n in sorted(names):
+        try:
+            st = os.stat(os.path.join(_chunks_dir(out_dir), n))
+        except OSError:
+            continue
+        sig.append((n, st.st_size, st.st_mtime_ns))
+    return tuple(sig)
+
+
 # {(app_id, abs out_dir): (signature, ledger DataFrame)} — a Spark
 # parquet DataFrame pins the file listing taken at read() time, so a
 # cached frame is exactly "the snapshot the signature names"; any new
@@ -197,6 +219,13 @@ def _ledger_signature(out_dir: str) -> tuple | None:
 _LEDGER_DF_CACHE: dict[tuple, tuple] = {}
 # {(app_id, abs out_dir): (signature, meta dict)} — see commit_meta()
 _COMMIT_META_CACHE: dict[tuple, tuple] = {}
+# {(app_id, abs out_dir, as_of, flags): ((ledger_sig, chunks_sig), df)}
+# — the committed-chunk PLAN per visible snapshot. Building it costs
+# ~0.3-0.5 s of driver Py4J round trips (a footer-merging parquet read
+# + ledger semi-join + display remap) with zero Spark jobs; interactive
+# scans (point lookups) pay that per query without this. One entry per
+# (snapshot, read-flags) variant — bounded by the store's epoch count.
+_ENCODED_DF_CACHE: dict[tuple, tuple] = {}
 
 
 def _cache_key(spark: SparkSession, out_dir: str) -> tuple:
@@ -407,6 +436,26 @@ def read_encoded(
             f"readable epoch is {min_time_travel_seq(out_dir)} "
             "(expire_snapshots reclaimed earlier history)"
         )
+    lsig = _ledger_signature(out_dir)
+    csig = _chunks_signature(out_dir)
+    # the manifest drives _display_remap, and rename_column/drop_column
+    # rewrite ONLY that sidecar — no ledger/chunk file changes — so it
+    # must be part of the snapshot signature or a cached plan would keep
+    # serving pre-rename display names
+    try:
+        mst = os.stat(_manifest_path(out_dir))
+        msig = (mst.st_size, mst.st_mtime_ns)
+    except OSError:
+        msig = None
+    cache_key = None
+    if lsig is not None and csig is not None:
+        cache_key = (
+            *_cache_key(spark, out_dir),
+            as_of, include_retired, include_staged, raw_columns,
+        )
+        hit = _ENCODED_DF_CACHE.get(cache_key)
+        if hit is not None and hit[0] == (lsig, csig, msig):
+            return hit[1]
     chunks = _read_chunks(spark, out_dir)
     ledger = read_ledger(spark, out_dir)
     if ledger is None:
@@ -426,7 +475,11 @@ def read_encoded(
             "left_anti",
         )
     out = _commit_join(chunks, done, "semi")
-    return out if raw_columns else _display_remap(out, read_manifest(out_dir))
+    if not raw_columns:
+        out = _display_remap(out, read_manifest(out_dir))
+    if cache_key is not None:
+        _ENCODED_DF_CACHE[cache_key] = ((lsig, csig, msig), out)
+    return out
 
 
 def snapshots(spark: SparkSession, out_dir: str) -> DataFrame:

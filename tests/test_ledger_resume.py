@@ -463,3 +463,39 @@ def test_time_travel_snapshot_reads(spark, tmp_path):
         v1.exceptAll(run1.select("url", "text")).count() == 0
         and run1.select("url", "text").exceptAll(v1).count() == 0
     )
+
+
+def test_read_encoded_plan_cache_reuse_and_invalidation(spark, tmp_path):
+    """Repeated reads of the SAME store snapshot reuse one driver-side
+    plan (interactive point lookups must not pay the ~0.5 s Py4J plan
+    build per query), while any visible change — a new ingest commit or
+    a manifest-only rename — falls through to a fresh plan."""
+    from choetl_spark.ledger import scan_encoded
+    from choetl_spark.schema_evolution import rename_column
+    from choetl_spark.synth import webpages
+
+    out = str(tmp_path / "enc")
+    cfg = _cfg()
+    pages = webpages(spark, 200, partitions=2)
+    encode_with_resume(spark, pages, out, cfg, run_id="i1")
+
+    a = read_encoded(spark, out)
+    b = read_encoded(spark, out)
+    assert a is b  # same snapshot → cached plan object
+
+    # a new commit changes the ledger signature → fresh plan, new rows
+    # (explicit part_ids beyond epoch 1's range: resume treats equal
+    # part_ids as already-done work, an append must bring fresh ones)
+    more = webpages(spark, 60, partitions=1).withColumn(
+        "part_id", F.lit(100) + (F.xxhash64("url") % 2 + 2) % 2
+    )
+    encode_with_resume(spark, more, out, cfg, run_id="i2")
+    c = read_encoded(spark, out)
+    assert c is not a
+    assert scan_encoded(spark, out, ["url"]).count() == 260
+
+    # manifest-only rename (no ledger/chunk file change) must also miss
+    rename_column(out, "url", "page_url")
+    d = read_encoded(spark, out)
+    assert d is not c
+    assert scan_encoded(spark, out, ["page_url"]).count() == 260
