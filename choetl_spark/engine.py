@@ -1330,16 +1330,17 @@ def bloom_probe_frame(
     # paying a second scan + union of the chunk table; rows of other
     # columns probe their own (irrelevant) blooms and are kept by the
     # caller's disjunct
-    target = target.withColumn(
-        "_b",
-        F.from_json(
-            "stats", "bloom struct<m:bigint,k:int,bits:string>"
-        )["bloom"],
+    target = target.withColumns(
+        {
+            "_b": F.from_json(
+                "stats", "bloom struct<m:bigint,k:int,bits:string>"
+            )["bloom"],
+        }
     ).withColumn("_bin", F.unbase64(F.col("_b.bits")))
-    any_hit = None
+    or_clauses = []
     for v in values:
         h1, h2 = _hash_value(v)
-        all_hit = None
+        and_clauses = []
         for i in range(8):
             # probe hash precomputed DRIVER-side (it's a pure function
             # of the literal value — and bigint `+`/`*` would overflow
@@ -1356,17 +1357,19 @@ def bloom_probe_frame(
             # the first min(k, 8) probes run; a subset of an all-set
             # probe set is still all-set, so this can only over-keep,
             # never over-skip.
-            hit = F.expr(
-                f"{i} >= _b.k OR ("
+            and_clauses.append(
+                f"({i} >= _b.k OR ("
                 f"  shiftright(cast(conv(hex(substring(_bin,"
                 f"    cast(shiftright({hi} & (_b.m - 1), 3) as int) + 1,"
                 f"    1)), 16, 10) as int),"
                 f"    cast(({hi} & (_b.m - 1)) & 7 as int)"
                 f"  ) & 1 = 1"
-                f")"
+                f"))"
             )
-            all_hit = hit if all_hit is None else (all_hit & hit)
-        any_hit = all_hit if any_hit is None else (any_hit | all_hit)
+        or_clauses.append("(" + " AND ".join(and_clauses) + ")")
+    # ONE parse round trip for the whole probe set — per-clause F.expr
+    # calls dominate interactive plan-build latency (a JVM parse each)
+    any_hit = F.expr(" OR ".join(or_clauses))
     pred = F.col("_b").isNull() | F.col("_b.bits").isNull() | any_hit
     return target.withColumn("_bloom_hit", pred).drop("_b", "_bin")
 
