@@ -607,6 +607,28 @@ def vacuum(
             continue  # already gone / concurrent maintenance
         removed += 1
         reclaimed += size
+    # dot-prefixed staging leftovers from crashed native-write tasks
+    # (choetl_spark.direct's writer kernel renames these into place on
+    # success): invisible to every parquet reader, so the Spark orphan
+    # pass above never lists them — sweep them driver-side under the
+    # same grace window
+    try:
+        names = os.listdir(_chunks_dir(out_dir))
+    except OSError:
+        names = []
+    for n in names:
+        if not n.startswith(".tmp-"):
+            continue
+        path = os.path.join(_chunks_dir(out_dir), n)
+        try:
+            if os.path.getmtime(path) > cutoff:
+                continue
+            size = os.path.getsize(path)
+            os.remove(path)
+        except OSError:
+            continue
+        removed += 1
+        reclaimed += size
     return {"files_removed": removed, "bytes_reclaimed": reclaimed}
 
 
@@ -1682,6 +1704,7 @@ def encode_with_resume(
     staged: bool = False,
     encoder=None,
     schema_df: DataFrame | None = None,
+    encoder_writes_chunks: bool = False,
 ) -> dict:
     """Encode ``df`` to ``out_dir``, skipping partitions already done.
 
@@ -1867,12 +1890,25 @@ def encode_with_resume(
                 for c, v in cfg.codec_overrides.items()
             },
         )
-    enc = (encoder or encode_dataframe)(pending, cfg_enc).withColumn(
-        "attempt_id", F.lit(attempt_id)
-    )
-    enc.write.mode("append").option("compression", "none").parquet(
-        _chunks_dir(out_dir)
-    )
+    if encoder_writes_chunks:
+        # the encoder's tasks persist their own chunk files (pyarrow,
+        # attempt-keyed names — see choetl_spark.direct's writer
+        # kernel) and yield only summary rows; count() executes the
+        # plan. Commit mechanics below are unchanged: ledger rows are
+        # derived by re-reading the chunk files this attempt wrote, so
+        # who wrote them is irrelevant to the crash contract.
+        if encoder is None:
+            raise ValueError(
+                "encoder_writes_chunks=True requires an encoder"
+            )
+        encoder(pending, cfg_enc, attempt_id).count()
+    else:
+        enc = (encoder or encode_dataframe)(pending, cfg_enc).withColumn(
+            "attempt_id", F.lit(attempt_id)
+        )
+        enc.write.mode("append").option("compression", "none").parquet(
+            _chunks_dir(out_dir)
+        )
     # ledger rows for partitions completed by THIS attempt, derived from
     # the chunks actually written (re-read is cheap: metadata + small
     # columns). Filtering on attempt_id — not an anti-join against the

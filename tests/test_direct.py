@@ -182,3 +182,52 @@ def test_direct_vector_columns_native(spark, tmp_path):
     src = spark.read.parquet(path)
     assert decoded.exceptAll(src).count() == 0
     assert src.exceptAll(decoded).count() == 0
+
+
+def test_direct_native_write_matches_legacy_mode(spark, pages_parquet, tmp_path):
+    """native_write=True (task-side pyarrow chunk files) and the legacy
+    Spark-written path commit byte-identical table CONTENT under the
+    same ledger contract."""
+    from choetl_spark.ledger import scan_encoded
+
+    cfg = EncodeConfig(chunk_rows=512, chunk_bytes=2 << 20)
+    out_native = str(tmp_path / "native")
+    out_legacy = str(tmp_path / "legacy")
+    encode_direct_with_resume(
+        spark, pages_parquet, out_native, cfg, target_split_bytes=4 << 20
+    )
+    encode_direct_with_resume(
+        spark, pages_parquet, out_legacy, cfg,
+        target_split_bytes=4 << 20, native_write=False,
+    )
+    cols = spark.read.parquet(pages_parquet).columns
+    a = scan_encoded(spark, out_native, columns=cols)
+    b = scan_encoded(spark, out_legacy, columns=cols)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_direct_native_write_tmp_files_invisible_and_vacuumed(
+    spark, pages_parquet, tmp_path
+):
+    """A crashed native-write task's dot-prefixed staging file is (a)
+    invisible to readers and (b) reclaimed by vacuum's driver-side
+    sweep."""
+    import os
+
+    from choetl_spark.ledger import scan_encoded, vacuum
+
+    out = str(tmp_path / "store")
+    cfg = EncodeConfig(chunk_rows=512, chunk_bytes=2 << 20)
+    encode_direct_with_resume(
+        spark, pages_parquet, out, cfg, target_split_bytes=4 << 20
+    )
+    n = scan_encoded(spark, out, columns=["url"]).count()
+    # plant a torn staging file (crash mid-write)
+    stray = os.path.join(out, "chunks", ".tmp-direct-deadbeef-00000042.parquet")
+    with open(stray, "wb") as fh:
+        fh.write(b"PAR1 torn bytes, not a valid footer")
+    assert scan_encoded(spark, out, columns=["url"]).count() == n
+    rep = vacuum(spark, out, grace_sec=0.0)
+    assert not os.path.exists(stray)
+    assert rep["files_removed"] >= 1
