@@ -276,9 +276,19 @@ def _make_direct_writer_kernel(
                 buf: list[pa.RecordBatch] = []
                 buf_bytes = 0
                 writer = None
+                # tmp name includes the TASK attempt: speculative or
+                # retried attempts of the same split must never append
+                # to one staging file concurrently (the final rename
+                # target is shared — last completed attempt wins with
+                # identical bytes, the kernel is deterministic)
+                from pyspark import TaskContext
+
+                tc = TaskContext.get()
+                task_att = tc.taskAttemptId() if tc is not None else 0
                 tmp = os.path.join(
                     chunks_dir,
-                    f".tmp-direct-{attempt_id}-{part_id:08d}.parquet",
+                    f".tmp-direct-{attempt_id}-{part_id:08d}"
+                    f"-{task_att}.parquet",
                 )
                 final = os.path.join(
                     chunks_dir,

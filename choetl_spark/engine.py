@@ -449,15 +449,13 @@ def _make_encode_kernel(cfg: EncodeConfig, logical: dict[str, str] | None = None
     return kernel
 
 
-def encode_dataframe(df: DataFrame, cfg: EncodeConfig | None = None) -> DataFrame:
-    """Encode ``df`` into the encoded-chunk DataFrame (lazy plan)."""
-    cfg = cfg or EncodeConfig()
+def _encode_upstream(
+    df: DataFrame, cfg: EncodeConfig, logical: dict[str, str]
+) -> DataFrame:
+    """The shared pre-kernel plan of :func:`encode_dataframe`:
+    nested-column JSON fallback, part_id planning, projection, and the
+    configured shuffle — everything up to the ``mapInArrow``."""
     cols = cfg.columns or [c for c in df.columns if c != "part_id"]
-    # nested columns (array/map/struct/decimal) ride as JSON strings —
-    # the reference's own complex-value fallback; decode restores them
-    logical = {
-        k: v for k, v in _nested_columns(df).items() if k in cols
-    }
     if logical:
         df = df.withColumns(
             {
@@ -505,8 +503,115 @@ def encode_dataframe(df: DataFrame, cfg: EncodeConfig | None = None) -> DataFram
         shuffled = picked.repartition(
             cfg.num_partitions, "part_id"
         ).sortWithinPartitions(*sort_cols)
-    return shuffled.mapInArrow(
+    return shuffled
+
+
+def encode_dataframe(df: DataFrame, cfg: EncodeConfig | None = None) -> DataFrame:
+    """Encode ``df`` into the encoded-chunk DataFrame (lazy plan)."""
+    cfg = cfg or EncodeConfig()
+    cols = cfg.columns or [c for c in df.columns if c != "part_id"]
+    # nested columns (array/map/struct/decimal) ride as JSON strings —
+    # the reference's own complex-value fallback; decode restores them
+    logical = {
+        k: v for k, v in _nested_columns(df).items() if k in cols
+    }
+    return _encode_upstream(df, cfg, logical).mapInArrow(
         _make_encode_kernel(cfg, logical), ENCODED_SCHEMA_DDL
+    )
+
+
+_WRITE_SUMMARY_DDL = "n_chunks long, raw_bytes long, encoded_bytes long"
+
+
+def _make_writing_wrapper(inner_kernel, chunks_dir: str, attempt_id: str):
+    """Wrap an encode kernel so each TASK persists its own chunk file
+    (pyarrow parquet, compression none — payloads are already
+    compressed) and yields one summary row instead of shipping encoded
+    chunk rows back over the Python->JVM Arrow boundary for Spark's
+    writer. Same crash contract as the scan-direct writer kernel:
+    task-attempt-unique dot-prefixed staging name, atomic rename on
+    task completion, vacuum sweeps crashed attempts' staging files,
+    and the ledger semi-join keeps completed-but-uncommitted files
+    invisible. One file per task (Spark's own writer layout); a task
+    holding several logical partitions writes them into that one file,
+    which is fine — commit is all-or-nothing per run."""
+    out_schema = _ENCODED_PA_SCHEMA.append(
+        pa.field("attempt_id", pa.string())
+    )
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import os
+
+        import pyarrow.parquet as pq
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else 0
+        task_att = tc.taskAttemptId() if tc is not None else 0
+        tmp = os.path.join(
+            chunks_dir,
+            f".tmp-std-{attempt_id}-{pid:08d}-{task_att}.parquet",
+        )
+        final = os.path.join(
+            chunks_dir, f"std-{attempt_id}-{pid:08d}.parquet"
+        )
+        writer = None
+        n_chunks = raw_b = enc_b = 0
+        for eb in inner_kernel(batches):
+            if eb.num_rows == 0:
+                continue
+            att = pa.array([attempt_id] * eb.num_rows, pa.string())
+            rb = pa.RecordBatch.from_arrays(
+                [*eb.columns, att], schema=out_schema
+            )
+            if writer is None:
+                writer = pq.ParquetWriter(
+                    tmp, out_schema, compression="none"
+                )
+            writer.write_batch(rb)
+            n_chunks += eb.num_rows
+            raw_b += sum(v.as_py() for v in eb.column("raw_bytes"))
+            enc_b += sum(v.as_py() for v in eb.column("encoded_bytes"))
+        if writer is not None:
+            writer.close()
+            os.replace(tmp, final)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array([n_chunks], pa.int64()),
+                pa.array([raw_b], pa.int64()),
+                pa.array([enc_b], pa.int64()),
+            ],
+            names=["n_chunks", "raw_bytes", "encoded_bytes"],
+        )
+
+    return kernel
+
+
+def encode_dataframe_writing(
+    df: DataFrame,
+    cfg: EncodeConfig,
+    chunks_dir: str,
+    attempt_id: str,
+) -> DataFrame:
+    """:func:`encode_dataframe` with the task-side chunk writer wrapped
+    around the kernel: identical partitioning/shuffle/nested-column
+    handling, but encoded bytes never cross to the JVM — tasks write
+    their chunk files themselves and the returned (lazy) frame carries
+    one summary row per task. Used by ``encode_with_resume(
+    native_write=True)``; any action executes the write."""
+    import os
+
+    os.makedirs(chunks_dir, exist_ok=True)
+    cols = cfg.columns or [c for c in df.columns if c != "part_id"]
+    logical = {
+        k: v for k, v in _nested_columns(df).items() if k in cols
+    }
+    return _encode_upstream(df, cfg, logical).mapInArrow(
+        _make_writing_wrapper(
+            _make_encode_kernel(cfg, logical), chunks_dir, attempt_id
+        ),
+        _WRITE_SUMMARY_DDL,
     )
 
 

@@ -1705,6 +1705,7 @@ def encode_with_resume(
     encoder=None,
     schema_df: DataFrame | None = None,
     encoder_writes_chunks: bool = False,
+    native_write: bool = False,
 ) -> dict:
     """Encode ``df`` to ``out_dir``, skipping partitions already done.
 
@@ -1902,6 +1903,21 @@ def encode_with_resume(
                 "encoder_writes_chunks=True requires an encoder"
             )
         encoder(pending, cfg_enc, attempt_id).count()
+    elif native_write:
+        # standard-path analog of the scan-direct writer kernel: same
+        # encode plan, but each task writes its own chunk file and only
+        # summary rows cross back — encoded bytes never ride the
+        # Python->JVM Arrow stream. Commit mechanics below unchanged.
+        if encoder is not None:
+            raise ValueError(
+                "native_write composes with the built-in encoder only; "
+                "a custom encoder should use encoder_writes_chunks"
+            )
+        from choetl_spark.engine import encode_dataframe_writing
+
+        encode_dataframe_writing(
+            pending, cfg_enc, _chunks_dir(out_dir), attempt_id
+        ).count()
     else:
         enc = (encoder or encode_dataframe)(pending, cfg_enc).withColumn(
             "attempt_id", F.lit(attempt_id)

@@ -499,3 +499,35 @@ def test_read_encoded_plan_cache_reuse_and_invalidation(spark, tmp_path):
     d = read_encoded(spark, out)
     assert d is not c
     assert scan_encoded(spark, out, ["page_url"]).count() == 260
+
+
+def test_encode_with_resume_native_write_matches_spark_written(
+    spark, pages, tmp_path
+):
+    """native_write=True (task-side chunk files, standard encode path)
+    commits identical table content to the Spark-written default, under
+    both shuffle modes (salted puts several logical partitions in one
+    task file), and resume still recognizes the work as done."""
+    from choetl_spark.ledger import scan_encoded
+
+    cols = ["url", "warc_ts", "html", "text", "lang"]
+    for shuffle in ("none", "salted"):
+        cfg = EncodeConfig(
+            num_partitions=6, chunk_rows=256, chunk_bytes=1 << 20,
+            shuffle=shuffle,
+        )
+        a_dir = str(tmp_path / f"native_{shuffle}")
+        b_dir = str(tmp_path / f"jvm_{shuffle}")
+        r1 = encode_with_resume(
+            spark, pages, a_dir, cfg, run_id="n1", native_write=True
+        )
+        assert r1["partitions_encoded_this_run"] > 0
+        encode_with_resume(spark, pages, b_dir, cfg, run_id="j1")
+        a = scan_encoded(spark, a_dir, columns=cols)
+        b = scan_encoded(spark, b_dir, columns=cols)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+        r2 = encode_with_resume(
+            spark, pages, a_dir, cfg, run_id="n2", native_write=True
+        )
+        assert r2["partitions_encoded_this_run"] == 0
