@@ -393,7 +393,7 @@ def write_parquet_direct(
     chunks_dir: str,
     cfg: EncodeConfig | None = None,
     splits: list[ParquetSplit] | None = None,
-    attempt_id: str = "direct",
+    attempt_id: str | None = None,
     target_split_bytes: int = 128 << 20,
 ) -> DataFrame:
     """Lazy storage-to-storage encode: each task reads its split with
@@ -403,8 +403,17 @@ def write_parquet_direct(
     per-split summary frame; any action executes the write. For the
     ledgered/resumable form use :func:`encode_direct_with_resume`
     (``native_write=True``), which rides this kernel under the commit
-    protocol."""
+    protocol.
+
+    ``attempt_id`` defaults to a fresh uuid per call (it namespaces the
+    chunk file names), so two invocations into the same ``chunks_dir``
+    can never silently overwrite each other's files; pass an explicit
+    id only when a caller-level retry should reclaim the same names."""
     cfg = cfg or EncodeConfig()
+    if attempt_id is None:
+        import uuid
+
+        attempt_id = uuid.uuid4().hex
     manifest = direct_manifest(spark, src, cfg)
     columns = list(manifest)
     dtypes = {c: m["dtype"] for c, m in manifest.items()}

@@ -534,7 +534,20 @@ def _make_writing_wrapper(inner_kernel, chunks_dir: str, attempt_id: str):
     and the ledger semi-join keeps completed-but-uncommitted files
     invisible. One file per task (Spark's own writer layout); a task
     holding several logical partitions writes them into that one file,
-    which is fine — commit is all-or-nothing per run."""
+    which is fine — commit is all-or-nothing per run.
+
+    Retry/speculation contract: the final name is keyed on (engine
+    attempt_id, partitionId) — NOT taskAttemptId — so a retried or
+    speculative attempt re-renames over the same file. That overwrite
+    is safe only when retries produce byte-identical files:
+    ``encode_with_resume(native_write=True)`` therefore forces the
+    deterministic within-partition sort under the salted shuffle
+    (shuffle reads are otherwise fetch-order nondeterministic), which
+    pins bytes when ``key_col`` is unique per row (the web-page
+    table's url contract); scan-local mode (shuffle="none") is stable
+    because retries re-read the same split in scan order. Spark's own
+    writer solves the same race with output-commit coordination, which
+    Python task kernels cannot reach."""
     out_schema = _ENCODED_PA_SCHEMA.append(
         pa.field("attempt_id", pa.string())
     )

@@ -418,6 +418,15 @@ def read_encoded(
     reclaim a stage awaiting its audit; normal readers never see them.
     ``ref`` reads the snapshot a named tag/branch points at.
 
+    Plan caching: repeat calls for the SAME unchanged snapshot return
+    the SAME DataFrame object (the plan build is driver-side file-stat
+    + join construction; caching it keeps interactive/point-lookup
+    paths at zero Spark jobs). Callers must treat the returned frame
+    as shared and immutable: do not ``persist()``/``unpersist()``/
+    ``checkpoint()`` it — those mutate state on the object and would
+    leak across unrelated callers. Derive and cache your own
+    ``df.alias(...)`` if you need stateful handling.
+
     Chunk ``column`` values are translated from physical storage keys to
     the manifest's current DISPLAY names (schema-evolution renames,
     :mod:`choetl_spark.schema_evolution`) — ``raw_columns=True`` skips
@@ -478,7 +487,15 @@ def read_encoded(
     if not raw_columns:
         out = _display_remap(out, read_manifest(out_dir))
     if cache_key is not None:
-        _ENCODED_DF_CACHE[cache_key] = ((lsig, csig, msig), out)
+        # the signatures were stat'ed BEFORE the plan build; a writer
+        # committing in between would cache a plan newer than its key.
+        # Benign (the next call sees changed signatures and rebuilds),
+        # but skip caching when a mismatch is already observable so the
+        # cache never serves a plan under a stale key.
+        if (_ledger_signature(out_dir), _chunks_signature(out_dir)) == (
+            lsig, csig,
+        ):
+            _ENCODED_DF_CACHE[cache_key] = ((lsig, csig, msig), out)
     return out
 
 
@@ -588,30 +605,16 @@ def vacuum(
     """
     import time
 
-    try:
-        orphans = _orphan_chunk_files(spark, out_dir)
-    except Exception:
-        return {"files_removed": 0, "bytes_reclaimed": 0}
-    if orphans is None:
-        return {"files_removed": 0, "bytes_reclaimed": 0}
     removed = 0
     reclaimed = 0
     cutoff = time.time() - grace_sec
-    for path in orphans:
-        try:
-            if os.path.getmtime(path) > cutoff:
-                continue
-            size = os.path.getsize(path)
-            os.remove(path)
-        except OSError:
-            continue  # already gone / concurrent maintenance
-        removed += 1
-        reclaimed += size
     # dot-prefixed staging leftovers from crashed native-write tasks
     # (choetl_spark.direct's writer kernel renames these into place on
     # success): invisible to every parquet reader, so the Spark orphan
-    # pass above never lists them — sweep them driver-side under the
-    # same grace window
+    # pass never lists them. Swept FIRST and unconditionally — it is a
+    # pure driver-side listdir needing no ledger, so crashed staging
+    # files in a never-committed store (no ledger yet) or behind a
+    # failing orphan listing still get reclaimed.
     try:
         names = os.listdir(_chunks_dir(out_dir))
     except OSError:
@@ -627,6 +630,20 @@ def vacuum(
             os.remove(path)
         except OSError:
             continue
+        removed += 1
+        reclaimed += size
+    try:
+        orphans = _orphan_chunk_files(spark, out_dir)
+    except Exception:
+        orphans = None  # unreadable store: keep the staging sweep's work
+    for path in orphans or []:
+        try:
+            if os.path.getmtime(path) > cutoff:
+                continue
+            size = os.path.getsize(path)
+            os.remove(path)
+        except OSError:
+            continue  # already gone / concurrent maintenance
         removed += 1
         reclaimed += size
     return {"files_removed": removed, "bytes_reclaimed": reclaimed}
@@ -1915,8 +1932,38 @@ def encode_with_resume(
             )
         from choetl_spark.engine import encode_dataframe_writing
 
+        cfg_nw = cfg_enc
+        if cfg_enc.shuffle != "none" and not cfg_enc.deterministic:
+            # task-side writes need retry-stable bytes: a speculative
+            # or zombie attempt re-renames the shared final file AFTER
+            # this attempt's ledger rows may already be derived, so the
+            # overwrite must be byte-identical. Under the salted
+            # shuffle, reduce tasks fetch map outputs in arbitrary
+            # order — only the deterministic within-partition sort by
+            # key_col pins row order (and therefore chunk payloads,
+            # boundaries, stats, and the ledger fingerprint) across
+            # attempts. Scan-local mode (shuffle="none") is already
+            # stable: tasks re-read the same split in scan order.
+            import dataclasses as _dc
+
+            cfg_nw = _dc.replace(cfg_enc, deterministic=True)
+        if cfg_nw.key_col not in pending.columns and (
+            cfg_nw.shuffle != "none"
+        ):
+            speculation = (
+                spark.conf.get("spark.speculation", "false") == "true"
+            )
+            if speculation:
+                raise ValueError(
+                    "native_write with shuffle!='none' needs key_col "
+                    f"({cfg_nw.key_col!r}) in the frame to make task "
+                    "retries byte-identical; with spark.speculation "
+                    "enabled a late attempt could overwrite a committed "
+                    "chunk file with different bytes — use the default "
+                    "JVM-stream write path or add the key column"
+                )
         encode_dataframe_writing(
-            pending, cfg_enc, _chunks_dir(out_dir), attempt_id
+            pending, cfg_nw, _chunks_dir(out_dir), attempt_id
         ).count()
     else:
         enc = (encoder or encode_dataframe)(pending, cfg_enc).withColumn(

@@ -1022,6 +1022,29 @@ def write_yaml(df: DataFrame, path: str, multi_doc: bool = True) -> None:
     write_part_files(df, path, "yaml", encode_batches)
 
 
+def write_kvp(df: DataFrame, path: str, separator: str = ":") -> None:
+    """ChoKVPWriter analog (reference src/ChoETL/File/KeyValue/
+    ChoKVPWriter.cs:16): one ``key<sep> value`` line per field, records
+    separated by a blank line — the inverse of :func:`read_kvp`'s
+    blank-line grouping. Fully declarative (concat expressions, no
+    UDF): each record renders to one multi-line text value; Spark's
+    text writer appends the record-terminating newline, which yields
+    the blank separator line. Nulls omit the field line (the
+    reference's null-value handling)."""
+    field_lines = [
+        F.when(
+            F.col(c).isNotNull(),
+            F.concat(
+                F.lit(f"{c}{separator} "), F.col(c).cast("string")
+            ),
+        )
+        for c in df.columns
+    ]
+    # concat_ws skips nulls, so omitted fields leave no gap line
+    rec = F.concat(F.concat_ws("\n", *field_lines), F.lit("\n"))
+    df.select(rec.alias("value")).write.mode("overwrite").text(path)
+
+
 def write_xml(
     df: DataFrame,
     path: str,

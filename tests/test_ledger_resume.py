@@ -238,6 +238,28 @@ def test_vacuum_removes_orphan_chunks(spark, tmp_path):
     # idempotent
     assert vacuum(spark, out) == {"files_removed": 0, "bytes_reclaimed": 0}
 
+
+def test_vacuum_sweeps_staging_files_without_ledger(spark, tmp_path):
+    """A native-write attempt that crashed before its FIRST commit
+    leaves dot-prefixed staging files in a store with no ledger at all.
+    The staging sweep is driver-side and needs no commit record, so
+    vacuum must reclaim them even when the orphan pass has nothing to
+    judge against (ADVICE r3)."""
+    import os
+
+    from choetl_spark.ledger import _chunks_dir, vacuum
+
+    out = str(tmp_path / "store_never_committed")
+    os.makedirs(_chunks_dir(out))
+    stray = os.path.join(
+        _chunks_dir(out), ".tmp-std-deadbeef-00000007-3.parquet"
+    )
+    with open(stray, "wb") as fh:
+        fh.write(b"PAR1 torn bytes")
+    rep = vacuum(spark, out, grace_sec=0.0)
+    assert not os.path.exists(stray)
+    assert rep["files_removed"] == 1 and rep["bytes_reclaimed"] > 0
+
     # a grace window protects files younger than the cutoff (in-flight run)
     encode_dataframe(orphan_src, cfg).write.mode("append").option(
         "compression", "none"

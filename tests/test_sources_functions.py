@@ -507,6 +507,35 @@ def test_read_kvp_marker_and_blankline(spark, tmp_path):
     assert rows2[0]["kv"]["note"] == "a:b:c"  # only first sep splits
 
 
+def test_write_kvp_roundtrip(spark, tmp_path):
+    """ChoKVPWriter analog (ChoKVPWriter.cs:16): blank-line separated
+    key:value records that read_kvp re-groups exactly; null fields omit
+    their line; values may contain the separator."""
+    from pyspark.sql import functions as F
+
+    from choetl_spark.sources import read_kvp, write_kvp
+
+    df = spark.createDataFrame(
+        [(1, "Mark", "a:b:c"), (2, "Jane", None)],
+        "id long, name string, note string",
+    )
+    out = str(tmp_path / "kvp")
+    write_kvp(df, out)
+    back = read_kvp(spark, out)
+    rows = sorted(
+        back.select(
+            F.col("kv")["id"].alias("id"),
+            F.col("kv")["name"].alias("name"),
+            F.col("kv")["note"].alias("note"),
+        ).collect(),
+        key=lambda r: r["id"],
+    )
+    assert [(r["id"], r["name"], r["note"]) for r in rows] == [
+        ("1", "Mark", "a:b:c"),
+        ("2", "Jane", None),
+    ]
+
+
 def test_json_path_extract_recursive(spark):
     """$..x recursive descent + [*] wildcard — beyond get_json_object
     (ChoJSONReader.cs:827-834 JSONPath parity)."""
