@@ -763,11 +763,17 @@ def q_connected_components_graph(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal plumbing (stub decode, real Arrow batching): feature
-    extraction + media meta over binary payloads. Oracle-checked: ids
-    are md5(url) (DuckDB-recomputable), the feature kernel's output
-    arity and the payload byte counts are recomputed by the oracle."""
-    from choetl_spark.operators.multimodal import extract_features, with_media_meta
+    """Multimodal plumbing with a REAL image decode leg: feature
+    extraction + media meta over binary payloads, plus a per-document
+    planted PNG (pixel[y,x,c] = (doc_id + 7y + 3x + c) % 256, scanline
+    filters cycling per doc) that is PNG-encoded and stdlib-decoded
+    inside an Arrow-batched kernel — px_sum is the decoded pixel sum,
+    which the DuckDB oracle recomputes in closed form, so a single
+    wrong byte anywhere in the zlib/unfilter path flips the hash."""
+    from choetl_spark.operators.multimodal import (
+        extract_features,
+        with_media_meta,
+    )
     from choetl_spark.synth import webpages_from_documents
 
     pages = webpages_from_documents(spark, sf_dir)
@@ -776,8 +782,48 @@ def q_multimodal_features(spark, sf_dir):
     meta = with_media_meta(with_id, "html").select(
         "media_id", F.col("media_meta.n_bytes").alias("n_bytes")
     )
-    return feats.join(meta, "media_id").select(
-        "media_id", F.size("features").alias("dim"), "n_bytes"
+
+    def png_roundtrip(batches):
+        import numpy as np
+        import pandas as pd
+
+        from choetl_spark.operators.multimodal import (
+            decode_image,
+            encode_png,
+        )
+
+        H, W = 3, 4
+        y, x, c = np.meshgrid(
+            np.arange(H), np.arange(W), np.arange(3), indexing="ij"
+        )
+        base = (7 * y + 3 * x + c).astype(np.int64)
+        for pdf in batches:
+            sums = []
+            for did in pdf["doc_id"]:
+                px = ((int(did) + base) % 256).astype(np.uint8)
+                payload = encode_png(
+                    px, filters=[(int(did) + r) % 5 for r in range(H)]
+                )
+                sums.append(int(decode_image(payload).sum()))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "px_sum": sums}
+            )
+
+    docs = _read(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+    )
+    png = docs.select(
+        F.md5(url).alias("media_id"), "doc_id"
+    ).mapInPandas(png_roundtrip, "media_id string, px_sum long")
+    return (
+        feats.join(meta, "media_id")
+        .join(png, "media_id")
+        .select(
+            "media_id", F.size("features").alias("dim"), "n_bytes",
+            "px_sum",
+        )
     )
 
 
@@ -3634,7 +3680,11 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": f"""
             SELECT md5({_URL_SQL}) AS media_id,
                    CAST(8 AS INTEGER) AS dim,
-                   CAST(strlen({_HTML_SQL}) AS INTEGER) AS n_bytes
+                   CAST(strlen({_HTML_SQL}) AS INTEGER) AS n_bytes,
+                   (SELECT sum((doc_id + 7 * y.g + 3 * x.g + c.g) % 256)
+                    FROM generate_series(0, 2) y(g),
+                         generate_series(0, 3) x(g),
+                         generate_series(0, 2) c(g)) AS px_sum
             FROM documents
         """,
         "cosine_topk": """

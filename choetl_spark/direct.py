@@ -181,6 +181,13 @@ def _make_direct_kernel(
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
 
+        # TASK-lifetime codec trial/pin cache, shared across this task's
+        # splits: splits are chunk-sized (one or two chunks per column),
+        # so a per-split cache would never reach the pin streak and
+        # every split would re-pay the full stats + sample-trial encode
+        # — at 400k splits per 100 TB that is pure per-split overhead
+        # for a column whose character does not change across splits.
+        trial_caches: dict[str, dict] = {}
         for batch in batches:
             part_ids = batch.column(0).to_pylist()
             paths = batch.column(1).to_pylist()
@@ -189,7 +196,6 @@ def _make_direct_kernel(
                 pf = pq.ParquetFile(path)
                 row_base = {c: 0 for c in columns}
                 seq_base = {c: 0 for c in columns}
-                trial_caches: dict[str, dict] = {}
                 buf: list[pa.RecordBatch] = []
                 buf_bytes = 0
 
@@ -264,6 +270,13 @@ def _make_direct_writer_kernel(
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
 
+        # TASK-lifetime codec trial/pin cache, shared across this task's
+        # splits: splits are chunk-sized (one or two chunks per column),
+        # so a per-split cache would never reach the pin streak and
+        # every split would re-pay the full stats + sample-trial encode
+        # — at 400k splits per 100 TB that is pure per-split overhead
+        # for a column whose character does not change across splits.
+        trial_caches: dict[str, dict] = {}
         for batch in batches:
             part_ids = batch.column(0).to_pylist()
             paths = batch.column(1).to_pylist()
@@ -272,7 +285,6 @@ def _make_direct_writer_kernel(
                 pf = pq.ParquetFile(path)
                 row_base = {c: 0 for c in columns}
                 seq_base = {c: 0 for c in columns}
-                trial_caches: dict[str, dict] = {}
                 buf: list[pa.RecordBatch] = []
                 buf_bytes = 0
                 writer = None

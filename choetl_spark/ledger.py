@@ -140,6 +140,71 @@ def reserved_physicals(manifest: dict | None) -> set[str]:
     return taken
 
 
+def max_committed_seq(out_dir: str) -> int:
+    """Highest committed ledger epoch, read driver-side with pyarrow
+    (the ledger files are tiny metadata) — lets schema evolution stamp
+    its schema-log snapshots without needing a Spark session."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    try:
+        names = [
+            n for n in os.listdir(_ledger_dir(out_dir))
+            if n.endswith(".parquet")
+        ]
+    except OSError:
+        return 0
+    best = 0
+    for n in names:
+        try:
+            t = pq.read_table(
+                os.path.join(_ledger_dir(out_dir), n), columns=["run_seq"]
+            )
+        except Exception:
+            continue
+        if t.num_rows:
+            m = pc.max(t.column("run_seq")).as_py()
+            if m is not None:
+                best = max(best, int(m))
+    return best
+
+
+def manifest_as_of(manifest: dict | None, as_of: int | None) -> dict | None:
+    """The manifest view an ``as_of`` reader resolves display names
+    against — the Iceberg snapshots-pin-their-schema contract.
+
+    ``_schema_log`` entries (appended by :mod:`choetl_spark.
+    schema_evolution` BEFORE each rename/drop) record the live schema
+    as it stood through a commit epoch; the first entry whose
+    ``through_seq >= as_of`` is that epoch's schema, so a column
+    renamed after epoch N still reads under its OLD name at
+    ``as_of=N`` — and a column dropped after N is still readable
+    there. Current-snapshot readers (``as_of=None``) and stores with
+    no schema history get the manifest unchanged."""
+    if manifest is None or as_of is None:
+        return manifest
+    log = manifest.get("_schema_log") or []
+    snap = next(
+        (s for s in log if int(s["through_seq"]) >= int(as_of)), None
+    )
+    if snap is None:
+        return manifest
+    view: dict = {c: dict(m) for c, m in snap["columns"].items()}
+    # chunks stored under physical keys outside this epoch's schema
+    # (columns added / renamed-in / re-added later) mask exactly like
+    # dropped ones; the as_of ledger semi-join already hides their
+    # partitions — this keeps the remap total as defense in depth
+    live_phys = {physical_name(m, c) for c, m in view.items()}
+    masked = [
+        {"display": p, "phys": p}
+        for p in sorted(reserved_physicals(manifest))
+        if p not in live_phys
+    ]
+    if masked:
+        view["_dropped"] = masked
+    return view
+
+
 def _display_remap(chunks: DataFrame, manifest: dict | None) -> DataFrame:
     """Rewrite the chunk table's ``column`` values from physical storage
     keys to the manifest's CURRENT display names, so every downstream
@@ -485,7 +550,11 @@ def read_encoded(
         )
     out = _commit_join(chunks, done, "semi")
     if not raw_columns:
-        out = _display_remap(out, read_manifest(out_dir))
+        # as_of readers resolve display names against the SNAPSHOT's
+        # schema (manifest_as_of), not the current one
+        out = _display_remap(
+            out, manifest_as_of(read_manifest(out_dir), as_of)
+        )
     if cache_key is not None:
         # the signatures were stat'ed BEFORE the plan build; a writer
         # committing in between would cache a plan newer than its key.
@@ -743,7 +812,9 @@ def scan_encoded(
 
         as_of = resolve_ref(out_dir, ref)
     enc = read_encoded(spark, out_dir, as_of=as_of)
-    manifest = read_manifest(out_dir)
+    # snapshot-scoped schema: column names in predicates/projections
+    # resolve against the epoch's schema under as_of (manifest_as_of)
+    manifest = manifest_as_of(read_manifest(out_dir), as_of)
     # naive datetime bounds -> the aware instants Spark's literals mean
     # (one interpretation for the pruner, kernel AND residual filter)
     ranges = {

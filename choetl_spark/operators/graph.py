@@ -96,10 +96,13 @@ def pagerank(
         return nodes_deg.select("node").withColumn("rank", F.lit(0.0))
     ranks = nodes_deg.select("node", F.lit(1.0 / n).alias("rank"), "deg")
     for _ in range(n_iter):
-        dangling = (
-            ranks.filter(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .collect()[0][0]
+        # dangling mass rides as a broadcast 1-row frame crossJoined
+        # into the update instead of a driver-side collect: the round's
+        # ONLY action is its lineage-truncating localCheckpoint — no
+        # per-iteration full-stage barrier on the driver (round-3
+        # advice; at 100x scale each collect was a cluster-wide sync)
+        dang = ranks.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling")
         )
         contrib = (
             e.join(ranks, e.src == ranks.node)
@@ -107,13 +110,14 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("received"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         ranks = (
             nodes_deg.join(contrib, nodes_deg.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("dangling") / F.lit(float(n))
                     + F.lit(damping) * F.coalesce("received", F.lit(0.0))
                 ).alias("rank"),
                 "deg",
@@ -145,9 +149,10 @@ def hits(
         plain SQL; normalization choice rescales, never reranks.
 
     Scale shape: per round, TWO equi-joins + TWO groupBys over the
-    (src, dst) long-pair projection (16 bytes/edge of shuffle) and two
-    scalar normalization aggregates; lineage truncated per round
-    (localCheckpoint) like :func:`pagerank`. Nodes with no in-edges
+    (src, dst) long-pair projection (16 bytes/edge of shuffle); the two
+    L1 norms ride as broadcast 1-row frames inside the same job (no
+    driver collects); lineage truncated per round (localCheckpoint)
+    like :func:`pagerank`. Nodes with no in-edges
     have auth 0, nodes with no out-edges hub 0 — both stay in the
     output.
     """
@@ -176,8 +181,23 @@ def hits(
         a = nodes.join(a_raw, nodes.node == a_raw.dst, "left").select(
             "node", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw")
         )
-        a_sum = a.agg(F.sum("a_raw")).collect()[0][0] or 1.0
-        a = a.select("node", (F.col("a_raw") / a_sum).alias("auth"))
+        # L1 norms ride as broadcast 1-row frames instead of per-round
+        # driver collects (same rationale as pagerank): the round's only
+        # action is its localCheckpoint. The norm's aggregate subtree is
+        # re-evaluated inside the same job — identical total work to the
+        # old collect-then-rescan, minus two driver barriers per round.
+        a_sum = a.agg(
+            F.coalesce(F.sum("a_raw"), F.lit(0.0)).alias("a_sum")
+        )
+        a = a.crossJoin(F.broadcast(a_sum)).select(
+            "node",
+            (
+                F.col("a_raw")
+                / F.when(F.col("a_sum") == 0.0, F.lit(1.0)).otherwise(
+                    F.col("a_sum")
+                )
+            ).alias("auth"),
+        )
         # hub'(u) = sum of the NEW auth over out-neighbors, L1-normalized
         h_raw = (
             e.join(a, e.dst == a.node)
@@ -187,8 +207,18 @@ def hits(
         h = nodes.join(h_raw, nodes.node == h_raw.src, "left").select(
             "node", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw")
         )
-        h_sum = h.agg(F.sum("h_raw")).collect()[0][0] or 1.0
-        h = h.select("node", (F.col("h_raw") / h_sum).alias("hub"))
+        h_sum = h.agg(
+            F.coalesce(F.sum("h_raw"), F.lit(0.0)).alias("h_sum")
+        )
+        h = h.crossJoin(F.broadcast(h_sum)).select(
+            "node",
+            (
+                F.col("h_raw")
+                / F.when(F.col("h_sum") == 0.0, F.lit(1.0)).otherwise(
+                    F.col("h_sum")
+                )
+            ).alias("hub"),
+        )
         scores = (
             h.join(a, "node").select("node", "hub", "auth").localCheckpoint()
         )

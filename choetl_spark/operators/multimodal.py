@@ -2,12 +2,12 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extraction / resize / frame-sampling run as Arrow-batched
-``mapInPandas`` kernels. ``decode_image`` REALLY decodes the uncompressed
-formats (PPM P6, 24-bit BMP) with numpy alone; compressed formats
-(PNG/JPEG) stay gated behind NotImplementedError because this container
-ships no codec libraries — swapping that gate for PIL/ffmpeg changes one
-function, the Spark-side plumbing (schema, batching, partition-size
-discipline) is identical either way and tested.
+``mapInPandas`` kernels. ``decode_image`` REALLY decodes PPM P6 and
+24-bit BMP with numpy alone, and 8-bit PNG with stdlib zlib + the PNG
+scanline unfilter pass; JPEG/WebP stay gated behind NotImplementedError
+because this container ships no codec libraries — swapping that gate for
+PIL/ffmpeg changes one function, the Spark-side plumbing (schema,
+batching, partition-size discipline) is identical either way and tested.
 """
 
 from __future__ import annotations
@@ -28,19 +28,21 @@ MEDIA_META_DDL = (
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to HxWx3 uint8.
 
-    REAL for the two uncompressed formats decodable with numpy alone
-    (no codec libraries): binary netpbm ``P6`` (PPM) and 24-bit
-    uncompressed ``BI_RGB`` BMP (bottom-up or top-down). Compressed
-    formats (PNG/JPEG/WebP/...) still need PIL/libjpeg, which this
-    container does not ship — those raise NotImplementedError (the
-    environmental gate; a deployment plugs PIL in right here)."""
+    REAL for binary netpbm ``P6`` (PPM), 24-bit uncompressed ``BI_RGB``
+    BMP (bottom-up or top-down), and 8-bit PNG (gray/RGB/palette/alpha
+    color types, all five scanline filters — stdlib zlib, no codec
+    library; see :func:`_decode_png`). JPEG/WebP still need PIL/libjpeg,
+    which this container does not ship — those raise NotImplementedError
+    (the environmental gate; a deployment plugs PIL in right here)."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp24(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
     raise NotImplementedError(
-        "only uncompressed PPM(P6)/BMP(24-bit) decode without codec "
-        "libraries; PNG/JPEG require PIL/libjpeg (not in this container)"
+        "only PPM(P6)/BMP(24-bit)/PNG(8-bit) decode without codec "
+        "libraries; JPEG/WebP require PIL/libjpeg (not in this container)"
     )
 
 
@@ -88,6 +90,160 @@ def _decode_bmp24(payload: bytes) -> np.ndarray:
     if height > 0:  # bottom-up storage
         img = img[::-1]
     return img.copy()
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """PNG decode with the stdlib alone (zlib inflate + the five PNG
+    scanline filters, RFC 2083): 8-bit depth, color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced —
+    the web's dominant lossless format, no PIL needed. 16-bit depth and
+    Adam7 interlacing raise (rare on the web; PIL covers them when
+    deployed). Alpha is dropped, gray/palette expand to RGB, so the
+    return shape is always HxWx3 uint8 like the other decoders."""
+    import struct
+    import zlib
+
+    pos = 8
+    idat: list[bytes] = []
+    w = h = depth = ctype = interlace = None
+    plte: np.ndarray | None = None
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    if depth != 8:
+        raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
+    if interlace:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT size mismatch")
+    out = np.empty((h, stride), np.uint8)
+    prior = np.zeros(stride, np.int64)
+    rpos = 0
+    for y in range(h):
+        f = raw[rpos]
+        row = np.frombuffer(
+            raw, np.uint8, stride, rpos + 1
+        ).astype(np.int64)
+        rpos += stride + 1
+        if f == 0:  # None
+            rec = row
+        elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp]
+            lanes = row.reshape(w, channels)
+            rec = (np.cumsum(lanes, axis=0) & 0xFF).reshape(-1)
+        elif f == 2:  # Up
+            rec = (row + prior) & 0xFF
+        elif f in (3, 4):  # Average / Paeth: sequential in x
+            rec = np.empty(stride, np.int64)
+            for x in range(stride):
+                a = rec[x - channels] if x >= channels else 0
+                b = prior[x]
+                if f == 3:
+                    rec[x] = (row[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prior[x - channels] if x >= channels else 0
+                    p = a + b - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb and pa_ <= pc_) else (
+                        b if pb <= pc_ else c
+                    )
+                    rec[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f}")
+        prior = rec
+        out[y] = rec.astype(np.uint8)
+    px = out.reshape(h, w, channels)
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2).copy()
+    if ctype == 2:
+        return px.copy()
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        return plte[px[:, :, 0]].copy()
+    if ctype == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2).copy()
+    return px[:, :, :3].copy()  # ctype 6: drop alpha
+
+
+def encode_png(px: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Minimal PNG writer (8-bit RGB, non-interlaced, one IDAT): the
+    image-column sink counterpart of :func:`_decode_png`, and the
+    deterministic payload synthesizer for the multimodal pipeline tests
+    and driver query. ``filters`` picks the per-row scanline filter
+    (default: cycle through all five, so payloads exercise every
+    unfilter path downstream)."""
+    import struct
+    import zlib
+
+    if px.ndim != 3 or px.shape[2] != 3 or px.dtype != np.uint8:
+        raise ValueError("encode_png wants HxWx3 uint8")
+    h, w = px.shape[:2]
+    ch = 3
+    flat = px.reshape(h, w * ch).astype(np.int64)
+    filters = filters if filters is not None else [y % 5 for y in range(h)]
+    raw = bytearray()
+    prior = np.zeros(w * ch, np.int64)
+    for y in range(h):
+        f = filters[y]
+        rec = flat[y]
+        if f == 0:
+            filt = rec
+        elif f == 1:  # Sub
+            a = np.concatenate([np.zeros(ch, np.int64), rec[:-ch]])
+            filt = (rec - a) & 0xFF
+        elif f == 2:  # Up
+            filt = (rec - prior) & 0xFF
+        elif f == 3:  # Average
+            a = np.concatenate([np.zeros(ch, np.int64), rec[:-ch]])
+            filt = (rec - ((a + prior) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            filt = np.empty(w * ch, np.int64)
+            for x in range(w * ch):
+                a = rec[x - ch] if x >= ch else 0
+                b = prior[x]
+                c = prior[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (
+                    b if pb <= pc_ else c
+                )
+                filt[x] = (rec[x] - pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f}")
+        raw.append(f)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prior = rec
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
 
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:

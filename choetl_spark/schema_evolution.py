@@ -10,7 +10,7 @@ under) — the Iceberg field-id analog, minus the integer. Operations:
   physical → display once per scan (``_display_remap``, an identity
   no-op for stores with no renames), so every reader — decode, zone-map
   /Bloom pruning, pushdown, aggregates, point lookup — speaks the new
-  name immediately, over all epochs.
+  name immediately for current-snapshot reads.
 
 - :func:`drop_column`: metadata-only. The entry moves to the manifest's
   ``_dropped`` reservation list: readers refuse the name at once, and
@@ -23,12 +23,14 @@ under) — the Iceberg field-id analog, minus the integer. Operations:
   ``compact_store`` keeps them verbatim, which also keeps this
   metadata-only operation O(1).
 
-Documented divergence from Iceberg: the manifest is single-version, so
-``as_of`` time travel resolves columns against the CURRENT schema — a
-renamed column reads under its new name at every epoch, and a dropped
-column is unreadable at every epoch. (Iceberg snapshots pin their own
-schema; per-epoch schema pinning would hang a manifest off each ledger
-epoch and is a straightforward extension.)
+Snapshot-scoped schema (Iceberg's snapshots-pin-their-schema contract,
+closing the round-3 divergence): before each rename/drop the CURRENT
+live schema is appended to the manifest's ``_schema_log`` stamped with
+the highest committed ledger epoch (:func:`_log_schema_snapshot`), and
+``as_of``/``ref`` readers resolve display names against that epoch's
+recorded schema (:func:`choetl_spark.ledger.manifest_as_of`) — a column
+renamed after epoch N still reads under its OLD name at ``as_of=N``,
+and a column dropped after N remains readable there.
 
 The reference has no rename/drop story at all — its writers re-emit
 whatever the source object exposes (reference
@@ -76,6 +78,36 @@ def list_columns(out_dir: str) -> list[dict]:
     return out
 
 
+def _log_schema_snapshot(out_dir: str, manifest: dict) -> None:
+    """Append the CURRENT live schema to the manifest's ``_schema_log``
+    before a rename/drop mutates it, stamped with the highest committed
+    ledger epoch: snapshots at ``as_of <= through_seq`` resolve names
+    against this recorded schema (:func:`choetl_spark.ledger.
+    manifest_as_of`) — the Iceberg snapshots-pin-their-schema contract.
+    Two schema changes between commits append two entries with the same
+    ``through_seq``; lookup takes the FIRST match, i.e. the schema that
+    was live when that epoch committed. A store with no commits yet
+    logs nothing (no snapshot can observe the pre-change schema)."""
+    from choetl_spark.ledger import max_committed_seq
+
+    seq = max_committed_seq(out_dir)
+    if seq < 1:
+        return
+    manifest.setdefault("_schema_log", []).append(
+        {
+            "through_seq": seq,
+            "columns": {
+                c: {
+                    k: m[k]
+                    for k in ("phys", "dtype", "logical")
+                    if k in m and m[k] is not None
+                }
+                for c, m in manifest_data_items(manifest)
+            },
+        }
+    )
+
+
 def rename_column(out_dir: str, old: str, new: str) -> dict:
     """Rename ``old`` to ``new`` — metadata-only, effective for every
     reader and every epoch immediately. Refuses when ``new`` collides
@@ -97,6 +129,7 @@ def rename_column(out_dir: str, old: str, new: str) -> dict:
             f"cannot rename to {new!r}: another column's chunks are "
             "stored under that physical key"
         )
+    _log_schema_snapshot(out_dir, manifest)
     del manifest[old]
     if phys == new:
         entry.pop("phys", None)  # rename back onto its own storage key
@@ -117,6 +150,7 @@ def drop_column(out_dir: str, name: str) -> dict:
         raise ValueError(f"no column {name!r} in the store manifest")
     if len(manifest_data_items(manifest)) == 1:
         raise ValueError("cannot drop the last column of the store")
+    _log_schema_snapshot(out_dir, manifest)
     entry = manifest.pop(name)
     dropped = manifest.setdefault("_dropped", [])
     dropped.append(

@@ -375,10 +375,71 @@ def _make_bmp24(img: np.ndarray, top_down: bool = False) -> bytes:
     return head + dib + pix
 
 
+def _make_png(px: np.ndarray, ctype: int = 2, filters=None) -> bytes:
+    """Minimal PNG encoder for the test: 8-bit, non-interlaced, one IDAT,
+    per-row filter types as given (default cycles through all five so the
+    decoder's every unfilter path is exercised). ``px`` is HxWxC uint8
+    matching ``ctype`` (0 gray, 2 RGB, 4 gray+alpha, 6 RGBA)."""
+    import struct
+    import zlib
+
+    h, w = px.shape[:2]
+    ch = px.shape[2] if px.ndim == 3 else 1
+    flat = px.reshape(h, w * ch).astype(np.int64)
+    filters = filters if filters is not None else [
+        y % 5 for y in range(h)
+    ]
+    raw = bytearray()
+    prior = np.zeros(w * ch, np.int64)
+    for y in range(h):
+        f = filters[y]
+        rec = flat[y]
+        if f == 0:
+            filt = rec
+        elif f == 1:
+            a = np.concatenate([np.zeros(ch, np.int64), rec[:-ch]])
+            filt = (rec - a) & 0xFF
+        elif f == 2:
+            filt = (rec - prior) & 0xFF
+        elif f == 3:
+            a = np.concatenate([np.zeros(ch, np.int64), rec[:-ch]])
+            filt = (rec - ((a + prior) >> 1)) & 0xFF
+        else:  # Paeth
+            filt = np.empty(w * ch, np.int64)
+            for x in range(w * ch):
+                a = rec[x - ch] if x >= ch else 0
+                b = prior[x]
+                c = prior[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (
+                    b if pb <= pc_ else c
+                )
+                filt[x] = (rec[x] - pred) & 0xFF
+        raw.append(f)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prior = rec
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def test_decode_image_real_for_uncompressed_formats():
-    """PPM(P6) and 24-bit BMP decode to exact pixels with numpy alone —
-    odd width exercises BMP row padding, both row orders covered;
-    compressed formats stay gated behind NotImplementedError."""
+    """PPM(P6), 24-bit BMP and 8-bit PNG decode to exact pixels with
+    numpy/stdlib alone — odd width exercises BMP row padding, both BMP
+    row orders covered, PNG rows cycle through all five scanline
+    filters; JPEG stays gated behind NotImplementedError."""
     from choetl_spark.operators.multimodal import decode_image
 
     rng = np.random.default_rng(3)
@@ -389,8 +450,35 @@ def test_decode_image_real_for_uncompressed_formats():
     assert np.array_equal(decode_image(_make_bmp24(img, top_down=True)), img)
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff")  # JPEG magic
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def test_decode_image_png_all_filters_and_color_types():
+    """The stdlib PNG path: every scanline filter (0-4) and the four
+    non-palette color types round-trip bit-exact; gray expands to RGB
+    and alpha is dropped, so the output contract stays HxWx3."""
+    from choetl_spark.operators.multimodal import decode_image
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    assert np.array_equal(decode_image(_make_png(rgb, ctype=2)), rgb)
+    # each filter type alone (uniform-filter images catch a filter whose
+    # bug cancels out in the mixed cycle)
+    for f in range(5):
+        assert np.array_equal(
+            decode_image(_make_png(rgb, ctype=2, filters=[f] * 7)), rgb
+        )
+    gray = rng.integers(0, 256, size=(4, 6, 1), dtype=np.uint8)
+    out = decode_image(_make_png(gray, ctype=0))
+    assert np.array_equal(out, np.repeat(gray, 3, axis=2))
+    rgba = rng.integers(0, 256, size=(4, 6, 4), dtype=np.uint8)
+    assert np.array_equal(
+        decode_image(_make_png(rgba, ctype=6)), rgba[:, :, :3]
+    )
+    ga = rng.integers(0, 256, size=(4, 6, 2), dtype=np.uint8)
+    assert np.array_equal(
+        decode_image(_make_png(ga, ctype=4)),
+        np.repeat(ga[:, :, :1], 3, axis=2),
+    )
 
 
 def _make_wav(
@@ -1643,6 +1731,34 @@ def test_with_outlinks(spark):
     ]
 
 
+def _no_driver_collect():
+    """Context manager asserting pagerank/hits build their iterations
+    without ANY driver-side collect (round-3 advice: normalization
+    scalars must ride as broadcast 1-row frames, not per-round driver
+    barriers). ``count``/``localCheckpoint`` stay allowed — they are the
+    setup cardinality and the per-round lineage truncation."""
+    import contextlib
+
+    from pyspark.sql import DataFrame
+
+    @contextlib.contextmanager
+    def guard():
+        orig = DataFrame.collect
+
+        def banned(self, *a, **k):
+            raise AssertionError(
+                "driver-side collect() inside the graph iteration loop"
+            )
+
+        DataFrame.collect = banned
+        try:
+            yield
+        finally:
+            DataFrame.collect = orig
+
+    return guard()
+
+
 def test_pagerank_matches_numpy_power_iteration(spark):
     """PageRank vs a dense numpy replay of the same update rule
     (uniform dangling redistribution, damping 0.85), incl. a dangling
@@ -1655,7 +1771,9 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     edges = [(0, 1), (0, 2), (0, 1), (1, 2), (2, 0), (3, 2), (3, 4)]
     df = spark.createDataFrame(edges, "src long, dst long")
     n_iter, d = 7, 0.85
-    got = {r.node: r.rank for r in pagerank(df, n_iter=n_iter).collect()}
+    with _no_driver_collect():
+        out = pagerank(df, n_iter=n_iter)
+    got = {r.node: r.rank for r in out.collect()}
 
     uniq = sorted(set(edges))
     nodes = sorted({x for e in uniq for x in e})
@@ -1710,7 +1828,9 @@ def test_hits_matches_numpy_power_iteration(spark):
     edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 2), (0, 1), (4, 2)]
     df = spark.createDataFrame(edges, "src long, dst long")
     n_iter = 6
-    got = {r.node: (r.hub, r.auth) for r in hits(df, n_iter=n_iter).collect()}
+    with _no_driver_collect():
+        out = hits(df, n_iter=n_iter)
+    got = {r.node: (r.hub, r.auth) for r in out.collect()}
 
     uniq = sorted(set(edges))
     nodes = sorted({x for e in uniq for x in e})
