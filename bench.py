@@ -1124,7 +1124,9 @@ Parquet.Net) is orders of magnitude below either number at this data
 size.
 
 Read-side (scan) evidence lives in BENCH/SCAN_BASELINE.md
-(`python bench.py --scan-baseline`).
+(`python bench.py --scan-baseline`); the store/near-dup suite at
+sf1-equivalent (10x documents) scale lives in BENCH/STORE_SCALE.md
+(`python bench.py --store-scale`).
 """
     # preserve hand-measured sections (e.g. the veclist vector-column
     # footprint) across regenerations: anything from a "## Vector-column"
@@ -1154,6 +1156,145 @@ Read-side (scan) evidence lives in BENCH/SCAN_BASELINE.md
     )
 
 
+def _make_sf10_dir() -> str:
+    """documents/embeddings replicated 10x with shifted ids (an
+    sf1-equivalent corpus, ~50k docs): the driver benches at sf0.1
+    where several queries are scheduler-constant-bound; at 10x the
+    data term dominates. Texts are copied VERBATIM under the shifted
+    ids, so the near-dup suite sees realistic duplicate clusters of
+    size 10 instead of a duplicate-free corpus. Built once, cached in
+    /tmp across runs."""
+    out = "/tmp/choetl_sf1_equiv"
+    docp = os.path.join(out, "documents.parquet")
+    if os.path.exists(docp):
+        return out
+    from pyspark.sql import functions as F
+
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    rep_docs = None
+    for i in range(10):
+        part = docs.select(
+            (F.col("doc_id") + F.lit(i * n_docs)).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+        rep_docs = part if rep_docs is None else rep_docs.unionAll(part)
+    rep_docs.repartition(32).write.mode("overwrite").parquet(docp)
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_vecs = embs.count()
+    rep_embs = None
+    for i in range(10):
+        part = embs.select(
+            (F.col("vec_id") + F.lit(i * n_vecs)).alias("vec_id"),
+            *[c for c in embs.columns if c != "vec_id"],
+        )
+        rep_embs = part if rep_embs is None else rep_embs.unionAll(part)
+    rep_embs.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    spark.stop()
+    return out
+
+
+def run_store_scale() -> None:
+    """The documents/embeddings half of the default suite (encode,
+    roundtrip, near-dup, ANN, store scans) at the 10x sf1-equivalent
+    corpus — recorded in BENCH/STORE_SCALE.md so round-over-round
+    deltas have a data-dominated reference alongside the sf0.1 driver
+    bench (round-3 verdict #9). TPC-H-table queries are out of scope
+    here (their input does not scale with the documents corpus)."""
+    sf10 = _make_sf10_dir()
+    spark = make_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    from choetl_spark.engine import EncodeConfig, encode_dataframe
+    from choetl_spark.synth import webpages
+
+    encode_dataframe(
+        webpages(spark, int(CPUS) * 1024, partitions=int(CPUS) * 2),
+        EncodeConfig(num_partitions=int(CPUS) * 2, chunk_rows=1024,
+                     shuffle="none"),
+    ).count()
+    _bench_store(spark, sf10)
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    skip = {"pricing_summary", "join_topk_revenue"}
+    times: dict[str, float] = {}
+    for name, fn in BENCHES.items():
+        if name in skip:
+            continue
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf10)
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
+    total = round(sum(times.values()), 3)
+    line = {
+        "metric": "store+neardup suite wall time at sf1-equivalent (10x docs)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": "1 (10x replicated sf0.1 documents)",
+        "reps": reps,
+        "timing": "best-of-reps per query",
+        "prune_evidence": {
+            "parts_total": _STORE.get("parts_total"),
+            "parts_kept_for_point_lookup": _STORE.get("parts_kept"),
+            "key_chunks_total": _STORE.get("url_chunks_total"),
+            "key_chunks_bloom_hit": _STORE.get("url_chunks_hit"),
+        },
+        "pushdown_evidence": {
+            "store_rows": _STORE.get("store_rows"),
+            "selective_scan_rows_shipped": _STORE.get(
+                "selective_scan_matches"
+            ),
+        },
+    }
+    print(json.dumps(line))
+    rows_md = "\n".join(
+        f"| {k} | {v} |" for k, v in times.items()
+    )
+    ev = line["prune_evidence"]
+    pv = line["pushdown_evidence"]
+    md = f"""# BENCH/STORE_SCALE.md — the suite at sf1-equivalent scale
+
+The driver's per-round bench runs at sf0.1 (5k documents), where several
+store queries are scheduler-constant-bound and sub-second deltas are
+noise (the round-3 minhash_signatures episode). This table re-runs the
+documents/embeddings half of the same suite over a 10x corpus (50k
+docs, texts replicated verbatim under shifted ids -> realistic
+duplicate clusters of size 10 for the near-dup suite), best-of-{reps}
+reps on local[{CPUS}]. Regenerate: `python bench.py --store-scale`.
+
+| query | wall sec (sf1-equivalent) |
+|---|---|
+{rows_md}
+| **total** | **{total}** |
+
+Prune evidence at 10x: point lookup keeps
+{ev["parts_kept_for_point_lookup"]}/{ev["parts_total"]} partitions,
+{ev["key_chunks_bloom_hit"]}/{ev["key_chunks_total"]} key chunks
+Bloom-hit; the ~5% selective scan ships
+{pv["selective_scan_rows_shipped"]}/{pv["store_rows"]} rows across the
+Python->JVM boundary — the same O(hit-chunks) shape as at sf0.1, at 10x
+the data.
+
+Reading the numbers: encode/decode/scan queries grow SUB-linearly
+(sf0.1 is scheduler-constant-bound; the constants amortize at 10x).
+minhash_pairs grows SUPER-linearly BY CONSTRUCTION: the replicated
+corpus gives every doc 9 exact near-dups, so the true-pair set is ~10x
+denser per doc than the sf0.1 planted corpus — LSH candidate counts
+and the exact n-gram verify scale with true pairs, which is the
+correct behavior for a near-dup detector (a duplicate-free corpus at
+10x would show near-linear growth instead).
+"""
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH", "STORE_SCALE.md"), "w") as fh:
+        fh.write(md)
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--measure-one" in sys.argv:
         cores = sys.argv[sys.argv.index("--measure-one") + 1]
@@ -1165,5 +1306,7 @@ if __name__ == "__main__":
         run_scan_baseline()
     elif "--scaling" in sys.argv:
         run_scaling()
+    elif "--store-scale" in sys.argv:
+        run_store_scale()
     else:
         run_default()

@@ -238,6 +238,13 @@ def test_vacuum_removes_orphan_chunks(spark, tmp_path):
     # idempotent
     assert vacuum(spark, out) == {"files_removed": 0, "bytes_reclaimed": 0}
 
+    # a grace window protects files younger than the cutoff (in-flight run)
+    encode_dataframe(orphan_src, cfg).write.mode("append").option(
+        "compression", "none"
+    ).parquet(_chunks_dir(out))
+    assert vacuum(spark, out, grace_sec=3600)["files_removed"] == 0
+    assert vacuum(spark, out)["files_removed"] >= 1
+
 
 def test_vacuum_sweeps_staging_files_without_ledger(spark, tmp_path):
     """A native-write attempt that crashed before its FIRST commit
@@ -259,13 +266,6 @@ def test_vacuum_sweeps_staging_files_without_ledger(spark, tmp_path):
     rep = vacuum(spark, out, grace_sec=0.0)
     assert not os.path.exists(stray)
     assert rep["files_removed"] == 1 and rep["bytes_reclaimed"] > 0
-
-    # a grace window protects files younger than the cutoff (in-flight run)
-    encode_dataframe(orphan_src, cfg).write.mode("append").option(
-        "compression", "none"
-    ).parquet(_chunks_dir(out))
-    assert vacuum(spark, out, grace_sec=3600)["files_removed"] == 0
-    assert vacuum(spark, out)["files_removed"] >= 1
 
 
 def test_compact_store_rewrites_files_preserving_content(spark, tmp_path):

@@ -255,9 +255,64 @@ def test_read_xml_arbitrary_depth_and_raises_on_unsupported(spark, tmp_path):
     rows = sorted(df.collect(), key=lambda r: r["id"])
     assert [r["a_b_c"] for r in rows] == ["deep1", "deep & raw"]
     assert [r["a_b_sku"] for r in rows] == ["X9", "Y3"]
-    for bad in ["a//b", "a/b/", "a[1]/b", "a/*", "", "a/@b/c"]:
+    for bad in ["a//b", "a/b/", "a[1]/b", "", "a/@b/c", "a[text()='x']"]:
         with _pytest.raises(ValueError, match="unsupported XML field"):
             read_xml(spark, str(p), "item", [bad])
+
+
+def test_read_xml_predicates_and_wildcards(spark, tmp_path):
+    """The XPath predicate/wildcard subset the reference tests lean on
+    (ChoXmlReaderTest Program.cs:4346 `Variable[@name='Email']` and
+    :5431-5539 `p[@name="..."]`): attribute-equality predicates on leaf
+    and ancestor steps, both quote styles, plus `*` wildcard steps whose
+    closing tag matches by backreference."""
+    xml = """<doc>
+  <rec>
+    <VariableData>
+      <Variable name="Email">a@example.com</Variable>
+      <Variable name="Phone">555-1234</Variable>
+    </VariableData>
+    <p name="name">alpha</p>
+    <p name="cellBarQualify">0</p>
+    <wrap><inner attr="z">star1</inner></wrap>
+  </rec>
+  <rec>
+    <VariableData>
+      <Variable name="Phone">555-9999</Variable>
+      <Variable name="Email">b@example.com</Variable>
+    </VariableData>
+    <p name="cellBarQualify">1</p>
+    <p name="name">beta</p>
+    <wrap><other attr="z">star2</other></wrap>
+  </rec>
+</doc>"""
+    p = tmp_path / "pred.xml"
+    p.write_text(xml)
+    from choetl_spark.sources import read_xml
+
+    df = read_xml(
+        spark,
+        str(p),
+        "rec",
+        [
+            "VariableData/Variable[@name='Email']",  # ancestor + leaf pred
+            'p[@name="name"]',                       # double-quoted pred
+            "p[@name='cellBarQualify']",             # single-quoted pred
+            "wrap/*",                                # wildcard leaf
+            "wrap/*/@attr",                          # wildcard + attr leaf
+        ],
+    )
+    rows = sorted(df.collect(), key=lambda r: r["p"])
+    assert [r["VariableData_Variable"] for r in rows] == [
+        "a@example.com", "b@example.com",
+    ]
+    assert [r["p"] for r in rows] == ["alpha", "beta"]
+    # second p[...] spec collides on out_name with the first after
+    # predicate stripping? no: both are 'p' -> Spark allows duplicate
+    # names but our select aliases twice; verify via positional access
+    assert [r[2] for r in rows] == ["0", "1"]
+    assert [r["wrap_any"] for r in rows] == ["star1", "star2"]
+    assert [r["wrap_any_attr"] for r in rows] == ["z", "z"]
 
 
 def test_read_xml_namespace_manager(spark, tmp_path):
