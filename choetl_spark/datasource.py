@@ -295,8 +295,26 @@ def _eq_value_maps(
     return out
 
 
-def _manifest_columns(out_dir: str) -> list[tuple[str, dict]]:
-    manifest = read_manifest(out_dir)
+def _as_of_from_options(options: dict) -> int | None:
+    """Resolve the options' as_of/ref pair to a ledger epoch (or None
+    for the current snapshot)."""
+    as_of = options.get("as_of")
+    ref = options.get("ref")
+    if ref is not None:
+        if as_of is not None:
+            raise ValueError("pass as_of or ref, not both")
+        from choetl_spark.refs import resolve_ref
+
+        as_of = resolve_ref(options["path"], ref)
+    return int(as_of) if as_of is not None else None
+
+
+def _manifest_columns(
+    out_dir: str, as_of: int | None = None
+) -> list[tuple[str, dict]]:
+    from choetl_spark.ledger import manifest_as_of
+
+    manifest = manifest_as_of(read_manifest(out_dir), as_of)
     if manifest is None:
         raise FileNotFoundError(
             f"no choetl store at {out_dir} (missing _manifest.json — "
@@ -314,10 +332,10 @@ def _manifest_columns(out_dir: str) -> list[tuple[str, dict]]:
     return items
 
 
-def _store_schema_ddl(out_dir: str) -> str:
+def _store_schema_ddl(out_dir: str, as_of: int | None = None) -> str:
     return ", ".join(
         f"`{c}` {_spark_type_ddl(str_to_type(m['dtype']))}"
-        for c, m in _manifest_columns(out_dir)
+        for c, m in _manifest_columns(out_dir, as_of)
     )
 
 
@@ -658,16 +676,10 @@ class ChoetlBatchReader(DataSourceReader):
         self._dir = options["path"]
         self._batch_rows = int(options.get("batch_rows", 8192))
         self._target = int(options.get("target_split_bytes", 128 << 20))
-        as_of = options.get("as_of")
-        ref = options.get("ref")
-        if ref is not None:
-            if as_of is not None:
-                raise ValueError("pass as_of or ref, not both")
-            from choetl_spark.refs import resolve_ref
-
-            as_of = resolve_ref(self._dir, ref)
-        self._as_of = int(as_of) if as_of is not None else None
-        self._items = _manifest_columns(self._dir)
+        self._as_of = _as_of_from_options(options)
+        # snapshot-scoped schema: column names (and the decode plan)
+        # resolve against the epoch's schema under as_of
+        self._items = _manifest_columns(self._dir, self._as_of)
         self._masks: list[tuple] = []
 
     def pushFilters(self, filters):  # noqa: N802 (API name)
@@ -1044,7 +1056,9 @@ class ChoetlDataSource(DataSource):
         return "choetl"
 
     def schema(self):
-        return _store_schema_ddl(self.options["path"])
+        return _store_schema_ddl(
+            self.options["path"], _as_of_from_options(self.options)
+        )
 
     def reader(self, schema) -> ChoetlBatchReader:
         return ChoetlBatchReader(self.options)

@@ -1322,7 +1322,9 @@ def agg_encoded(
 
     import pyarrow as pa
 
-    manifest = read_manifest(out_dir)
+    # snapshot-scoped schema: column names resolve against the
+    # epoch's schema under as_of (manifest_as_of)
+    manifest = manifest_as_of(read_manifest(out_dir), as_of)
     if manifest is None:
         raise ValueError(
             "agg_encoded needs the encode-time manifest sidecar "

@@ -54,7 +54,7 @@ from choetl_spark.engine import (
     bloom_probe_frame,
     prune_partitions_by_bloom,
 )
-from choetl_spark.ledger import read_encoded, read_manifest
+from choetl_spark.ledger import manifest_as_of, read_encoded, read_manifest
 
 
 def _make_pos_kernel(name: str, out_type: pa.DataType):
@@ -240,7 +240,9 @@ def point_lookup(
         list(value) if isinstance(value, (list, tuple, set)) else [value]
     )
     enc = read_encoded(spark, out_dir, as_of=as_of)
-    manifest = read_manifest(out_dir)
+    # snapshot-scoped schema: key/column names resolve against the
+    # epoch's schema under as_of (manifest_as_of)
+    manifest = manifest_as_of(read_manifest(out_dir), as_of)
     if manifest is not None:
         items = [
             (c, m) for c, m in manifest.items() if not c.startswith("_")

@@ -157,6 +157,38 @@ def test_as_of_resolves_names_against_snapshot_schema(spark, tmp_path):
     )
 
 
+def test_as_of_snapshot_schema_reaches_every_reader(spark, tmp_path):
+    """The snapshot-scoped schema is honored by EVERY as_of reader,
+    not just scan_encoded: point lookup, aggregate pushdown, and the
+    Python data source all resolve the OLD name at the pre-rename
+    epoch."""
+    from choetl_spark.datasource import register
+    from choetl_spark.lookup import point_lookup
+
+    out, pages = _store(spark, tmp_path)  # epoch 1
+    probe = pages.select("url").limit(1).collect()[0][0]
+    want_text = pages.filter(F.col("url") == probe).collect()[0]["text"]
+    n = pages.count()
+
+    rename_column(out, "url", "page_url")
+
+    got = point_lookup(spark, out, "url", probe, ["text"], as_of=1)
+    assert [r["text"] for r in got.collect()] == [want_text]
+    agg = agg_encoded(
+        spark, out, {"n": ("count", "url")}, as_of=1
+    ).collect()[0]
+    assert agg["n"] == n
+    register(spark)
+    ds = (
+        spark.read.format("choetl").option("as_of", 1).load(out)
+    )
+    assert "url" in ds.columns and "page_url" not in ds.columns
+    assert ds.count() == n
+    # current-snapshot datasource read speaks the new name
+    ds_now = spark.read.format("choetl").load(out)
+    assert "page_url" in ds_now.columns
+
+
 def test_as_of_reads_dropped_column(spark, tmp_path):
     """A column dropped after epoch N is still readable at as_of=N —
     the snapshot's schema includes it (Iceberg contract); the current
