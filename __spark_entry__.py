@@ -741,6 +741,23 @@ def q_format_roundtrips(spark, sf_dir):
     )
 
 
+def q_dsir_select_documents(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023, public paper): the
+    top-50 most-target-like documents by hashed-n-gram importance
+    weight, target = the lang='en' slice, raw = the whole pool. The
+    oracle replays the full pipeline in SQL — md5-slice bucket hash,
+    add-one-smoothed probability ratio (6-decimal model rounding),
+    length-normalized per-doc weight (4 decimals), deterministic
+    top-k — so a drift anywhere (gram extraction, hashing, smoothing,
+    normalization, tie-break) flips the hash."""
+    from choetl_spark.operators import dsir_select
+
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    out = dsir_select(docs, target, k=50, buckets=512, n_max=2)
+    return out.select("doc_id", "log_weight")
+
+
 def q_connected_components_graph(spark, sf_dir):
     """Distributed connected components (large-star/small-star) over a
     deterministic graph derived from orders — oracle-checked against a
@@ -2694,6 +2711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_ngrams_documents": q_top_ngrams_documents,
         "connected_components_graph": q_connected_components_graph,
         "multimodal_features": q_multimodal_features,
+        "dsir_select_documents": q_dsir_select_documents,
     }
 
 
@@ -3198,6 +3216,62 @@ def _oracle_semantic_dedup(threshold: float = 0.3, n_clusters: int = 8) -> str:
     """
 
 
+def _oracle_dsir(buckets: int = 512, k: int = 50) -> str:
+    """SQL replay of the DSIR pipeline (operators/importance.py):
+    identical gram extraction (unigrams + bigrams, empty tokens
+    dropped), md5-slice bucket hash, add-one smoothing over the fixed
+    bucket space with 6-decimal model rounding, 4-decimal normalized
+    weights, (weight desc, doc_id) top-k."""
+    return f"""
+        WITH words AS (
+          SELECT doc_id, lang,
+                 string_split_regex(lower(trim(text)), '\\s+') AS w
+          FROM documents
+        ), uni AS (
+          SELECT doc_id, lang, unnest(w) AS g FROM words
+        ), bi AS (
+          SELECT doc_id, lang,
+                 unnest(list_transform(
+                   generate_series(1, len(w) - 1),
+                   i -> concat_ws(' ', w[i], w[i + 1])
+                 )) AS g
+          FROM words WHERE len(w) >= 2
+        ), grams AS (
+          SELECT * FROM uni WHERE g <> ''
+          UNION ALL SELECT * FROM bi
+        ), bkt AS (
+          SELECT doc_id, lang,
+                 ('0x' || substr(md5(g), 1, 8))::BIGINT % {buckets}
+                   AS bucket
+          FROM grams
+        ), tc AS (
+          SELECT bucket, count(*) AS n_t FROM bkt
+          WHERE lang = 'en' GROUP BY 1
+        ), rc AS (
+          SELECT bucket, count(*) AS n_r FROM bkt GROUP BY 1
+        ), model AS (
+          SELECT b.g AS bucket,
+                 round(
+                   ln((coalesce(n_t, 0) + 1.0)
+                      / ((SELECT sum(n_t) FROM tc) + {buckets}.0))
+                   - ln((coalesce(n_r, 0) + 1.0)
+                        / ((SELECT sum(n_r) FROM rc) + {buckets}.0))
+                 , 6) AS log_ratio
+          FROM generate_series(0, {buckets - 1}) b(g)
+          LEFT JOIN tc ON tc.bucket = b.g
+          LEFT JOIN rc ON rc.bucket = b.g
+        ), wts AS (
+          SELECT doc_id,
+                 round(sum(log_ratio) / count(*), 4) AS log_weight
+          FROM bkt JOIN model USING (bucket) GROUP BY doc_id
+        )
+        SELECT d.doc_id, coalesce(w.log_weight, 0.0) AS log_weight
+        FROM documents d LEFT JOIN wts w USING (doc_id)
+        ORDER BY log_weight DESC, d.doc_id
+        LIMIT {k}
+    """
+
+
 def _oracle_doc_stats() -> str:
     """The six per-document stat oracles of rounds 1-3 preserved as
     CTEs of one query, joined on doc_id — each column is still an
@@ -3587,6 +3661,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 2
         """,
         "doc_stats_documents": _oracle_doc_stats(),
+        "dsir_select_documents": _oracle_dsir(buckets=512, k=50),
         "format_roundtrips": _oracle_format_roundtrips(),
         "embedding_neardup_pairs": _oracle_embedding_neardup(0.4, 8),
         "ann_lsh_topk": _oracle_ann_lsh(n_planes=6, probe_hamming=1, k=10),

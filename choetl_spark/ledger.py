@@ -1679,6 +1679,21 @@ def expire_snapshots(
         return res
     with open(_expiry_path(out_dir), "w", encoding="utf-8") as fh:
         json.dump({"min_as_of_seq": floor}, fh)
+    # schema-log snapshots below the floor are unreachable now (every
+    # as_of under the floor refuses loudly) — prune them so the
+    # manifest sidecar stays O(live schema history)
+    man = read_manifest(out_dir)
+    if man and man.get("_schema_log"):
+        kept_log = [
+            s for s in man["_schema_log"]
+            if int(s["through_seq"]) >= floor
+        ]
+        if len(kept_log) != len(man["_schema_log"]):
+            if kept_log:
+                man["_schema_log"] = kept_log
+            else:
+                man.pop("_schema_log")
+            write_manifest(out_dir, man)
     expired = [
         r["part_id"]
         for r in ledger.filter(

@@ -38,6 +38,12 @@ from choetl_spark.operators.corpus import (  # noqa: F401
     pack_shards,
     top_ngrams,
 )
+from choetl_spark.operators.importance import (  # noqa: F401
+    dsir_model,
+    dsir_select,
+    dsir_weights,
+    hashed_gram_buckets,
+)
 from choetl_spark.operators.sampling import (  # noqa: F401
     cap_per_domain,
     sample_mixture,

@@ -210,6 +210,30 @@ def test_as_of_reads_dropped_column(spark, tmp_path):
     assert got == truth
 
 
+def test_expire_snapshots_prunes_unreachable_schema_log(spark, tmp_path):
+    """Schema-log snapshots below the expiry floor serve no readable
+    epoch (as_of under the floor refuses) — expire_snapshots prunes
+    them; entries at/above the floor survive and keep resolving."""
+    from choetl_spark.ledger import expire_snapshots
+
+    out, pages = _store(spark, tmp_path)  # epoch 1
+    rename_column(out, "url", "u2")  # log entry through_seq=1
+    more = pages.withColumnRenamed("url", "u2").withColumn(
+        "part_id", F.lit(50)
+    )
+    encode_with_resume(spark, more, out, CFG, run_id="i2")  # epoch 2
+    rename_column(out, "u2", "u3")  # log entry through_seq=2
+    assert len(read_manifest(out)["_schema_log"]) == 2
+
+    expire_snapshots(spark, out, older_than_seq=2)
+    log = read_manifest(out)["_schema_log"]
+    assert [s["through_seq"] for s in log] == [2]
+    # the surviving entry still resolves epoch 2's schema
+    assert scan_encoded(spark, out, ["u2"], as_of=2).count() > 0
+    with pytest.raises(ValueError, match="expired"):
+        scan_encoded(spark, out, ["url"], as_of=1).collect()
+
+
 def test_rename_validations(spark, tmp_path):
     out, _ = _store(spark, tmp_path)
     with pytest.raises(ValueError, match="already exists"):
