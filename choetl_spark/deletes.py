@@ -735,7 +735,14 @@ def rollback_to(
         return out
 
     manifest = read_manifest(out_dir)
-    enc_t = read_encoded(spark, out_dir, as_of=to_seq).filter(
+    # current_schema: rollback restores DATA to the to_seq snapshot
+    # under the CURRENT schema (Iceberg rollback_to_snapshot does not
+    # revert schema evolution) — the re-encode below must write the
+    # current display names, and columns dropped since to_seq stay
+    # dropped (their chunks are masked by the current-manifest remap)
+    enc_t = read_encoded(
+        spark, out_dir, as_of=to_seq, current_schema=True
+    ).filter(
         F.col("part_id").isin(rewrite_targets)
     )
     rows = decode_dataframe(enc_t, manifest=manifest, with_pos=True)

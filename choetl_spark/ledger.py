@@ -459,6 +459,7 @@ def read_encoded(
     include_staged: bool = False,
     ref: str | None = None,
     raw_columns: bool = False,
+    current_schema: bool = False,
 ) -> DataFrame:
     """Committed chunks only (semi-join against the ledger on the
     ``(part_id, attempt_id)`` commit key — see the module docstring for
@@ -482,6 +483,13 @@ def read_encoded(
     published/aborted (:mod:`choetl_spark.refs`) — maintenance must not
     reclaim a stage awaiting its audit; normal readers never see them.
     ``ref`` reads the snapshot a named tag/branch points at.
+
+    ``current_schema=True`` makes ``as_of`` govern ledger VISIBILITY
+    only while names resolve against the CURRENT schema — the shape
+    internal multi-epoch machinery needs (``rollback_to`` re-encodes
+    old-snapshot data under current names; ``read_changes`` unions
+    frames from two epochs), matching Iceberg where rollback and
+    changelog do not revert schema evolution.
 
     Plan caching: repeat calls for the SAME unchanged snapshot return
     the SAME DataFrame object (the plan build is driver-side file-stat
@@ -526,6 +534,7 @@ def read_encoded(
         cache_key = (
             *_cache_key(spark, out_dir),
             as_of, include_retired, include_staged, raw_columns,
+            current_schema,
         )
         hit = _ENCODED_DF_CACHE.get(cache_key)
         if hit is not None and hit[0] == (lsig, csig, msig):
@@ -551,9 +560,13 @@ def read_encoded(
     out = _commit_join(chunks, done, "semi")
     if not raw_columns:
         # as_of readers resolve display names against the SNAPSHOT's
-        # schema (manifest_as_of), not the current one
+        # schema (manifest_as_of) — except when the caller is internal
+        # multi-epoch machinery (rollback / changelog) that must stay
+        # in the CURRENT schema: current_schema=True makes as_of govern
+        # ledger VISIBILITY only (Iceberg's rollback/changelog shape)
+        mf = read_manifest(out_dir)
         out = _display_remap(
-            out, manifest_as_of(read_manifest(out_dir), as_of)
+            out, mf if current_schema else manifest_as_of(mf, as_of)
         )
     if cache_key is not None:
         # the signatures were stat'ed BEFORE the plan build; a writer
@@ -974,7 +987,12 @@ def read_changes(
     def live_rows(part_ids: list[int], seq: int) -> DataFrame | None:
         if not part_ids:
             return None
-        enc = read_encoded(spark, out_dir, as_of=seq).join(
+        # current_schema: the changelog speaks the CURRENT table
+        # schema at every epoch (Iceberg changelog contract) — and the
+        # insert/delete halves must unionByName
+        enc = read_encoded(
+            spark, out_dir, as_of=seq, current_schema=True
+        ).join(
             F.broadcast(
                 spark.createDataFrame(
                     [(int(p),) for p in part_ids], "part_id long"
@@ -1022,7 +1040,10 @@ def read_changes(
                 "part_id",
                 "semi",
             )
-            enc = read_encoded(spark, out_dir, as_of=from_seq or to_seq)
+            enc = read_encoded(
+                spark, out_dir, as_of=from_seq or to_seq,
+                current_schema=True,
+            )
             hit = decode_dataframe(
                 enc.join(
                     F.broadcast(new_tombs.select("part_id").distinct()),

@@ -210,6 +210,51 @@ def test_as_of_reads_dropped_column(spark, tmp_path):
     assert got == truth
 
 
+def test_rollback_and_changelog_after_rename_stay_in_current_schema(
+    spark, tmp_path
+):
+    """Iceberg semantics: rollback_to restores DATA, not schema — after
+    a rename, rolling back to a pre-rename snapshot must re-encode
+    under the CURRENT name (a naive snapshot-schema read here would
+    decode old names against the new manifest and corrupt the
+    restore); read_changes likewise speaks the current schema at every
+    epoch so its insert/delete halves union."""
+    from choetl_spark.deletes import delete_where, rollback_to
+    from choetl_spark.ledger import read_changes
+
+    out, pages = _store(spark, tmp_path)  # epoch 1
+    truth = sorted(
+        (r["url"], r["text"])
+        for r in pages.select("url", "text").collect()
+    )
+    delete_where(spark, out, equals={"lang": "de"})  # epoch 2
+    rename_column(out, "url", "page_url")
+
+    rollback_to(spark, out, 1, cfg=CFG)  # undo the delete, post-rename
+    got = sorted(
+        (r["page_url"], r["text"])
+        for r in scan_encoded(
+            spark, out, ["page_url", "text"]
+        ).collect()
+    )
+    assert got == truth  # full pre-delete content, CURRENT names
+
+    ch = read_changes(spark, out, from_seq=1, columns=["page_url"])
+    assert "page_url" in ch.columns
+    # the rollback rewrote tombstoned partitions under fresh ids, so
+    # the changelog emits both halves — and they must cancel exactly
+    # (the scan(from) + inserts - deletes == scan(to) contract)
+    ins = sorted(
+        r["page_url"]
+        for r in ch.filter(F.col("_change_type") == "insert").collect()
+    )
+    dels = sorted(
+        r["page_url"]
+        for r in ch.filter(F.col("_change_type") == "delete").collect()
+    )
+    assert ins == dels and len(ins) > 0
+
+
 def test_expire_snapshots_prunes_unreachable_schema_log(spark, tmp_path):
     """Schema-log snapshots below the expiry floor serve no readable
     epoch (as_of under the floor refuses) — expire_snapshots prunes
