@@ -45,7 +45,9 @@ all behave identically.
 Scope guards (v1, each raises with a pointer to the primary API):
 nested/decimal ("logical") columns — their JSON restore happens
 JVM-side in :func:`choetl_spark.engine.decode_dataframe`; equality
-deletes whose key column was renamed/dropped after the delete.
+deletes whose key column was DROPPED after the delete (a RENAMED key
+resolves through the schema log's physical chunk key and keeps
+applying, same as the primary reader).
 
 Filter pushdown: ``pushFilters`` keeps simple predicates and evaluates
 them task-side with ``pyarrow.compute`` so non-matching rows never
@@ -263,18 +265,39 @@ def _eq_value_maps(
     subtraction happens task-side on already-decoded batches."""
     if not state["eq_commits"]:
         return {}
+    from choetl_spark.ledger import manifest_as_of, physical_name
+
     display = {c for c, _ in items}
-    by_col: dict[str, list[tuple[str, int]]] = {}
+    manifest = read_manifest(out_dir)
+
+    def to_items_name(col: str, seq: int) -> str:
+        # a key renamed after its delete resolves through the schema
+        # log's shared physical chunk key into THIS reader's schema
+        # (the epoch view under as_of, the current one otherwise); a
+        # dropped key still refuses loudly
+        if col in display:
+            return col
+        entry = (manifest_as_of(manifest, seq) or {}).get(col)
+        if entry is not None:
+            phys = physical_name(entry, col)
+            for c, m in items:
+                if physical_name(m, c) == phys:
+                    return c
+        raise ValueError(
+            f"equality-delete key column {col!r} (recorded at epoch "
+            f"{seq}) does not resolve to a column of this store's "
+            "schema (dropped after the delete) — read via scan_encoded"
+        )
+
+    # grouped by (reader-schema name, recorded name): the value table
+    # lives under the recorded name on disk
+    by_col: dict[tuple[str, str], list[tuple[str, int]]] = {}
     for did, seq, col in state["eq_commits"]:
-        if col not in display:
-            raise ValueError(
-                f"equality-delete key column {col!r} is not a current "
-                "column of this store (renamed or dropped after the "
-                "delete) — read via scan_encoded"
-            )
-        by_col.setdefault(col, []).append((did, seq))
+        by_col.setdefault(
+            (to_items_name(col, int(seq)), col), []
+        ).append((did, seq))
     out: dict[str, dict] = {}
-    for col, commits in by_col.items():
+    for (cur, col), commits in by_col.items():
         t = _read_parquet_dir(_eq_dir(out_dir, col))
         if t is None:
             raise RuntimeError(
@@ -291,7 +314,12 @@ def _eq_value_maps(
             s = seq_of.get(did)
             if s is not None and (val not in vmap or vmap[val] < s):
                 vmap[val] = s
-        out[col] = vmap
+        if cur in out:
+            for val, sq in vmap.items():
+                if val not in out[cur] or out[cur][val] < sq:
+                    out[cur][val] = sq
+        else:
+            out[cur] = vmap
     return out
 
 

@@ -149,6 +149,35 @@ def delete_by_key(
             "delete_id": delete_id}
 
 
+def resolve_eq_key(manifest: dict | None, col: str, seq: int) -> str:
+    """The CURRENT display name of an equality-delete key recorded as
+    ``col`` at commit epoch ``seq``. A key renamed AFTER the delete
+    resolves through the schema log's shared physical chunk key (so old
+    deletes keep applying — the Iceberg field-id contract); a key
+    DROPPED after the delete still refuses loudly (silently skipping it
+    would resurrect deleted rows)."""
+    from choetl_spark.ledger import (
+        manifest_as_of,
+        manifest_data_items,
+        physical_name,
+    )
+
+    if manifest is None or col in manifest:
+        return col
+    entry = (manifest_as_of(manifest, seq) or {}).get(col)
+    if entry is not None:
+        phys = physical_name(entry, col)
+        for c, m in manifest_data_items(manifest):
+            if physical_name(m, c) == phys:
+                return c
+    raise KeyError(
+        f"equality-delete key {col!r} (recorded at epoch {seq}) is no "
+        "longer a store column and its physical key has no current "
+        "name (dropped after the delete) — reading would resurrect "
+        "deleted rows; rewrite the affected partitions first"
+    )
+
+
 def eq_delete_positions(
     spark: SparkSession, out_dir: str, as_of: int | None = None
 ) -> DataFrame | None:
@@ -191,9 +220,6 @@ def eq_delete_positions(
             "but no readable _eq_deletes table — refusing to read (it "
             "would resurrect deleted rows)."
         )
-    by_col: dict[str, list] = {}
-    for aid, seq, col in rows:
-        by_col.setdefault(col, []).append((aid, seq))
     if not meta["has_done"]:
         return None  # nothing ingested yet — no rows to delete
     ledger = read_ledger(spark, out_dir)
@@ -202,8 +228,16 @@ def eq_delete_positions(
         F.min("run_seq").alias("_pseq")
     )
     manifest = read_manifest(out_dir)
+    # keys recorded before a rename resolve to their CURRENT name via
+    # the schema log (same physical chunk key); grouped by (current,
+    # recorded) since the values table lives under the recorded name
+    groups: dict[tuple[str, str], list] = {}
+    for aid, seq, col in rows:
+        groups.setdefault(
+            (resolve_eq_key(manifest, col, int(seq)), col), []
+        ).append((aid, seq))
     out: DataFrame | None = None
-    for col, commits_c in by_col.items():
+    for (cur, col), commits_c in groups.items():
         id_seq = spark.createDataFrame(
             commits_c, "delete_id string, _eq_seq long"
         )
@@ -214,7 +248,12 @@ def eq_delete_positions(
             .distinct()
         )
         max_seq = max(s for _, s in commits_c)
-        enc = read_encoded(spark, out_dir, as_of=as_of)
+        # current_schema: positions are name-agnostic, so this internal
+        # pass stays in the current schema even under as_of (the key
+        # has already been resolved to its current name)
+        enc = read_encoded(
+            spark, out_dir, as_of=as_of, current_schema=True
+        )
         # only partitions older than the newest delete can match
         eligible = part_seq.filter(F.col("_pseq") < max_seq).select(
             "part_id"
@@ -225,9 +264,9 @@ def eq_delete_positions(
             for r in vals.select("_eq_value").limit(33).collect()
         ]
         if 0 < len(probe) <= 32 and bloom_probeable(probe):
-            enc = prune_partitions_by_bloom(enc, col, probe)
+            enc = prune_partitions_by_bloom(enc, cur, probe)
         decoded = decode_dataframe(
-            enc, columns=[col], manifest=manifest, with_pos=True
+            enc, columns=[cur], manifest=manifest, with_pos=True
         )
         matched = (
             decoded.join(
@@ -240,7 +279,7 @@ def eq_delete_positions(
             )
             .join(
                 F.broadcast(vals),
-                (F.col(col) == F.col("_eq_value"))
+                (F.col(cur) == F.col("_eq_value"))
                 & (F.col("_pseq") < F.col("_eq_seq")),
                 "semi",
             )

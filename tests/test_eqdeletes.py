@@ -218,3 +218,39 @@ def test_upsert_by_key_merge_and_retry(spark, store):
     assert res2["partitions_encoded_this_run"] == 0
     st2, n2 = state()
     assert (st2, n2) == (st, n)
+
+
+def test_eq_delete_survives_key_rename(spark, store):
+    """An equality delete recorded BEFORE a rename keeps applying after
+    it — the key resolves through the schema log's shared physical
+    chunk key (Iceberg field-id contract) in BOTH the primary reader
+    and the Python data source; a drop of the key column still refuses
+    loudly (skipping would resurrect the deleted rows)."""
+    from choetl_spark.datasource import register
+    from choetl_spark.schema_evolution import drop_column, rename_column
+
+    out, pages, cfg = store
+    all_urls = _urls(pages)
+    victims = sorted(all_urls)[:3]
+    delete_by_key(spark, out, "url", victims)
+
+    rename_column(out, "url", "page_url")
+    got = _urls(
+        scan_encoded(spark, out, ["page_url"]).withColumnRenamed(
+            "page_url", "url"
+        )
+    )
+    assert got == all_urls - set(victims)
+    register(spark)
+    ds = spark.read.format("choetl").load(out)
+    assert {r["page_url"] for r in ds.select("page_url").collect()} == (
+        all_urls - set(victims)
+    )
+    # as_of at the pre-rename epoch: old name, delete not yet visible
+    pre = scan_encoded(spark, out, ["url"], as_of=1)
+    assert _urls(pre) == all_urls
+
+    # dropping the key column refuses (deleted rows must not resurrect)
+    drop_column(out, "page_url")
+    with pytest.raises(Exception, match="resurrect|no current name"):
+        scan_encoded(spark, out, ["text"]).collect()
