@@ -159,6 +159,29 @@ def curate(spark, args) -> dict:
         ).filter(~F.col("contaminated")).drop("n_matched", "contaminated")
         counts["after_decontaminate"] = df.count()
 
+    if args.dsir_target:
+        # DSIR importance weighting (Xie et al. NeurIPS 2023): score
+        # every surviving doc by how target-like its hashed-n-gram
+        # distribution is and keep the top --dsir-frac fraction via an
+        # approx-quantile weight threshold (scale-safe: no global sort,
+        # no driver-side top-k of millions of rows).
+        from choetl_spark.operators import dsir_model, dsir_weights
+
+        target = spark.read.parquet(args.dsir_target)
+        model = dsir_model(
+            target, df, text_col=text_col,
+            buckets=args.dsir_buckets, id_col=id_col,
+        )
+        df = dsir_weights(
+            df, model, text_col=text_col, id_col=id_col,
+            buckets=args.dsir_buckets,
+        )
+        thr = df.approxQuantile(
+            "log_weight", [1.0 - args.dsir_frac], 0.001
+        )[0]
+        df = df.filter(F.col("log_weight") >= thr).drop("log_weight")
+        counts["after_dsir"] = df.count()
+
     if args.mixture:
         rates = {}
         for part in args.mixture.split(","):
@@ -302,6 +325,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--url-col", default="url")
     p.add_argument("--decontaminate", default=None,
                    help="parquet of eval docs; drop 8-gram overlaps")
+    p.add_argument("--dsir-target", default=None,
+                   help="parquet of target-domain docs; keep the docs "
+                        "most distributionally similar to it (DSIR "
+                        "hashed-n-gram importance weights)")
+    p.add_argument("--dsir-frac", type=float, default=0.5,
+                   help="fraction of docs to keep under --dsir-target "
+                        "(approx-quantile weight threshold)")
+    p.add_argument("--dsir-buckets", type=int, default=4096)
     p.add_argument("--mixture", default=None,
                    help='per-source keep rates, e.g. "web=0.3,wiki=1.0"')
     p.add_argument("--mixture-default", type=float, default=0.0,

@@ -598,3 +598,52 @@ def test_linkgraph_job_pipeline(spark, tmp_path):
     # crawled pages are flagged and hold the ring's uniform-ish rank
     page0 = got["https://h0.example.org/p"]
     assert page0.is_page is True and page0.rank > 0
+
+
+def test_curate_job_dsir_stage(spark, tmp_path):
+    """--dsir-target keeps the approx top fraction of docs by
+    target-likeness: with target = the 'en' slice, the surviving set
+    must be en-enriched relative to the input pool, and the count
+    respects the requested fraction (quantile tolerance)."""
+    import importlib.util
+
+    from pyspark.sql import functions as F
+
+    spec = importlib.util.spec_from_file_location(
+        "curate_job", os.path.join(REPO, "jobs", "curate_job.py")
+    )
+    curate_job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(curate_job)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "docs_in.parquet")
+    docs.write.parquet(src)
+    target_p = str(tmp_path / "target.parquet")
+    docs.filter(F.col("lang") == "en").write.parquet(target_p)
+    out = str(tmp_path / "curated_dsir")
+
+    args = curate_job.build_parser().parse_args([
+        "--input", src, "--output", out, "--min-quality", "0.0",
+        "--max-dup-2gram", "1.0", "--dsir-target", target_p,
+        "--dsir-frac", "0.5", "--dsir-buckets", "512",
+        "--partitions", "4", "--chunk-rows", "256",
+        "--chunk-bytes", str(1 << 20),
+    ])
+    result = curate_job.curate(spark, args)
+    c = result["counts"]
+    pool = c["after_filters"]
+    kept = c["after_dsir"]
+    assert 0 < kept <= pool
+    assert abs(kept - 0.5 * pool) <= 0.15 * pool  # quantile tolerance
+
+    from choetl_spark.engine import decode_dataframe
+    from choetl_spark.ledger import read_encoded, read_manifest
+
+    decoded = decode_dataframe(
+        read_encoded(spark, out), manifest=read_manifest(out)
+    )
+    en_in = docs.filter(F.col("lang") == "en").count() / docs.count()
+    en_out = (
+        decoded.filter(F.col("lang") == "en").count() / decoded.count()
+    )
+    assert en_out > en_in  # the kept set is target(en)-enriched
