@@ -2609,12 +2609,14 @@ def q_rollup_revenue(spark, sf_dir):
     )
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver's correctness gate checks a fixed-size
-    # prefix of this registry (50 in rounds 1-3), so the flagship
-    # engine/store/web surface leads and the long tail of operator
-    # queries (all driver-verified green in CORRECTNESS_r0{1,2,3}.json)
-    # follows.
+def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Canonical registry order: the 15 pinned flagships first, then the
+    # 35 other entries that filled rounds 1-4's gate window, then the
+    # long tail. queries() below ROTATES everything past the pinned 15
+    # through the driver gate's fixed-size 50-slot prefix by round
+    # number, so every entry re-earns a driver-green CORRECTNESS row
+    # every ~2 rounds instead of a chosen 50 staying permanently
+    # checked and the rest permanently trust-only.
     return {
         # -- engine flagship: encode / decode / scan-direct / data source
         "encode_summary": q_encode_summary,
@@ -2713,6 +2715,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "dsir_select_documents": q_dsir_select_documents,
     }
+
+
+_N_PINNED = 15  # flagship prefix of _all_queries(), never rotated out
+_N_ROTATING = 35  # gate window (50) minus the pinned flagships
+_R04_WINDOW_END = 50  # _all_queries() position where r1-r4's gate ended
+_BASE_ROUND = 5  # round whose rotation offset is 0
+
+
+def _round_number() -> int:
+    """The build round, inferred from the driver's own CORRECTNESS
+    artifacts next to this file (round N starts with rounds 1..N-1
+    recorded). Deterministic for a given checkout — re-running the gate
+    within one round always sees the same window."""
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        names = os.listdir(here)
+    except OSError:
+        return _BASE_ROUND
+    rounds = [
+        int(m.group(1))
+        for n in names
+        for m in [re.match(r"CORRECTNESS_r(\d+)\.json$", n)]
+        if m
+    ]
+    return (max(rounds) + 1) if rounds else _BASE_ROUND
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # The driver's correctness gate checks a fixed-size 50-entry prefix
+    # of this registry. Slots 1-15 pin the flagship encode/store core;
+    # slots 16-50 rotate by round through every other entry (long tail
+    # FIRST, so the 39 queries the r4 window pushed out re-earn driver
+    # rows immediately), advancing 35 positions per round — full
+    # re-verification of the registry every ~2-3 rounds.
+    allq = _all_queries()
+    names = list(allq)
+    pinned = names[:_N_PINNED]
+    # rotation order: entries past r4's window lead, then r4's
+    # non-pinned window members
+    tail = names[_R04_WINDOW_END:] + names[_N_PINNED:_R04_WINDOW_END]
+    off = (_N_ROTATING * (_round_number() - _BASE_ROUND)) % len(tail)
+    rotated = tail[off:] + tail[:off]
+    window = pinned + rotated[:_N_ROTATING]
+    rest = [n for n in names if n not in set(window)]
+    return {n: allq[n] for n in window + rest}
 
 
 # ---------------------------------------------------------------------------

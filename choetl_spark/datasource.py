@@ -275,9 +275,16 @@ def _eq_value_maps(
         # log's shared physical chunk key into THIS reader's schema
         # (the epoch view under as_of, the current one otherwise); a
         # dropped key still refuses loudly
-        if col in display:
-            return col
         entry = (manifest_as_of(manifest, seq) or {}).get(col)
+        if col in display:
+            # same physical-key check as resolve_eq_key: a live name
+            # can front a DIFFERENT physical column after a
+            # rename-chain reuses it ("Z->A, delete on A, A->B, C->A")
+            cur = dict(items)[col]
+            if entry is None or physical_name(entry, col) == physical_name(
+                cur, col
+            ):
+                return col
         if entry is not None:
             phys = physical_name(entry, col)
             for c, m in items:

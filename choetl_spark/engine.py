@@ -495,11 +495,21 @@ def _encode_upstream(
         # partition contiguous within a task; sorting by the row key too
         # costs a full string sort for no measured footprint gain (0.1780
         # ratio either way on the web-page table at sf-bench scale).
-        sort_cols = (
-            ["part_id", cfg.key_col]
-            if cfg.deterministic and lead
-            else ["part_id"]
-        )
+        if cfg.deterministic and lead:
+            # rows tied on key_col (the key-unique contract violated)
+            # would otherwise keep their fetch-order nondeterminism, so
+            # a retried native-write attempt could overwrite a
+            # committed chunk with different bytes — a full-row
+            # xxhash64 tiebreaker pins their relative order too (rows
+            # that still tie are byte-identical duplicates, which are
+            # interchangeable; distinct tied rows need a 2^-64 hash
+            # collision to escape)
+            tiebreak = F.xxhash64(
+                *[F.col(c) for c in picked.columns if c != "part_id"]
+            )
+            sort_cols = ["part_id", cfg.key_col, tiebreak]
+        else:
+            sort_cols = ["part_id"]
         shuffled = picked.repartition(
             cfg.num_partitions, "part_id"
         ).sortWithinPartitions(*sort_cols)
@@ -543,8 +553,9 @@ def _make_writing_wrapper(inner_kernel, chunks_dir: str, attempt_id: str):
     ``encode_with_resume(native_write=True)`` therefore forces the
     deterministic within-partition sort under the salted shuffle
     (shuffle reads are otherwise fetch-order nondeterministic), which
-    pins bytes when ``key_col`` is unique per row (the web-page
-    table's url contract); scan-local mode (shuffle="none") is stable
+    pins bytes via (key_col, full-row xxhash64) — key ties included,
+    so the web-page table's url-uniqueness contract is belt, not
+    load-bearing; scan-local mode (shuffle="none") is stable
     because retries re-read the same split in scan order. Spark's own
     writer solves the same race with output-commit coordination, which
     Python task kernels cannot reach."""

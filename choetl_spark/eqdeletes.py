@@ -162,9 +162,18 @@ def resolve_eq_key(manifest: dict | None, col: str, seq: int) -> str:
         physical_name,
     )
 
-    if manifest is None or col in manifest:
+    if manifest is None:
         return col
     entry = (manifest_as_of(manifest, seq) or {}).get(col)
+    if col in manifest:
+        # a live name alone is not proof: after "Z->A, delete on A,
+        # A->B, C->A" the name 'A' now fronts C's chunks, and trusting
+        # it would delete C's rows while resurrecting B's — require the
+        # epoch entry's physical chunk key to match the current one
+        if entry is None or physical_name(entry, col) == physical_name(
+            manifest[col], col
+        ):
+            return col
     if entry is not None:
         phys = physical_name(entry, col)
         for c, m in manifest_data_items(manifest):

@@ -144,6 +144,7 @@ def max_committed_seq(out_dir: str) -> int:
     """Highest committed ledger epoch, read driver-side with pyarrow
     (the ledger files are tiny metadata) — lets schema evolution stamp
     its schema-log snapshots without needing a Spark session."""
+    import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
@@ -158,10 +159,24 @@ def max_committed_seq(out_dir: str) -> int:
     for n in names:
         try:
             t = pq.read_table(
-                os.path.join(_ledger_dir(out_dir), n), columns=["run_seq"]
+                os.path.join(_ledger_dir(out_dir), n),
+                columns=["run_seq", "status"],
             )
         except Exception:
             continue
+        # committed statuses only: a 'staged' (in-flight WAP) or
+        # 'aborted' epoch must not stamp schema-log snapshots, or a
+        # rename during the WAP run lands its snapshot at the staged
+        # epoch and as_of at that epoch (if later published) serves the
+        # pre-rename schema even though the rename preceded publication
+        t = t.filter(
+            pc.is_in(
+                t.column("status"),
+                value_set=pa.array(
+                    ["done", "delete", "eqdelete", "retired"]
+                ),
+            )
+        )
         if t.num_rows:
             m = pc.max(t.column("run_seq")).as_py()
             if m is not None:

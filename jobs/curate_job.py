@@ -176,10 +176,16 @@ def curate(spark, args) -> dict:
             df, model, text_col=text_col, id_col=id_col,
             buckets=args.dsir_buckets,
         )
-        thr = df.approxQuantile(
+        qs = df.approxQuantile(
             "log_weight", [1.0 - args.dsir_frac], 0.001
-        )[0]
-        df = df.filter(F.col("log_weight") >= thr).drop("log_weight")
+        )
+        # approxQuantile returns [] on an empty frame (everything
+        # culled by the earlier dedup/decontaminate stages) — there is
+        # nothing to rank, so skip the threshold filter instead of
+        # crashing on qs[0]
+        if qs:
+            df = df.filter(F.col("log_weight") >= qs[0])
+        df = df.drop("log_weight")
         counts["after_dsir"] = df.count()
 
     if args.mixture:

@@ -254,3 +254,38 @@ def test_eq_delete_survives_key_rename(spark, store):
     drop_column(out, "page_url")
     with pytest.raises(Exception, match="resurrect|no current name"):
         scan_encoded(spark, out, ["text"]).collect()
+
+
+def test_eq_delete_rename_chain_reusing_key_name(spark, store):
+    """A rename chain that REUSES the delete key's display name for a
+    different column must not confuse the delete: after "lang->kind,
+    eq-delete on kind, kind->category, text->kind" the name 'kind'
+    fronts text's chunks, but the delete recorded on 'kind' still
+    targets lang's physical column — rows with the victim lang value
+    stay hidden (under name 'category'), and no text row is deleted.
+    The name-is-live shortcut without a physical-key check applied the
+    delete to text and resurrected the lang deletions."""
+    from choetl_spark.datasource import register
+    from choetl_spark.schema_evolution import rename_column
+
+    out, pages, cfg = store
+    victim = "en"
+    n_victims = pages.filter(F.col("lang") == victim).count()
+    assert n_victims > 0
+    total = pages.count()
+
+    rename_column(out, "lang", "kind")  # kind: phys=lang
+    delete_by_key(spark, out, "kind", [victim])
+    rename_column(out, "kind", "category")  # category: phys=lang
+    rename_column(out, "text", "kind")  # kind now fronts text's chunks
+
+    got = scan_encoded(spark, out, ["category", "kind"])
+    assert got.count() == total - n_victims
+    assert got.filter(F.col("category") == victim).count() == 0
+    # text rows untouched: every surviving row still has its text
+    assert got.filter(F.col("kind").isNull()).count() == 0
+
+    register(spark)
+    ds = spark.read.format("choetl").load(out)
+    assert ds.count() == total - n_victims
+    assert ds.filter(F.col("category") == victim).count() == 0
