@@ -345,6 +345,29 @@ def bench_selective_scan_control(spark, sf_dir: str) -> None:
     ).count()
 
 
+def bench_sentinel(spark, sf_dir: str) -> None:
+    """Fixed pure-JVM noise control: parquet scan + hash aggregate on
+    lineitem. No Python workers, no store code, no code path this repo
+    can regress — its wall time moves only with the box (the sandbox is
+    a shared VM with bursty neighbors; BENCH_r04 ran uniformly +36% vs
+    r03 on an unchanged harness). Reporting every query as a ratio to
+    the sentinel makes round-over-round deltas attributable: code
+    regressions move the ratio, neighbor noise moves both terms."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    (
+        df.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity"),
+            F.sum("l_extendedprice"),
+            F.avg("l_discount"),
+            F.count("*"),
+        )
+        .collect()
+    )
+
+
 BENCHES = {
     "encode_webpages": bench_encode,
     "encode_speed_profile": bench_encode_speed,
@@ -381,14 +404,28 @@ def run_default() -> None:
     # across runs minutes apart with zero code change); min-of-2 keeps
     # the recorded number about the code, not the neighbors
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-    times: dict[str, float] = {}
-    for name, fn in BENCHES.items():
-        best = float("inf")
-        for _ in range(reps):
+    # rep-major sweep with a pure-JVM sentinel timed at the head of
+    # every rep: per-rep raw values are kept (not just best-of) so a
+    # reader can see WITHIN-run variance, and each query also reports
+    # best-of as a ratio to the sentinel's best-of — the
+    # noise-normalized number that stays comparable across rounds on a
+    # shared VM (see bench_sentinel)
+    bench_sentinel(spark, SF_DIR)  # warm file listing / footer caches
+    per_rep: dict[str, list[float]] = {n: [] for n in BENCHES}
+    sentinel_reps: list[float] = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        bench_sentinel(spark, SF_DIR)
+        sentinel_reps.append(round(time.perf_counter() - t0, 3))
+        for name, fn in BENCHES.items():
             t0 = time.perf_counter()
             fn(spark, SF_DIR)
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+            per_rep[name].append(round(time.perf_counter() - t0, 3))
+    times = {n: round(min(v), 3) for n, v in per_rep.items()}
+    sentinel_best = min(sentinel_reps)
+    sentinel_ratios = {
+        n: round(t / sentinel_best, 2) for n, t in times.items()
+    }
     total = round(sum(times.values()), 3)
     # round-2 comparability: the first 8 queries are the round-2
     # headline set; the store benches were added in round 3, so the
@@ -410,7 +447,17 @@ def run_default() -> None:
                 "queries": times,
                 "sf": sf,
                 "reps": reps,
-                "timing": "best-of-reps per query",
+                "timing": "best-of-reps per query (rep-major sweep)",
+                "per_rep": per_rep,
+                "sentinel": {
+                    "query": (
+                        "lineitem parquet scan + groupBy agg (pure JVM"
+                        ", fixed across rounds)"
+                    ),
+                    "per_rep": sentinel_reps,
+                    "best": sentinel_best,
+                },
+                "sentinel_ratios": sentinel_ratios,
                 "subtotals": {
                     "headline_core_r2_comparable": core,
                     "store_scan_suite_new_in_r3": store,
