@@ -659,6 +659,9 @@ def _xml_field_pattern(
         closing tag is matched by backreference)
       - ``tag[@attr='v']``     — attribute-equality predicate on any
         step, leaf or ancestor; single or double quotes
+      - ``tag[n]``             — positional predicate (1-based n-th
+        occurrence within the enclosing context) on any literal-tag
+        step, leaf or ancestor
       - ``@attr``              — attribute leaf (final segment only)
     """
     import re as _re
@@ -668,11 +671,12 @@ def _xml_field_pattern(
     step_re = _re.compile(
         r"^(?P<tag>\*|[^\[\]@*/]+)"
         r"(?:\[@(?P<pattr>[^=\]\s]+)\s*=\s*"
-        r"(?P<q>['\"])(?P<pval>[^'\"]*)(?P=q)\])?$"
+        r"(?P<q>['\"])(?P<pval>[^'\"]*)(?P=q)\]"
+        r"|\[(?P<pos>[1-9]\d*)\])?$"
     )
     bad = not spec or "//" in spec or spec.endswith("/")
     raw_parts = spec.split("/") if not bad else []
-    steps: list[tuple[str, str | None, str | None]] = []
+    steps: list[tuple[str, str | None, str | None, int | None]] = []
     attr_leaf: str | None = None
     for i, p in enumerate(raw_parts):
         if p.startswith("@"):
@@ -682,21 +686,25 @@ def _xml_field_pattern(
             attr_leaf = p[1:]
             continue
         m = step_re.match(p)
-        if m is None:
+        if m is None or (m["pos"] is not None and m["tag"] == "*"):
             bad = True
             break
-        steps.append((m["tag"], m["pattr"], m["pval"]))
+        steps.append((
+            m["tag"], m["pattr"], m["pval"],
+            int(m["pos"]) if m["pos"] is not None else None,
+        ))
     if bad or (attr_leaf is None and not steps):
         raise ValueError(
             f"unsupported XML field spec {spec!r}: supported are element "
             "paths 'a/b/c' (any depth), '*' wildcard steps, "
             "\"tag[@attr='v']\" attribute-equality predicates on any "
-            "step, '@attr' on the row element, and 'a/b/@attr'. Other "
+            "step, 'tag[n]' positional predicates on literal-tag steps, "
+            "'@attr' on the row element, and 'a/b/@attr'. Other "
             "XPath axes/predicates need spark-xml on a real cluster."
         )
     group = 0  # capture groups emitted so far (left to right)
 
-    def open_tag(tag: str, pattr, pval) -> tuple[str, str]:
+    def open_tag(tag: str, pattr, pval, pos=None) -> tuple[str, str]:
         """(open fragment ``<name(?=pred)``, closing-tag fragment)."""
         nonlocal group
         if tag == "*":
@@ -712,7 +720,19 @@ def _xml_field_pattern(
             v = _re.escape(pval)
             # zero-width: predicate must not shift group numbering
             pred = f"(?=[^>]*\\s{a}\\s*=\\s*(?:\"{v}\"|'{v}'))"
-        return f"<{name_pat}{pred}", close
+        skip = ""
+        if pos is not None and pos > 1:
+            # positional predicate as an occurrence counter: consume
+            # pos-1 whole same-tag elements (self-closing or paired)
+            # before the one that matches — XPath's child::tag[n] for
+            # the non-recursive shapes this regex subset serves.
+            # Non-capturing throughout so group numbering holds.
+            whole = (
+                f"(?:<{name_pat}(?:\\s[^>]*)?/>"
+                f"|<{name_pat}(?:\\s[^>]*)?>.*?</{name_pat}\\s*>)"
+            )
+            skip = f"(?:{whole}.*?){{{pos - 1}}}"
+        return f"{skip}<{name_pat}{pred}", close
 
     if attr_leaf is not None:
         attr = resolve(attr_leaf)
@@ -776,9 +796,11 @@ def _xml_select(
     for spec in fields:
         out_name = _re.sub(
             r"\[@[^\]]*\]", "", spec
-        ).replace("@", "").replace("/", "_").replace(":", "_").replace(
-            "*", "any"
         )
+        out_name = _re.sub(r"\[(\d+)\]", r"_\1", out_name)
+        out_name = out_name.replace("@", "").replace("/", "_").replace(
+            ":", "_"
+        ).replace("*", "any")
         pat, kind, (ga, gb) = _xml_field_pattern(spec, resolve)
         if kind == "attr":  # attribute value: always entity-escaped text
             # group ga = double-quoted form, gb = single-quoted form;

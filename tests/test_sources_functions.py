@@ -255,7 +255,7 @@ def test_read_xml_arbitrary_depth_and_raises_on_unsupported(spark, tmp_path):
     rows = sorted(df.collect(), key=lambda r: r["id"])
     assert [r["a_b_c"] for r in rows] == ["deep1", "deep & raw"]
     assert [r["a_b_sku"] for r in rows] == ["X9", "Y3"]
-    for bad in ["a//b", "a/b/", "a[1]/b", "", "a/@b/c", "a[text()='x']"]:
+    for bad in ["a//b", "a/b/", "a[0]/b", "", "a/@b/c", "a[text()='x']"]:
         with _pytest.raises(ValueError, match="unsupported XML field"):
             read_xml(spark, str(p), "item", [bad])
 
@@ -313,6 +313,57 @@ def test_read_xml_predicates_and_wildcards(spark, tmp_path):
     assert [r[2] for r in rows] == ["0", "1"]
     assert [r["wrap_any"] for r in rows] == ["star1", "star2"]
     assert [r["wrap_any_attr"] for r in rows] == ["z", "z"]
+
+
+def test_read_xml_positional_predicates(spark, tmp_path):
+    """XPath positional ``[n]`` predicates (reference WithXPath corpus,
+    ChoXmlReader.cs:651-655: repeated-sibling selection like
+    ``phone[2]``): 1-based occurrence counting on leaf and ancestor
+    steps, tolerant of self-closing earlier siblings, composing with
+    attribute leaves; ``[1]`` is the no-predicate default; out-of-range
+    yields empty; ``*[n]`` stays unsupported and raises."""
+    import pytest as _pytest
+
+    xml = """<doc>
+  <member>
+    <phone>111</phone>
+    <phone>222</phone>
+    <addr kind="home"><line>h1</line></addr>
+    <addr kind="work"><line>w1</line></addr>
+  </member>
+  <member>
+    <phone/>
+    <phone>888</phone>
+    <phone>999</phone>
+    <addr kind="home"><line>h2</line></addr>
+    <addr kind="work"><line>w2</line></addr>
+  </member>
+</doc>"""
+    p = tmp_path / "pos.xml"
+    p.write_text(xml)
+    from choetl_spark.sources import read_xml
+
+    df = read_xml(
+        spark,
+        str(p),
+        "member",
+        [
+            "phone[1]",       # == plain 'phone' (first PAIRED element)
+            "phone[2]",       # leaf positional; row 2's first is <phone/>
+            "phone[3]",       # counts the self-closing sibling too
+            "addr[2]/line",   # ancestor positional
+            "addr[2]/@kind",  # ancestor positional + attribute leaf
+        ],
+    )
+    rows = sorted(df.collect(), key=lambda r: r["addr_2_line"])
+    assert [r["phone_1"] for r in rows] == ["111", "888"]
+    assert [r["phone_2"] for r in rows] == ["222", "888"]
+    assert [r["phone_3"] for r in rows] == ["", "999"]
+    assert [r["addr_2_line"] for r in rows] == ["w1", "w2"]
+    assert [r["addr_2_kind"] for r in rows] == ["work", "work"]
+
+    with _pytest.raises(ValueError, match="unsupported"):
+        read_xml(spark, str(p), "member", ["*[2]"]).collect()
 
 
 def test_read_xml_namespace_manager(spark, tmp_path):
