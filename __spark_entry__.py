@@ -786,7 +786,12 @@ def q_multimodal_features(spark, sf_dir):
     filters cycling per doc) that is PNG-encoded and stdlib-decoded
     inside an Arrow-batched kernel — px_sum is the decoded pixel sum,
     which the DuckDB oracle recomputes in closed form, so a single
-    wrong byte anywhere in the zlib/unfilter path flips the hash."""
+    wrong byte anywhere in the zlib/unfilter path flips the hash.
+    New in r5, same discipline for JPEG: a planted flat-per-block
+    baseline JPEG (two 8x8 blocks valued (13*doc_id+37)%256 and
+    (29*doc_id+11)%256, Q[0,0]=8 so the whole Huffman/dequant/IDCT
+    path is LOSSLESS) decodes through operators/jpeg_py.py; jpeg_sum
+    = 3*64*(v1+v2) in the oracle."""
     from choetl_spark.operators.multimodal import (
         extract_features,
         with_media_meta,
@@ -804,6 +809,7 @@ def q_multimodal_features(spark, sf_dir):
         import numpy as np
         import pandas as pd
 
+        from choetl_spark.operators.jpeg_py import K1_LUMA, encode_jpeg
         from choetl_spark.operators.multimodal import (
             decode_image,
             encode_png,
@@ -814,16 +820,30 @@ def q_multimodal_features(spark, sf_dir):
             np.arange(H), np.arange(W), np.arange(3), indexing="ij"
         )
         base = (7 * y + 3 * x + c).astype(np.int64)
+        qj = K1_LUMA.copy()
+        qj[0, 0] = 8  # flat blocks quantize exactly -> lossless
         for pdf in batches:
             sums = []
+            jsums = []
             for did in pdf["doc_id"]:
                 px = ((int(did) + base) % 256).astype(np.uint8)
                 payload = encode_png(
                     px, filters=[(int(did) + r) % 5 for r in range(H)]
                 )
                 sums.append(int(decode_image(payload).sum()))
+                v1 = (13 * int(did) + 37) % 256
+                v2 = (29 * int(did) + 11) % 256
+                jimg = np.zeros((8, 16), dtype=np.uint8)
+                jimg[:, :8] = v1
+                jimg[:, 8:] = v2
+                jp = encode_jpeg(jimg, qtable_luma=qj)
+                jsums.append(int(decode_image(jp).sum()))
             yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "px_sum": sums}
+                {
+                    "media_id": pdf["media_id"],
+                    "px_sum": sums,
+                    "jpeg_sum": jsums,
+                }
             )
 
     docs = _read(spark, sf_dir, "documents")
@@ -833,13 +853,15 @@ def q_multimodal_features(spark, sf_dir):
     )
     png = docs.select(
         F.md5(url).alias("media_id"), "doc_id"
-    ).mapInPandas(png_roundtrip, "media_id string, px_sum long")
+    ).mapInPandas(
+        png_roundtrip, "media_id string, px_sum long, jpeg_sum long"
+    )
     return (
         feats.join(meta, "media_id")
         .join(png, "media_id")
         .select(
             "media_id", F.size("features").alias("dim"), "n_bytes",
-            "px_sum",
+            "px_sum", "jpeg_sum",
         )
     )
 
@@ -2767,6 +2789,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- end of rounds 1-4's gate window; queries() rotates from
         # here (new-in-r5 entries lead so they gate immediately) ----
         "streaming_upsert_store": q_streaming_upsert_store,
+        "multimodal_features": q_multimodal_features,  # JPEG leg new r5
         "left_join_order_counts": q_left_join_order_counts,
         "compare_diff_orders": q_compare_diff_orders,
         "topk_events": q_topk_events,
@@ -2804,7 +2827,6 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against_documents": q_dedup_against_documents,
         "top_ngrams_documents": q_top_ngrams_documents,
         "connected_components_graph": q_connected_components_graph,
-        "multimodal_features": q_multimodal_features,
         "dsir_select_documents": q_dsir_select_documents,
     }
 
@@ -3901,7 +3923,9 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT sum((doc_id + 7 * y.g + 3 * x.g + c.g) % 256)
                     FROM generate_series(0, 2) y(g),
                          generate_series(0, 3) x(g),
-                         generate_series(0, 2) c(g)) AS px_sum
+                         generate_series(0, 2) c(g)) AS px_sum,
+                   3 * 64 * (((13 * doc_id + 37) % 256)
+                             + ((29 * doc_id + 11) % 256)) AS jpeg_sum
             FROM documents
         """,
         "cosine_topk": """

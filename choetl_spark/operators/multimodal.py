@@ -3,9 +3,11 @@
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extraction / resize / frame-sampling run as Arrow-batched
 ``mapInPandas`` kernels. ``decode_image`` REALLY decodes PPM P6 and
-24-bit BMP with numpy alone, and 8-bit PNG with stdlib zlib + the PNG
-scanline unfilter pass; JPEG/WebP stay gated behind NotImplementedError
-because this container ships no codec libraries — swapping that gate for
+24-bit BMP with numpy alone, 8-bit PNG with stdlib zlib + the PNG
+scanline unfilter pass, and baseline sequential JPEG with a
+numpy-only Huffman+IDCT pipeline (operators/jpeg_py.py); WebP and
+progressive JPEG stay gated behind NotImplementedError because this
+container ships no codec libraries — swapping that gate for
 PIL/ffmpeg changes one function, the Spark-side plumbing (schema,
 batching, partition-size discipline) is identical either way and tested.
 """
@@ -29,20 +31,28 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to HxWx3 uint8.
 
     REAL for binary netpbm ``P6`` (PPM), 24-bit uncompressed ``BI_RGB``
-    BMP (bottom-up or top-down), and 8-bit PNG (gray/RGB/palette/alpha
+    BMP (bottom-up or top-down), 8-bit PNG (gray/RGB/palette/alpha
     color types, all five scanline filters — stdlib zlib, no codec
-    library; see :func:`_decode_png`). JPEG/WebP still need PIL/libjpeg,
-    which this container does not ship — those raise NotImplementedError
-    (the environmental gate; a deployment plugs PIL in right here)."""
+    library; see :func:`_decode_png`), and baseline sequential JPEG
+    (grayscale + YCbCr 4:4:4/4:2:2/4:2:0, restart markers — numpy
+    Huffman+IDCT, :mod:`choetl_spark.operators.jpeg_py`). Progressive
+    JPEG and WebP still need PIL/libjpeg — those raise
+    NotImplementedError (the environmental gate; a deployment plugs
+    PIL in right here)."""
     if payload[:2] == b"P6":
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp24(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from choetl_spark.operators.jpeg_py import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "only PPM(P6)/BMP(24-bit)/PNG(8-bit) decode without codec "
-        "libraries; JPEG/WebP require PIL/libjpeg (not in this container)"
+        "only PPM(P6)/BMP(24-bit)/PNG(8-bit)/baseline-JPEG decode "
+        "without codec libraries; WebP and progressive JPEG require "
+        "PIL/libjpeg (not in this container)"
     )
 
 

@@ -439,7 +439,7 @@ def test_decode_image_real_for_uncompressed_formats():
     """PPM(P6), 24-bit BMP and 8-bit PNG decode to exact pixels with
     numpy/stdlib alone — odd width exercises BMP row padding, both BMP
     row orders covered, PNG rows cycle through all five scanline
-    filters; JPEG stays gated behind NotImplementedError."""
+    filters; WebP stays gated behind NotImplementedError."""
     from choetl_spark.operators.multimodal import decode_image
 
     rng = np.random.default_rng(3)
@@ -449,7 +449,7 @@ def test_decode_image_real_for_uncompressed_formats():
     assert np.array_equal(decode_image(_make_bmp24(img)), img)
     assert np.array_equal(decode_image(_make_bmp24(img, top_down=True)), img)
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff")  # JPEG magic
+        decode_image(b"RIFF\x00\x00\x00\x00WEBP")  # WebP magic
 
 
 def test_decode_image_png_all_filters_and_color_types():
@@ -479,6 +479,108 @@ def test_decode_image_png_all_filters_and_color_types():
         decode_image(_make_png(ga, ctype=4)),
         np.repeat(ga[:, :, :1], 3, axis=2),
     )
+
+
+def _handmade_dc_only_jpeg(dc: int = 5, q00: int = 5) -> bytes:
+    """A single-8x8-block grayscale baseline JPEG built BY HAND from the
+    T.81 spec (markers + manually packed bit stream), independent of
+    our encoder: DC category 3 (Annex K luma code '100'), magnitude
+    bits '101' (diff=+5), then EOB ('1010'). Decoded block is the
+    closed form clip(round(dc*q00/8 + 128)) — for (5,5): 131."""
+    import struct as _s
+
+    from choetl_spark.operators.jpeg_py import (
+        K3_AC_LUMA,
+        K3_DC_LUMA,
+        _ZZ,
+    )
+
+    assert (dc, q00) == (5, 5), "bit stream below is packed for (5,5)"
+    q = np.full((8, 8), 13, dtype=np.uint8)
+    q[0, 0] = q00
+    zz = q.reshape(-1)[_ZZ].tobytes()
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + _s.pack(">H", 67) + b"\x00" + zz
+    out += b"\xff\xc0" + _s.pack(">H", 11) + _s.pack(
+        ">BHHB", 8, 8, 8, 1
+    ) + bytes([1, 0x11, 0])
+    for tc, (bits, vals) in ((0, K3_DC_LUMA), (1, K3_AC_LUMA)):
+        body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + _s.pack(">H", 2 + len(body)) + body
+    out += b"\xff\xda" + _s.pack(">H", 8) + bytes([1, 1, 0x00, 0, 63, 0])
+    # bits: 100 101 1010 + six 1-padding bits = 0x96 0xBF
+    out += bytes([0x96, 0xBF])
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_decode_image_jpeg_baseline():
+    """Baseline JPEG decode (numpy Huffman+IDCT, operators/jpeg_py.py):
+    a hand-packed DC-only stream matches the T.81 closed form exactly;
+    flat-per-block images with Q[0,0]=8 round-trip LOSSLESSLY through
+    our encoder (DC quantizes exactly, IDCT of DC-only is flat); smooth
+    gradients survive the default Annex K tables within tight bounds;
+    4:2:0/4:2:2 subsampling, odd dimensions, and restart markers all
+    decode; progressive (SOF2) raises the honest gate."""
+    from choetl_spark.operators.jpeg_py import (
+        K1_LUMA,
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from choetl_spark.operators.multimodal import decode_image
+
+    # 1. hand-built spec anchor: every pixel == round(5*5/8 + 128) = 131
+    out = decode_image(_handmade_dc_only_jpeg())
+    assert out.shape == (8, 8, 3)
+    assert np.array_equal(out, np.full((8, 8, 3), 131, dtype=np.uint8))
+
+    # 2. flat-per-block grayscale, Q[0,0]=8: lossless round trip
+    q = K1_LUMA.copy()
+    q[0, 0] = 8
+    img = np.zeros((16, 24), dtype=np.uint8)
+    for i, v in enumerate([10, 130, 250, 99, 7, 201]):
+        by, bx = divmod(i, 3)
+        img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = v
+    got = decode_image(encode_jpeg(img, qtable_luma=q))
+    assert np.array_equal(got[..., 0], img)
+    assert np.array_equal(got[..., 1], img)  # gray replicates to RGB
+
+    # 3. smooth grayscale gradient, default tables: small bounded loss
+    g = np.add.outer(np.arange(32) * 3, np.arange(48) * 2).astype(
+        np.uint8
+    )
+    err = np.abs(
+        decode_jpeg(encode_jpeg(g))[..., 0].astype(int) - g.astype(int)
+    )
+    assert err.max() <= 6
+
+    # 4. color: neutral gradient as RGB (chroma flat) stays tight
+    rgb = np.stack([g, g, g], axis=-1)
+    err = np.abs(
+        decode_jpeg(encode_jpeg(rgb, subsampling="444")).astype(int)
+        - rgb.astype(int)
+    )
+    assert err.max() <= 4
+
+    # 5. 4:2:0 + odd dims + restart markers, and 4:2:2
+    rgb2 = np.zeros((19, 21, 3), dtype=np.uint8)
+    for c in range(3):
+        rgb2[..., c] = (
+            np.add.outer(np.arange(19) * 4, np.arange(21) * 3) + 30 * c
+        ) % 200 + 20
+    for sub, rst in (("420", 2), ("422", 0)):
+        dec = decode_jpeg(
+            encode_jpeg(rgb2, subsampling=sub, restart_interval=rst)
+        )
+        assert dec.shape == rgb2.shape
+        assert np.abs(dec.astype(int) - rgb2.astype(int)).max() <= 12
+
+    # 6. progressive stays honestly gated
+    prog = bytearray(encode_jpeg(g))
+    idx = bytes(prog).find(b"\xff\xc0")
+    prog[idx + 1] = 0xC2  # rewrite SOF0 -> SOF2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(prog))
 
 
 def _make_wav(
