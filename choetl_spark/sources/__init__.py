@@ -314,6 +314,27 @@ def _guard_wholetext(
         )
 
 
+def _guard_lines_census(n_rows: int) -> None:
+    """The lines-framing readers collect one census row per
+    (split, file) pair and ship the offset dict inside the kernel
+    closure — O(splits + files) driver memory, pure metadata. Fine up
+    to crawl-directory scale, but a caller pointing one read at
+    millions of files would grow the driver + pickled closure
+    unboundedly, so refuse past a cap instead of degrading silently
+    (read directory batches, or raise CHOETL_LINES_CENSUS_CAP)."""
+    import os
+
+    cap = int(os.environ.get("CHOETL_LINES_CENSUS_CAP", "2000000"))
+    if n_rows > cap:
+        raise ValueError(
+            f"lines-framing census has {n_rows} (split, file) entries, "
+            f"above the {cap} cap: the per-file offset dict would "
+            "dominate driver memory and every task's closure. Read the "
+            "input in directory batches, or raise "
+            "CHOETL_LINES_CENSUS_CAP explicitly."
+        )
+
+
 def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
     """(file, pos, line) with ``pos`` the 0-based line number within its
     file — WITHOUT wholetext: files stream through Spark's ordinary
@@ -345,6 +366,7 @@ def read_text_lines(spark: SparkSession, path: str) -> DataFrame:
         .count()
         .collect()
     )
+    _guard_lines_census(len(counts))
     offsets: dict[tuple[int, str], int] = {}
     per_file: dict[str, int] = {}
     for r in sorted(counts, key=lambda r: r["_pid"]):
@@ -414,6 +436,7 @@ def _lines_with_group(
         .agg(F.count("*").alias("n"), F.sum("_hit").alias("h"))
         .collect()
     )
+    _guard_lines_census(len(counts))
     pos_off: dict[tuple[int, str], int] = {}
     rec_off: dict[tuple[int, str], int] = {}
     per_file_n: dict[str, int] = {}

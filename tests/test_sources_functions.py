@@ -1060,3 +1060,17 @@ def test_read_yaml_lines_rejects_single_doc_mode(spark, tmp_path):
             spark, str(tmp_path / "x.yaml"), multi_doc=False,
             framing="lines",
         )
+
+
+def test_lines_census_cap_guard(monkeypatch):
+    """The lines-framing census guard: metadata-scale censuses pass,
+    a census above CHOETL_LINES_CENSUS_CAP refuses with guidance
+    instead of silently growing the driver and every task closure."""
+    import pytest as _pytest
+
+    from choetl_spark.sources import _guard_lines_census
+
+    _guard_lines_census(100)
+    monkeypatch.setenv("CHOETL_LINES_CENSUS_CAP", "50")
+    with _pytest.raises(ValueError, match="CHOETL_LINES_CENSUS_CAP"):
+        _guard_lines_census(51)
