@@ -685,7 +685,13 @@ def _xml_field_pattern(
       - ``tag[n]``             — positional predicate (1-based n-th
         occurrence within the enclosing context) on any literal-tag
         step, leaf or ancestor
+      - ``tag[text()='v']``    — body-equality predicate on any
+        literal-tag step (plain or CDATA body, exact match —
+        sibling-selection-by-value)
       - ``@attr``              — attribute leaf (final segment only)
+      - ``//`` / leading ``/`` — descendant-axis aliases: element
+        steps here are already descendant-matching, so they normalize
+        to ``/`` / nothing
     """
     import re as _re
 
@@ -695,10 +701,18 @@ def _xml_field_pattern(
         r"^(?P<tag>\*|[^\[\]@*/]+)"
         r"(?:\[@(?P<pattr>[^=\]\s]+)\s*=\s*"
         r"(?P<q>['\"])(?P<pval>[^'\"]*)(?P=q)\]"
-        r"|\[(?P<pos>[1-9]\d*)\])?$"
+        r"|\[(?P<pos>[1-9]\d*)\]"
+        r"|\[text\(\)\s*=\s*"
+        r"(?P<q2>['\"])(?P<tval>[^'\"]*)(?P=q2)\])?$"
     )
-    bad = not spec or "//" in spec or spec.endswith("/")
-    raw_parts = spec.split("/") if not bad else []
+    # '//' descendant axes normalize away: this subset's element steps
+    # are ALREADY descendant-matching ('a/b' finds b anywhere below
+    # a's open tag — the documented arbitrary-depth semantics), so
+    # 'a//b' is the same pattern and a leading '//' (or '/') anchors
+    # at the row element exactly like a bare name does.
+    norm = _re.sub(r"/{2,}", "/", spec).lstrip("/") if spec else spec
+    bad = not norm or norm.endswith("/")
+    raw_parts = norm.split("/") if not bad else []
     steps: list[tuple[str, str | None, str | None, int | None]] = []
     attr_leaf: str | None = None
     for i, p in enumerate(raw_parts):
@@ -709,25 +723,31 @@ def _xml_field_pattern(
             attr_leaf = p[1:]
             continue
         m = step_re.match(p)
-        if m is None or (m["pos"] is not None and m["tag"] == "*"):
+        if m is None or (
+            m["tag"] == "*"
+            and (m["pos"] is not None or m["tval"] is not None)
+        ):
             bad = True
             break
         steps.append((
             m["tag"], m["pattr"], m["pval"],
             int(m["pos"]) if m["pos"] is not None else None,
+            m["tval"],
         ))
     if bad or (attr_leaf is None and not steps):
         raise ValueError(
             f"unsupported XML field spec {spec!r}: supported are element "
             "paths 'a/b/c' (any depth), '*' wildcard steps, "
             "\"tag[@attr='v']\" attribute-equality predicates on any "
-            "step, 'tag[n]' positional predicates on literal-tag steps, "
-            "'@attr' on the row element, and 'a/b/@attr'. Other "
-            "XPath axes/predicates need spark-xml on a real cluster."
+            "step, 'tag[n]' positional and \"tag[text()='v']\" "
+            "body-equality predicates on literal-tag steps, '@attr' on "
+            "the row element, 'a/b/@attr', and '//' descendant "
+            "aliases. Other XPath axes/predicates need spark-xml on a "
+            "real cluster."
         )
     group = 0  # capture groups emitted so far (left to right)
 
-    def open_tag(tag: str, pattr, pval, pos=None) -> tuple[str, str]:
+    def open_tag(tag: str, pattr, pval, pos=None, tval=None) -> tuple[str, str]:
         """(open fragment ``<name(?=pred)``, closing-tag fragment)."""
         nonlocal group
         if tag == "*":
@@ -743,6 +763,19 @@ def _xml_field_pattern(
             v = _re.escape(pval)
             # zero-width: predicate must not shift group numbering
             pred = f"(?=[^>]*\\s{a}\\s*=\\s*(?:\"{v}\"|'{v}'))"
+        if tval is not None:
+            # text()='v': the element's direct body is exactly v
+            # (plain or CDATA, surrounding whitespace tolerated) — a
+            # zero-width forward scan past the rest of the open tag,
+            # so it composes with the attr predicate and the @attr
+            # leaf construction without moving the match position.
+            # Sibling-selection-by-value, the dominant usage; elements
+            # with child elements never match (their body is not v).
+            v = _re.escape(tval)
+            pred += (
+                f"(?=(?:\\s[^>]*)?>\\s*(?:<!\\[CDATA\\[)?{v}"
+                f"(?:\\]\\]>)?\\s*</{name_pat}\\s*>)"
+            )
         skip = ""
         if pos is not None and pos > 1:
             # positional predicate as an occurrence counter: consume
@@ -818,9 +851,10 @@ def _xml_select(
     cols = []
     for spec in fields:
         out_name = _re.sub(
-            r"\[@[^\]]*\]", "", spec
+            r"\[@[^\]]*\]|\[text\(\)[^\]]*\]", "", spec
         )
         out_name = _re.sub(r"\[(\d+)\]", r"_\1", out_name)
+        out_name = _re.sub(r"/{2,}", "/", out_name).lstrip("/")
         out_name = out_name.replace("@", "").replace("/", "_").replace(
             ":", "_"
         ).replace("*", "any")

@@ -255,9 +255,18 @@ def test_read_xml_arbitrary_depth_and_raises_on_unsupported(spark, tmp_path):
     rows = sorted(df.collect(), key=lambda r: r["id"])
     assert [r["a_b_c"] for r in rows] == ["deep1", "deep & raw"]
     assert [r["a_b_sku"] for r in rows] == ["X9", "Y3"]
-    for bad in ["a//b", "a/b/", "a[0]/b", "", "a/@b/c", "a[text()='x']"]:
+    for bad in ["a/b/", "a[0]/b", "", "//", "a/@b/c", "a[last()]",
+                "a[@x>1]/b"]:
         with _pytest.raises(ValueError, match="unsupported XML field"):
             read_xml(spark, str(p), "item", [bad])
+    # '//' descendant axes are ACCEPTED as aliases: this subset's
+    # element steps are already descendant-matching, so 'a//c' and a
+    # leading '//c' resolve like 'a/c' and 'c'
+    df2 = read_xml(spark, str(p), "item", ["a//c", "//a/b/c"])
+    got = sorted(r[0] for r in df2.collect())
+    assert got == sorted(
+        r["a_b_c"] for r in df.select("a_b_c").collect()
+    )
 
 
 def test_read_xml_predicates_and_wildcards(spark, tmp_path):
@@ -364,6 +373,52 @@ def test_read_xml_positional_predicates(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unsupported"):
         read_xml(spark, str(p), "member", ["*[2]"]).collect()
+
+
+def test_read_xml_text_equality_predicates(spark, tmp_path):
+    """XPath ``tag[text()='v']`` body-equality predicates — the
+    sibling-selection-by-value shape (reference WithXPath corpus):
+    select a sibling by its text and read its attribute, CDATA bodies
+    match their literal text, non-matching rows yield empty, and the
+    predicate composes with ancestor steps; ``*[text()='v']`` stays
+    unsupported and raises."""
+    import pytest as _pytest
+
+    xml = """<doc>
+  <rec>
+    <p name="name">alpha</p>
+    <p name="kind"><![CDATA[cd-val]]></p>
+    <wrap><tag>inner</tag><tag>other</tag></wrap>
+  </rec>
+  <rec>
+    <p name="kind">cd-val</p>
+    <p name="name">beta</p>
+    <wrap><tag>other</tag><tag>inner</tag></wrap>
+  </rec>
+</doc>"""
+    p = tmp_path / "textpred.xml"
+    p.write_text(xml)
+    from choetl_spark.sources import read_xml
+
+    df = read_xml(
+        spark,
+        str(p),
+        "rec",
+        [
+            "p[text()='alpha']/@name",   # attr of the matching sibling
+            "p[text()='cd-val']/@name",  # CDATA body matches literally
+            "wrap/tag[text()='inner']",  # ancestor step + leaf pred
+            "p[text()='absent']/@name",  # no match -> empty
+        ],
+    )
+    rows = sorted(df.collect(), key=lambda r: r[0] or "~")
+    assert [r[0] for r in rows] == ["name", ""]  # alpha only in rec 1
+    assert [r[1] for r in rows] == ["kind", "kind"]
+    assert [r[2] for r in rows] == ["inner", "inner"]
+    assert [r[3] for r in rows] == ["", ""]
+
+    with _pytest.raises(ValueError, match="unsupported"):
+        read_xml(spark, str(p), "rec", ["*[text()='x']"]).collect()
 
 
 def test_read_xml_namespace_manager(spark, tmp_path):
