@@ -911,11 +911,25 @@ def read_xml(
         (leaf or ancestor; single or double quotes — the reference's
         dominant WithXPath shape, ChoXmlReaderTest Program.cs:4346,
         5431-5539)
+      - ``"p[n]"``       — positional predicate (1-based) on any
+        literal-tag step
+      - ``"p[text()='x']"`` — body-equality predicate (plain or CDATA)
+        on any literal-tag step — sibling selection by value
+      - ``"a//c"`` / ``"//b"`` — descendant-axis aliases (element
+        steps are inherently descendant-matching here)
       - ``"a/*"`` / ``"*/b"`` — wildcard element steps
     Tags/attrs may contain regex metacharacters (dotted or namespaced
     names like ``ns:item``) — everything is re.escape'd. Unsupported
-    specs (positional ``[1]``, ``text()=`` predicates, ``//`` axes)
+    specs (``last()``, comparisons, ``following-sibling::`` etc.)
     raise instead of silently matching nothing.
+
+    Known subset divergence from a real XPath engine: ancestor
+    containment is checked by lazy text scan, not balanced-tag
+    parsing, so in a record shaped ``<a>..</a><b/>..<a><b/></a>`` the
+    spec ``a/b`` can match a ``b`` that sits BETWEEN two ``a``
+    elements (the scan pairs the first ``<a`` with the last ``</a>``).
+    Machine-generated exports (the reference's corpus) do not produce
+    that shape; spark-xml is the full-fidelity path when in doubt.
 
     ``framing="wholetext"`` (default): one string per file, size-capped
     by ``max_file_bytes``; handles records packed on a single line.
