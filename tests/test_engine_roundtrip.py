@@ -321,3 +321,42 @@ def test_quantized_vectors_store_4x_smaller(spark, tmp_path):
     src = {r["vec_id"]: r["qvec"] for r in q.collect()}
     got = {r["vec_id"]: r["qvec"] for r in scan_encoded(spark, out_q).collect()}
     assert got == src
+
+
+def test_deterministic_sort_stable_with_duplicate_keys(spark):
+    """The retry-stable byte contract under the salted shuffle must
+    hold even when key_col is NOT unique (the url-uniqueness contract
+    violated): the full-row xxhash64 tiebreaker pins the relative
+    order of key-tied rows, so re-encoding the same rows from a
+    DIFFERENT input order yields byte-identical chunk payloads —
+    the property a speculative/zombie native-write attempt relies on
+    when it overwrites a committed chunk file."""
+    from pyspark.sql import functions as F
+
+    from choetl_spark.engine import EncodeConfig, encode_dataframe
+
+    rows = [
+        ("https://dup.example.com/x", f"text body {i % 7}", "en")
+        for i in range(64)
+    ] + [
+        (f"https://u{i}.example.com/", f"unique {i}", "de")
+        for i in range(32)
+    ]
+    ddl = "url string, text string, lang string"
+    cfg = EncodeConfig(
+        num_partitions=4, chunk_rows=32, chunk_bytes=1 << 20,
+        shuffle="salted", deterministic=True,
+    )
+
+    def payload_map(order_rows):
+        df = spark.createDataFrame(order_rows, ddl).repartition(8)
+        enc = encode_dataframe(df, cfg)
+        return {
+            (r["part_id"], r["column"], r["chunk_seq"]): bytes(r["payload"])
+            for r in enc.collect()
+        }
+
+    a = payload_map(rows)
+    b = payload_map(list(reversed(rows)))
+    assert a.keys() == b.keys()
+    assert all(a[k] == b[k] for k in a)
