@@ -583,6 +583,57 @@ def test_decode_image_jpeg_baseline():
         decode_jpeg(bytes(prog))
 
 
+def test_jpeg_roundtrip_property():
+    """Property sweep of the baseline JPEG codec: arbitrary small
+    dimensions (including 1-pixel edges and non-multiple-of-8/16
+    sizes), gray + RGB, every subsampling mode, with/without restart
+    markers — decode never crashes, shapes are exact, and smooth
+    content stays within JPEG-loss bounds."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from choetl_spark.operators.jpeg_py import decode_jpeg, encode_jpeg
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(min_value=1, max_value=40),
+        w=st.integers(min_value=1, max_value=40),
+        color=st.booleans(),
+        sub=st.sampled_from(["444", "422", "420"]),
+        rst=st.sampled_from([0, 1, 3]),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def roundtrip(h, w, color, sub, rst, seed):
+        rng = np.random.default_rng(seed)
+        ramp = np.add.outer(
+            np.arange(h, dtype=float), np.arange(w, dtype=float)
+        )
+        # genuinely smooth content (no value wraps: a modulo sawtooth
+        # is a 200-level step edge, and JPEG legitimately rings ~70
+        # levels there — verified q=1 decodes it exactly)
+        base = 20 + ramp * (160.0 / max(ramp.max(), 1.0)) + float(
+            rng.integers(0, 40)
+        )
+        if color:
+            px = np.stack(
+                [np.clip(base + 15 * c, 0, 255) for c in range(3)],
+                axis=-1,
+            ).astype(np.uint8)
+        else:
+            px = np.clip(base, 0, 255).astype(np.uint8)
+        out = decode_jpeg(
+            encode_jpeg(px, subsampling=sub, restart_interval=rst)
+        )
+        assert out.shape == (h, w, 3)
+        ref = px if color else np.stack([px] * 3, axis=-1)
+        err = np.abs(out.astype(int) - ref.astype(int)).max()
+        # smooth gradients under the Annex K tables: generous but
+        # real bound (chroma subsampling + edge padding included)
+        assert err <= 40
+
+    roundtrip()
+
+
 def _make_wav(
     freq: float = 440.0,
     rate: int = 8000,
