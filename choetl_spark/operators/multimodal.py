@@ -31,9 +31,10 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Decode an image payload to HxWx3 uint8.
 
     REAL for binary netpbm ``P6`` (PPM), 24-bit uncompressed ``BI_RGB``
-    BMP (bottom-up or top-down), 8-bit PNG (gray/RGB/palette/alpha
-    color types, all five scanline filters — stdlib zlib, no codec
-    library; see :func:`_decode_png`), and baseline sequential JPEG
+    BMP (bottom-up or top-down), 8/16-bit PNG (gray/RGB/palette/alpha
+    color types, all five scanline filters, non-interlaced and Adam7 —
+    stdlib zlib, no codec library; see :func:`_decode_png`), and
+    baseline sequential JPEG
     (grayscale + YCbCr 4:4:4/4:2:2/4:2:0, restart markers — numpy
     Huffman+IDCT, :mod:`choetl_spark.operators.jpeg_py`). Progressive
     JPEG and WebP still need PIL/libjpeg — those raise
@@ -102,13 +103,65 @@ def _decode_bmp24(payload: bytes) -> np.ndarray:
     return img.copy()
 
 
+# Adam7 pass layout (RFC 2083 §2.6): (x0, y0, dx, dy) per pass
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(
+    raw: bytes, rpos: int, h: int, stride: int, bpp: int
+) -> tuple[np.ndarray, int]:
+    """Reverse the five PNG scanline filters over ``h`` rows of
+    ``stride`` bytes starting at ``raw[rpos]`` (each row led by its
+    filter byte). ``bpp`` is bytes per pixel — the filters' left
+    offset, which is what makes this loop depth- and
+    interlace-pass-agnostic. Returns (rows, next position)."""
+    out = np.empty((h, stride), np.uint8)
+    prior = np.zeros(stride, np.int64)
+    for y in range(h):
+        f = raw[rpos]
+        row = np.frombuffer(
+            raw, np.uint8, stride, rpos + 1
+        ).astype(np.int64)
+        rpos += stride + 1
+        if f == 0:  # None
+            rec = row
+        elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp]
+            lanes = row.reshape(-1, bpp)
+            rec = (np.cumsum(lanes, axis=0) & 0xFF).reshape(-1)
+        elif f == 2:  # Up
+            rec = (row + prior) & 0xFF
+        elif f in (3, 4):  # Average / Paeth: sequential in x
+            rec = np.empty(stride, np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                if f == 3:
+                    rec[x] = (row[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prior[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb and pa_ <= pc_) else (
+                        b if pb <= pc_ else c
+                    )
+                    rec[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {f}")
+        prior = rec
+        out[y] = rec.astype(np.uint8)
+    return out, rpos
+
+
 def _decode_png(payload: bytes) -> np.ndarray:
     """PNG decode with the stdlib alone (zlib inflate + the five PNG
-    scanline filters, RFC 2083): 8-bit depth, color types 0 (gray),
-    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced —
-    the web's dominant lossless format, no PIL needed. 16-bit depth and
-    Adam7 interlacing raise (rare on the web; PIL covers them when
-    deployed). Alpha is dropped, gray/palette expand to RGB, so the
+    scanline filters, RFC 2083): 8- and 16-bit depth (16-bit scales to
+    8 via the high byte — the decode contract is HxWx3 uint8), color
+    types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced AND Adam7-interlaced (per-pass unfilter + pixel
+    scatter). Alpha is dropped, gray/palette expand to RGB, so the
     return shape is always HxWx3 uint8 like the other decoders."""
     import struct
     import zlib
@@ -134,51 +187,40 @@ def _decode_png(payload: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("PNG without IHDR")
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} (only 8)")
-    if interlace:
-        raise NotImplementedError("Adam7-interlaced PNG")
+    if depth not in (8, 16):
+        raise NotImplementedError(f"PNG bit depth {depth} (only 8/16)")
+    if depth == 16 and ctype == 3:
+        raise ValueError("16-bit palette PNG is not a valid combination")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    itemsize = depth // 8
+    bpp = channels * itemsize
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG IDAT size mismatch")
-    out = np.empty((h, stride), np.uint8)
-    prior = np.zeros(stride, np.int64)
-    rpos = 0
-    for y in range(h):
-        f = raw[rpos]
-        row = np.frombuffer(
-            raw, np.uint8, stride, rpos + 1
-        ).astype(np.int64)
-        rpos += stride + 1
-        if f == 0:  # None
-            rec = row
-        elif f == 1:  # Sub: recon[x] = filt[x] + recon[x-bpp]
-            lanes = row.reshape(w, channels)
-            rec = (np.cumsum(lanes, axis=0) & 0xFF).reshape(-1)
-        elif f == 2:  # Up
-            rec = (row + prior) & 0xFF
-        elif f in (3, 4):  # Average / Paeth: sequential in x
-            rec = np.empty(stride, np.int64)
-            for x in range(stride):
-                a = rec[x - channels] if x >= channels else 0
-                b = prior[x]
-                if f == 3:
-                    rec[x] = (row[x] + ((a + b) >> 1)) & 0xFF
-                else:
-                    c = prior[x - channels] if x >= channels else 0
-                    p = a + b - c
-                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa_ <= pb and pa_ <= pc_) else (
-                        b if pb <= pc_ else c
-                    )
-                    rec[x] = (row[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"PNG filter type {f}")
-        prior = rec
-        out[y] = rec.astype(np.uint8)
-    px = out.reshape(h, w, channels)
+
+    def to_px(rows: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        """(ph, pw*bpp) filtered-byte rows -> (ph, pw, channels) uint8
+        samples (16-bit keeps the big-endian high byte)."""
+        px = rows.reshape(ph, pw, channels, itemsize)
+        return px[..., 0]
+
+    if interlace:
+        full = np.zeros((h, w, channels), np.uint8)
+        rpos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            rows, rpos = _png_unfilter(raw, rpos, ph, pw * bpp, bpp)
+            full[y0::dy, x0::dx] = to_px(rows, ph, pw)
+        if rpos != len(raw):
+            raise ValueError("PNG IDAT size mismatch")
+        px = full
+    else:
+        stride = w * bpp
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG IDAT size mismatch")
+        rows, _ = _png_unfilter(raw, 0, h, stride, bpp)
+        px = to_px(rows, h, w)
     if ctype == 0:
         return np.repeat(px, 3, axis=2).copy()
     if ctype == 2:

@@ -583,6 +583,88 @@ def test_decode_image_jpeg_baseline():
         decode_jpeg(bytes(prog))
 
 
+def test_decode_image_png_16bit_and_adam7():
+    """16-bit PNG (high-byte scaling) and Adam7-interlaced PNG decode
+    — fixtures built BY HAND from the RFC 2083 pass layout with numpy
+    slicing, independent of our (non-interlaced, 8-bit) encoder."""
+    import struct
+    import zlib
+
+    from choetl_spark.operators.multimodal import decode_image
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    def png(w, h, depth, ctype, raw, interlace=0):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(
+                b"IHDR",
+                struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
+                            interlace),
+            )
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(11)
+    # --- 16-bit RGB, filter 0 rows: decode keeps the high byte
+    h16, w16 = 5, 7
+    hi = rng.integers(0, 256, size=(h16, w16, 3), dtype=np.uint16)
+    lo = rng.integers(0, 256, size=(h16, w16, 3), dtype=np.uint16)
+    samples = (hi << 8) | lo
+    raw = b"".join(
+        b"\x00" + samples[y].astype(">u2").tobytes() for y in range(h16)
+    )
+    out = decode_image(png(w16, h16, 16, 2, raw))
+    assert np.array_equal(out, hi.astype(np.uint8))
+
+    # --- Adam7 RGB: serialize the 7 passes (filter 0) from a known
+    # image using the spec layout, decode must reassemble it exactly;
+    # odd dims exercise empty/ragged passes
+    for hh, ww in ((9, 11), (3, 2), (1, 1), (8, 8)):
+        img = rng.integers(0, 256, size=(hh, ww, 3), dtype=np.uint8)
+        passes = []
+        for x0, y0, dx, dy in [
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ]:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for y in range(sub.shape[0]):
+                passes.append(b"\x00" + sub[y].tobytes())
+        out = decode_image(png(ww, hh, 8, 2, b"".join(passes), 1))
+        assert np.array_equal(out, img), (hh, ww)
+
+    # --- Adam7 grayscale with non-zero filters inside a pass: Sub(1)
+    # and Up(2) per-pass unfiltering
+    img = rng.integers(0, 256, size=(10, 10, 1), dtype=np.uint8)
+    passes = []
+    for x0, y0, dx, dy in [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]:
+        sub = img[y0::dy, x0::dx, 0].astype(np.int64)
+        if sub.size == 0:
+            continue
+        prior = np.zeros(sub.shape[1], np.int64)
+        for y in range(sub.shape[0]):
+            row = sub[y]
+            if y % 2 == 0:  # Sub
+                filt = (row - np.concatenate(([0], row[:-1]))) & 0xFF
+                passes.append(b"\x01" + filt.astype(np.uint8).tobytes())
+            else:  # Up
+                filt = (row - prior) & 0xFF
+                passes.append(b"\x02" + filt.astype(np.uint8).tobytes())
+            prior = row
+    out = decode_image(png(10, 10, 8, 0, b"".join(passes), 1))
+    assert np.array_equal(out, np.repeat(img, 3, axis=2))
+
+
 def test_jpeg_roundtrip_property():
     """Property sweep of the baseline JPEG codec: arbitrary small
     dimensions (including 1-pixel edges and non-multiple-of-8/16
